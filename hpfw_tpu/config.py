@@ -1,0 +1,110 @@
+"""HpfwConfig — every behavioral knob of the hashprint pipeline in one place.
+
+The reference (kisasexypantera94/hpfw) bakes its parameters in as C++
+template/constructor arguments (SURVEY.md §3.5, §5 "Config/flag system");
+the reference mount was empty at build time (SURVEY.md §0) so defaults here
+follow the hashprint literature (Tsai et al., "Known-Artist Live Song ID
+Using Audio Hashprints"): 22.05 kHz audio, CQT with 24 bins/octave over
+C3..C8, ~23 ms hop, 20-frame spectro-temporal context, 64 learned filters,
+sign-of-delta binarization.
+
+The config is serialized into every fingerprint database (SURVEY.md §5) so a
+DB is self-describing: extraction and matching can never disagree on
+parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+
+# C3 in Hz (A4 = 440).
+_C3_HZ = 130.8127826502993
+
+
+@dataclass(frozen=True)
+class HpfwConfig:
+    """All ⚙ knobs of SURVEY.md §2.3, pinned.
+
+    Every field participates in the bit-exactness contract: two runs with the
+    same config and same input PCM must produce identical packed hashprints.
+    """
+
+    # ---- input ----
+    sample_rate: int = 22050
+
+    # ---- CQT front end (SURVEY.md §2.3 step 2) ----
+    fmin: float = _C3_HZ          # lowest CQT bin center
+    bins_per_octave: int = 24
+    n_bins: int = 121             # C3..C8 inclusive at 24 bins/octave
+    hop: int = 512                # ~23.2 ms @ 22050 Hz -> ~43 frames/s
+    frame_len: int = 8192         # pow2 >= longest CQT kernel (~5753 samples)
+    window: str = "hann"          # per-bin kernel window
+    log_eps: float = 1e-4         # spec = log(log_eps + |X|)
+
+    # ---- hashprint stage (SURVEY.md §2.3 steps 3-7) ----
+    context_w: int = 20           # consecutive CQT frames per context window
+    delta_lag: int = 16           # T: bit_i(n) = [y_i(n) - y_i(n+T) > 0]
+    n_filters: int = 64           # learned spectro-temporal projections
+    bit_order: str = "lsb0"       # filter i -> bit i of the 64-bit word
+    tie_break: str = "gt"         # strict '>' at delta == 0 (bit is 0 on tie)
+
+    # ---- matcher / database ----
+    db_downsample: int = 16       # coarse-stage temporal downsample factor
+    top_k: int = 10               # ranked candidates returned by match()
+    fine_candidates: int = 64     # coarse->fine rescan pool size
+
+    # ---- derived ----
+    @property
+    def q_factor(self) -> float:
+        return 1.0 / (2.0 ** (1.0 / self.bins_per_octave) - 1.0)
+
+    @property
+    def context_dim(self) -> int:
+        """Dimensionality of one spectro-temporal context vector."""
+        return self.n_bins * self.context_w
+
+    @property
+    def frames_per_second(self) -> float:
+        return self.sample_rate / self.hop
+
+    def bin_frequency(self, k: int) -> float:
+        return self.fmin * 2.0 ** (k / self.bins_per_octave)
+
+    def n_frames(self, n_samples: int) -> int:
+        """CQT frames for a PCM buffer of n_samples (no padding, full frames)."""
+        if n_samples < self.frame_len:
+            return 0
+        return 1 + (n_samples - self.frame_len) // self.hop
+
+    def n_hashprints(self, n_samples: int) -> int:
+        """Hashprints emitted for a PCM buffer of n_samples."""
+        f = self.n_frames(n_samples)
+        return max(0, f - self.context_w + 1 - self.delta_lag)
+
+    def min_samples(self) -> int:
+        """Smallest PCM length that yields one hashprint."""
+        need_frames = self.context_w + self.delta_lag
+        return self.frame_len + (need_frames - 1) * self.hop
+
+    # ---- (de)serialization ----
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "HpfwConfig":
+        return cls(**json.loads(s))
+
+    def validate(self) -> None:
+        assert self.n_filters == 64, "hashprints are 64-bit words"
+        assert self.bit_order in ("lsb0", "msb0")
+        assert self.tie_break in ("gt", "ge")
+        assert self.window in ("hann", "hamming")
+        max_kernel = int(-(-self.q_factor * self.sample_rate // self.fmin))
+        assert self.frame_len >= max_kernel, (
+            f"frame_len {self.frame_len} < longest CQT kernel {max_kernel}"
+        )
+
+
+DEFAULT_CONFIG = HpfwConfig()

@@ -1,0 +1,46 @@
+"""Test configuration: run the whole suite on a simulated 8-device CPU mesh.
+
+SURVEY.md §4.4: the local machine has one TPU chip, so all sharded-path tests
+(DB sharding, all-gather top-k merge) run under
+`--xla_force_host_platform_device_count=8` on CPU. The math is
+placement-invariant; CPU also makes the suite fast and deterministic.
+bench.py (not pytest) is what runs on the real TPU.
+
+This must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+from hpfw_tpu.config import HpfwConfig
+
+
+@pytest.fixture(scope="session")
+def cfg():
+    """Small config for fast tests: same structure, shorter frames.
+
+    frame_len 2048 requires raising fmin so the longest CQT kernel fits
+    (N_max = Q*sr/fmin <= 2048 -> fmin >= ~368 Hz); 3 octaves at 24 b/o.
+    """
+    return HpfwConfig(frame_len=2048, fmin=380.0, n_bins=73, hop=256,
+                      context_w=8, delta_lag=4, db_downsample=4)
+
+
+@pytest.fixture(scope="session")
+def full_cfg():
+    """The production default config (slow — use sparingly)."""
+    return HpfwConfig()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
