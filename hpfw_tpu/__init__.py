@@ -1,0 +1,24 @@
+"""hpfw_tpu — TPU-native audio fingerprinting / live song identification.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the C++
+reference library kisasexypantera94/hpfw (see SURVEY.md): CQT spectrogram ->
+learned spectro-temporal projection -> sign-binarized 64-bit hashprints, PCA
+filter learning, and XOR+popcount Hamming matching against a fingerprint
+database sharded across a TPU mesh.
+
+Public surface (mirrors the reference, SURVEY.md §1.2):
+    fingerprint(audio)    -> hashprint sequence
+    match(query, db)      -> ranked track IDs
+    build_db / learn_filters / FingerprintDB.save/load
+    streaming.StreamingSession for live song ID
+"""
+
+from .api import FingerprintDB, build_db, fingerprint, learn_filters, match
+from .config import DEFAULT_CONFIG, HpfwConfig
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "FingerprintDB", "build_db", "fingerprint", "learn_filters", "match",
+    "HpfwConfig", "DEFAULT_CONFIG", "__version__",
+]

@@ -1,0 +1,156 @@
+"""Public API — mirrors the reference's surface (SURVEY.md §1.2):
+
+    fingerprint(audio)      -> hashprint sequence
+    match(query, db)        -> ranked track IDs
+    build_db(catalog)       -> FingerprintDB
+    learn_filters(corpus)   -> projection filters
+
+plus save/load and a streaming session (hpfw_tpu.streaming). Hot compute runs
+on the default JAX backend (TPU when present); decode and final ranking are
+host-side. All functions accept/return NumPy; device placement is internal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_CONFIG, HpfwConfig
+from .match import matcher
+from .ops import fingerprint as fp_ops
+from .ops import frontend
+
+
+@functools.lru_cache(maxsize=32)
+def _fingerprint_jit(cfg: HpfwConfig, n_samples: int, use_pallas: bool):
+    """Jitted PCM -> packed prints for a fixed input length (static shapes)."""
+    if use_pallas:
+        from .ops import fused  # deferred: TPU-only
+
+        def run(pcm, filters):
+            return fused.fingerprint(pcm, filters, cfg)
+    else:
+        def run(pcm, filters):
+            spec = frontend.cqt(pcm, cfg)
+            return fp_ops.fingerprint_from_spec(spec, filters, cfg)
+
+    return jax.jit(run)
+
+
+def fingerprint(
+    pcm: np.ndarray,
+    filters: np.ndarray,
+    cfg: HpfwConfig = DEFAULT_CONFIG,
+    *,
+    use_pallas: bool = False,
+) -> np.ndarray:
+    """Audio -> packed 64-bit hashprints, shape (N, 2) uint32.
+
+    Reference surface: fingerprint(audio) -> hashprint sequence (SURVEY.md
+    §1.2). Use oracle.packed_to_uint64 for a (N,) uint64 view.
+    """
+    pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
+    if cfg.n_hashprints(pcm.shape[0]) == 0:
+        return np.zeros((0, 2), dtype=np.uint32)
+    fn = _fingerprint_jit(cfg, pcm.shape[0], use_pallas)
+    return np.asarray(fn(jnp.asarray(pcm), jnp.asarray(filters, dtype=jnp.float32)))
+
+
+def match(
+    query_prints: np.ndarray,
+    db: "FingerprintDB",
+    *,
+    top_k: int | None = None,
+):
+    """Rank DB tracks against a query print sequence.
+
+    Returns (track_ids, scores, offsets) sorted by descending similarity,
+    ties broken by ascending track index — identical to oracle.match.
+    """
+    top_k = top_k if top_k is not None else db.cfg.top_k
+    q = jnp.asarray(np.asarray(query_prints, dtype=np.uint32))
+    prints, lengths = db.device_arrays()
+    scores, offsets = matcher.score_tracks(q, prints, lengths)
+    order, s, o = matcher.rank(np.asarray(scores), np.asarray(offsets), top_k)
+    return [db.track_ids[i] for i in order], s, o
+
+
+class FingerprintDB:
+    """In-memory fingerprint database: packed prints + config + filters.
+
+    The reference analog is its serialized catalog cache (SURVEY.md §2.1
+    row 6). The config and filters ride along so a DB is self-describing
+    (SURVEY.md §5 "Config/flag system").
+    """
+
+    def __init__(self, cfg: HpfwConfig, filters: np.ndarray,
+                 track_ids: list[str], prints: np.ndarray, lengths: np.ndarray):
+        self.cfg = cfg
+        self.filters = np.asarray(filters, dtype=np.float32)
+        self.track_ids = list(track_ids)
+        self.prints = np.asarray(prints, dtype=np.uint32)    # (T, L, 2) padded
+        self.lengths = np.asarray(lengths, dtype=np.int32)   # (T,)
+        self._device = None
+
+    def device_arrays(self):
+        if self._device is None:
+            self._device = (jnp.asarray(self.prints), jnp.asarray(self.lengths))
+        return self._device
+
+    @property
+    def n_tracks(self) -> int:
+        return len(self.track_ids)
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            format_version=np.int32(1),
+            config_json=np.frombuffer(self.cfg.to_json().encode(), dtype=np.uint8),
+            filters=self.filters,
+            track_ids=np.array(self.track_ids),
+            prints=self.prints,
+            lengths=self.lengths,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FingerprintDB":
+        z = np.load(path, allow_pickle=False)
+        assert int(z["format_version"]) == 1
+        cfg = HpfwConfig.from_json(bytes(z["config_json"].tobytes()).decode())
+        return cls(cfg, z["filters"], [str(t) for t in z["track_ids"]],
+                   z["prints"], z["lengths"])
+
+
+def build_db(
+    catalog: dict[str, np.ndarray] | list[np.ndarray],
+    filters: np.ndarray,
+    cfg: HpfwConfig = DEFAULT_CONFIG,
+    *,
+    use_pallas: bool = False,
+) -> FingerprintDB:
+    """Fingerprint a catalog of tracks into a matchable database."""
+    if isinstance(catalog, dict):
+        ids, tracks = list(catalog.keys()), list(catalog.values())
+    else:
+        ids = [str(i) for i in range(len(catalog))]
+        tracks = list(catalog)
+    fps = [fingerprint(t, filters, cfg, use_pallas=use_pallas) for t in tracks]
+    prints, lengths = matcher.pad_prints(fps, min_len=1)
+    return FingerprintDB(cfg, filters, ids, prints, lengths)
+
+
+def learn_filters(
+    corpus: list[np.ndarray],
+    cfg: HpfwConfig = DEFAULT_CONFIG,
+) -> np.ndarray:
+    """Learn the 64 spectro-temporal projection filters on device.
+
+    Streaming covariance accumulation (rank-k GEMM updates on the MXU) +
+    eigh — see learn/pca.py. Returns (context_dim, 64) float32.
+    """
+    from .learn import pca
+
+    return pca.learn_filters(corpus, cfg)
