@@ -13,6 +13,10 @@ Public surface (mirrors the reference, SURVEY.md §1.2):
     streaming.StreamingSession for live song ID
 """
 
+from .utils.cache import enable_compilation_cache as _enable_cache
+
+_enable_cache()
+
 from .api import FingerprintDB, build_db, fingerprint, learn_filters, match
 from .config import DEFAULT_CONFIG, HpfwConfig
 

@@ -24,9 +24,8 @@ from .ops import fingerprint as fp_ops
 from .ops import frontend
 
 
-@functools.lru_cache(maxsize=32)
-def _fingerprint_jit(cfg: HpfwConfig, n_samples: int, use_pallas: bool):
-    """Jitted PCM -> packed prints for a fixed input length (static shapes)."""
+def _pipeline(cfg: HpfwConfig, use_pallas: bool):
+    """The un-jitted PCM -> packed prints function (shared by all wrappers)."""
     if use_pallas:
         from .ops import fused  # deferred: TPU-only
 
@@ -37,7 +36,13 @@ def _fingerprint_jit(cfg: HpfwConfig, n_samples: int, use_pallas: bool):
             spec = frontend.cqt(pcm, cfg)
             return fp_ops.fingerprint_from_spec(spec, filters, cfg)
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _fingerprint_jit(cfg: HpfwConfig, n_samples: int, use_pallas: bool):
+    """Jitted PCM -> packed prints for a fixed input length (static shapes)."""
+    return jax.jit(_pipeline(cfg, use_pallas))
 
 
 def fingerprint(
@@ -57,6 +62,39 @@ def fingerprint(
         return np.zeros((0, 2), dtype=np.uint32)
     fn = _fingerprint_jit(cfg, pcm.shape[0], use_pallas)
     return np.asarray(fn(jnp.asarray(pcm), jnp.asarray(filters, dtype=jnp.float32)))
+
+
+@functools.lru_cache(maxsize=16)
+def _fingerprint_batch_jit(cfg: HpfwConfig, n_samples: int, use_pallas: bool):
+    """Jitted (B, S) PCM batch -> (B, N, 2) prints, bounded memory.
+
+    lax.map over tracks keeps the per-track frame buffer (~tens of MB) from
+    scaling with B while each track's NDFT GEMM already saturates the MXU —
+    the TPU-native replacement for the reference's CPU thread pool over
+    tracks (SURVEY.md §2.1 row 8).
+    """
+    single = _pipeline(cfg, use_pallas)
+
+    def run(pcms, filters):
+        return jax.lax.map(lambda p: single(p, filters), pcms)
+
+    return jax.jit(run)
+
+
+def fingerprint_batch(
+    pcms: np.ndarray,
+    filters: np.ndarray,
+    cfg: HpfwConfig = DEFAULT_CONFIG,
+    *,
+    use_pallas: bool = False,
+) -> np.ndarray:
+    """Fingerprint a batch of equal-length tracks, shape (B, N, 2) uint32."""
+    pcms = np.asarray(pcms, dtype=np.float32)
+    assert pcms.ndim == 2
+    if cfg.n_hashprints(pcms.shape[1]) == 0:
+        return np.zeros((pcms.shape[0], 0, 2), dtype=np.uint32)
+    fn = _fingerprint_batch_jit(cfg, pcms.shape[1], use_pallas)
+    return np.asarray(fn(jnp.asarray(pcms), jnp.asarray(filters, dtype=jnp.float32)))
 
 
 def match(

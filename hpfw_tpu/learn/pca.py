@@ -5,7 +5,7 @@ over a training corpus and takes the top-64 eigenvectors as filters
 (SURVEY.md §2.1 row 4, §3.2). TPU-native version: per-track X^T X rank-k
 updates are (context_dim x M) @ (M x context_dim) GEMMs on the MXU
 (context_dim ~ 2420 -> a ~2420^2 matrix, trivial for eigh), accumulated in
-float32 with HIGHEST precision; the eigendecomposition runs via
+float32 at f32-grade dot precision (ops/dot.py); the eigendecomposition runs via
 jnp.linalg.eigh.
 
 The accumulator state is a plain pytree and serializes to .npz, making
@@ -23,8 +23,7 @@ import numpy as np
 
 from ..config import HpfwConfig
 from ..ops import frontend
-
-HIGHEST = jax.lax.Precision.HIGHEST
+from ..ops.dot import precise_dot
 
 
 @dataclasses.dataclass
@@ -65,7 +64,7 @@ def _track_moments_jit(cfg: HpfwConfig, n_samples: int):
             [jax.lax.dynamic_slice_in_dim(spec, j, m, axis=0) for j in range(w)],
             axis=1,
         )
-        xtx = jnp.dot(x.T, x, precision=HIGHEST)
+        xtx = precise_dot(x.T, x)
         return xtx, jnp.sum(x, axis=0), m
 
     return jax.jit(run)

@@ -21,8 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import HpfwConfig
-
-HIGHEST = jax.lax.Precision.HIGHEST
+from .dot import precise_dot
 
 
 def project_features(spec: jnp.ndarray, filters: jnp.ndarray, cfg: HpfwConfig) -> jnp.ndarray:
@@ -34,15 +33,14 @@ def project_features(spec: jnp.ndarray, filters: jnp.ndarray, cfg: HpfwConfig) -
     f, b = spec.shape
     w = cfg.context_w
     m = f - w + 1
-    filters = filters.astype(jnp.float32).reshape(w, b, cfg.n_filters)
-    y = jnp.zeros((m, cfg.n_filters), dtype=jnp.float32)
-    for j in range(w):
-        y = y + jnp.dot(
-            jax.lax.dynamic_slice_in_dim(spec, j, m, axis=0),
-            filters[j],
-            precision=HIGHEST,
-        )
-    return y
+    # Materialize the context windows (w shifted copies, cheap) and project
+    # with ONE precise GEMM — precise dots compile slowly on this stack, so
+    # one (M x D) @ (D x 64) beats w skinny ones (and runs faster too).
+    x = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(spec, j, m, axis=0) for j in range(w)],
+        axis=1,
+    )
+    return precise_dot(x, filters.astype(jnp.float32))
 
 
 def delta(y: jnp.ndarray, cfg: HpfwConfig) -> jnp.ndarray:

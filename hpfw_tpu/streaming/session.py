@@ -1,0 +1,154 @@
+"""Streaming live-song identification (SURVEY.md §3.4, BASELINE config 3).
+
+The reference's stated purpose is live song ID; its streaming loop is at most
+an example driver (SURVEY.md §3.4). Here it is a first-class subsystem:
+
+- ChunkedExtractor: fixed-shape jitted step that turns each new audio chunk
+  into hashprints, carrying a (context_w + delta_lag - 1)-frame halo so
+  chunked extraction is BIT-IDENTICAL to whole-track extraction (the
+  sequence-parallel analog of SURVEY.md §2.2: time-axis chunking with halo
+  overlap). One compile, any stream length.
+- StreamingSession: ring of recent prints as the sliding query, continuous
+  match against a FingerprintDB (dense) or ShardedDB (mesh), per-step
+  latency tracking for the p50/p99 harness.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HpfwConfig
+from ..match import matcher
+from ..ops import fingerprint as fp_ops
+from ..ops import frontend
+
+
+class ChunkedExtractor:
+    """Bit-identical chunked hashprint extraction with halo overlap.
+
+    Emits `chunk_prints` hashprints per step. A step consumes the PCM
+    window covering CQT frames [t, t + chunk_prints + halo) where
+    halo = context_w + delta_lag - 1; consecutive windows overlap by
+    halo frames worth of samples plus (frame_len - hop).
+    """
+
+    def __init__(self, filters: np.ndarray, cfg: HpfwConfig, chunk_prints: int = 32):
+        self.cfg = cfg
+        self.chunk_prints = chunk_prints
+        self.halo_frames = cfg.context_w + cfg.delta_lag - 1
+        self.frames_per_step = chunk_prints + self.halo_frames
+        # PCM samples needed to produce frames_per_step frames:
+        self.window_samples = cfg.frame_len + (self.frames_per_step - 1) * cfg.hop
+        # New samples consumed per step:
+        self.step_samples = chunk_prints * cfg.hop
+        self._filters = jnp.asarray(filters, dtype=jnp.float32)
+
+        def step(pcm_window, filters):
+            spec = frontend.cqt(pcm_window, cfg)
+            return fp_ops.fingerprint_from_spec(spec, filters, cfg)
+
+        self._step = jax.jit(step)
+        self._buf = np.zeros(0, dtype=np.float32)
+        self._primed = False
+
+    def feed(self, pcm: np.ndarray) -> np.ndarray:
+        """Append audio; return newly available hashprints (k*chunk, 2)."""
+        pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, pcm])
+        out = []
+        while self._buf.shape[0] >= self.window_samples:
+            window = self._buf[: self.window_samples]
+            prints = np.asarray(self._step(jnp.asarray(window), self._filters))
+            out.append(prints[: self.chunk_prints])
+            self._buf = self._buf[self.step_samples:]
+        if out:
+            return np.concatenate(out, axis=0)
+        return np.zeros((0, 2), dtype=np.uint32)
+
+
+class StreamingSession:
+    """Continuous live-song ID over an audio stream.
+
+    feed() audio in arbitrary-size chunks; after each print-chunk boundary
+    the sliding query (last `query_prints` hashprints) is matched against
+    the database and the running best hypothesis updates. match latency and
+    end-to-end step latency are recorded for p50/p99 reporting.
+    """
+
+    def __init__(self, db, filters: np.ndarray, cfg: HpfwConfig | None = None,
+                 *, query_prints: int = 128, chunk_prints: int = 32,
+                 match_every: int = 1):
+        self.db = db                      # FingerprintDB or ShardedDB
+        self.cfg = cfg if cfg is not None else getattr(db, "cfg", None) or db.db.cfg
+        self.extractor = ChunkedExtractor(filters, self.cfg, chunk_prints)
+        self.query_prints = query_prints
+        self.match_every = match_every
+        self._ring: deque = deque(maxlen=query_prints)
+        self._chunks_seen = 0
+        self.match_latencies_ms: list[float] = []
+        self.step_latencies_ms: list[float] = []
+        self.current_best: tuple[str, int, int] | None = None  # (id, score, offset)
+
+    def _match_window(self):
+        q = np.array(self._ring, dtype=np.uint32)
+        t0 = time.perf_counter()
+        if hasattr(self.db, "mesh"):  # ShardedDB
+            ids, scores, offs = self.db.match(q, top_k=1)
+        else:
+            from .. import api
+
+            ids, scores, offs = api.match(q, self.db, top_k=1)
+        self.match_latencies_ms.append((time.perf_counter() - t0) * 1e3)
+        if len(ids):
+            self.current_best = (ids[0], int(scores[0]), int(offs[0]))
+
+    def feed(self, pcm: np.ndarray):
+        """Stream in audio; returns the current best (id, score, offset) or None."""
+        t0 = time.perf_counter()
+        new_prints = self.extractor.feed(pcm)
+        if new_prints.shape[0]:
+            for p in new_prints:
+                self._ring.append(p)
+            n_chunks = new_prints.shape[0] // self.extractor.chunk_prints
+            for _ in range(max(n_chunks, 1)):
+                self._chunks_seen += 1
+                if (len(self._ring) == self.query_prints
+                        and self._chunks_seen % self.match_every == 0):
+                    self._match_window()
+                    break  # one match per feed call is enough
+        self.step_latencies_ms.append((time.perf_counter() - t0) * 1e3)
+        return self.current_best
+
+    def latency_stats(self) -> dict:
+        def pct(xs, p):
+            return float(np.percentile(xs, p)) if xs else float("nan")
+
+        return {
+            "match_p50_ms": pct(self.match_latencies_ms, 50),
+            "match_p99_ms": pct(self.match_latencies_ms, 99),
+            "step_p50_ms": pct(self.step_latencies_ms, 50),
+            "step_p99_ms": pct(self.step_latencies_ms, 99),
+            "n_matches": len(self.match_latencies_ms),
+        }
+
+
+def extract_chunked(pcm: np.ndarray, filters: np.ndarray, cfg: HpfwConfig,
+                    *, chunk_prints: int = 256) -> np.ndarray:
+    """Whole-track extraction via the chunked path (unbounded length).
+
+    Bit-identical to api.fingerprint(pcm) — property-tested (§4.3) — but
+    compiles one fixed-shape step regardless of track length.
+    """
+    ex = ChunkedExtractor(filters, cfg, chunk_prints)
+    total = cfg.n_hashprints(np.asarray(pcm).shape[0])
+    if total <= 0:
+        return np.zeros((0, 2), dtype=np.uint32)
+    # Pad the tail so the final partial chunk still fills a full window.
+    pad = ex.window_samples
+    prints = ex.feed(np.concatenate([np.asarray(pcm, np.float32), np.zeros(pad, np.float32)]))
+    return prints[:total]

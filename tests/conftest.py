@@ -11,12 +11,25 @@ This must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's sitecustomize registers (and initializes) the axon TPU
+# backend at interpreter startup, before conftest runs — env vars alone are
+# too late. Force the platform back to an 8-device CPU sim and drop the
+# already-initialized backends so the next jax.devices() rebuilds on CPU.
+import jax
+
+if jax.default_backend() != "cpu" or len(jax.devices()) != 8:
+    jax.config.update("jax_platforms", "cpu")
+    import jax.extend as jex
+
+    jex.backend.clear_backends()
+assert jax.default_backend() == "cpu" and len(jax.devices()) == 8
 
 import numpy as np
 import pytest

@@ -1,0 +1,60 @@
+"""Streaming / chunked-extraction tests (SURVEY.md §4.3 halo property)."""
+
+import numpy as np
+
+from hpfw_tpu import api, oracle
+from hpfw_tpu.io import synth
+from hpfw_tpu.streaming.session import ChunkedExtractor, StreamingSession, extract_chunked
+
+
+def _filters(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    f = rng.standard_normal((cfg.context_dim, cfg.n_filters)) / np.sqrt(cfg.context_dim)
+    return oracle.fix_eigenvector_signs(f).astype(np.float32)
+
+
+def test_chunked_extraction_bit_identical(cfg):
+    """Chunked (halo) extraction == whole-track extraction, bit for bit."""
+    pcm = synth.synth_track(21, 4.0, cfg)
+    filters = _filters(cfg)
+    whole = api.fingerprint(pcm, filters, cfg)
+    for chunk in [8, 32, 57]:
+        chunked = extract_chunked(pcm, filters, cfg, chunk_prints=chunk)
+        np.testing.assert_array_equal(chunked, whole, err_msg=f"chunk={chunk}")
+
+
+def test_chunked_extractor_incremental_feed(cfg):
+    """Feeding the stream in odd-sized pieces yields the same prints."""
+    pcm = synth.synth_track(22, 3.0, cfg)
+    filters = _filters(cfg)
+    whole = api.fingerprint(pcm, filters, cfg)
+    ex = ChunkedExtractor(filters, cfg, chunk_prints=16)
+    got = []
+    rng = np.random.default_rng(0)
+    pos = 0
+    while pos < len(pcm):
+        n = int(rng.integers(100, 5000))
+        got.append(ex.feed(pcm[pos:pos + n]))
+        pos += n
+    got = np.concatenate(got, axis=0)
+    n = min(got.shape[0], whole.shape[0])
+    assert n > 0
+    np.testing.assert_array_equal(got[:n], whole[:n])
+
+
+def test_streaming_session_identifies_track(cfg):
+    tracks = synth.synth_catalog(6, 5.0, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    sess = StreamingSession(db, filters, cfg, query_prints=64, chunk_prints=16)
+    # stream a noisy performance of track 4, in ~0.25 s chunks
+    live = synth.make_query(tracks[4], 0.5, 4.0, cfg, noise_db=-15.0, seed=7)
+    best = None
+    step = cfg.sample_rate // 4
+    for pos in range(0, len(live), step):
+        best = sess.feed(live[pos:pos + step])
+    assert best is not None
+    assert best[0] == "4"
+    stats = sess.latency_stats()
+    assert stats["n_matches"] > 0
+    assert np.isfinite(stats["match_p50_ms"])
