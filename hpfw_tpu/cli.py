@@ -1,0 +1,202 @@
+"""Command-line interface — the rebuild of the reference's example drivers
+(SURVEY.md §2.1 row 9: build-DB and identify-query binaries).
+
+    python -m hpfw_tpu.cli demo                    # end-to-end on synth audio
+    python -m hpfw_tpu.cli learn SONGS... -o filters.npz
+    python -m hpfw_tpu.cli build-db SONGS... --filters filters.npz -o db.npz
+    python -m hpfw_tpu.cli fingerprint SONG.wav --filters filters.npz
+    python -m hpfw_tpu.cli match QUERY.wav --db db.npz [--top-k 5] [--scaled]
+    python -m hpfw_tpu.cli selfcheck               # oracle-vs-device parity
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_filters(path):
+    z = np.load(path)
+    return z["filters"]
+
+
+def cmd_demo(args):
+    from . import api
+    from .config import HpfwConfig
+    from .io import synth
+
+    cfg = HpfwConfig() if not args.small else HpfwConfig(
+        frame_len=2048, fmin=380.0, n_bins=73, hop=256, context_w=8, delta_lag=4)
+    print(f"synthesizing {args.tracks} tracks x {args.seconds}s ...")
+    catalog = {f"track{i:02d}": t
+               for i, t in enumerate(synth.synth_catalog(args.tracks, args.seconds, cfg))}
+    print("learning filters ...")
+    filters = api.learn_filters(list(catalog.values())[: max(3, args.tracks // 4)], cfg)
+    print("building database ...")
+    db = api.build_db(catalog, filters, cfg)
+    true_id = f"track{args.tracks - 2:02d}"
+    q = synth.make_query(catalog[true_id], 1.0, min(5.0, args.seconds / 2), cfg,
+                         noise_db=-12.0, seed=1)
+    t0 = time.time()
+    ids, scores, offs = api.match(api.fingerprint(q, filters, cfg), db, top_k=3)
+    dt = (time.time() - t0) * 1e3
+    print(f"query: noisy excerpt of {true_id}")
+    for i, (tid, s, o) in enumerate(zip(ids, scores, offs)):
+        print(f"  #{i + 1} {tid}  score={int(s)}  offset={int(o)}")
+    print(f"match time: {dt:.1f} ms   ({'OK' if ids[0] == true_id else 'MISMATCH'})")
+    return 0 if ids[0] == true_id else 1
+
+
+def cmd_learn(args):
+    from . import api
+    from .config import HpfwConfig
+    from .io.wav import load_wav
+
+    cfg = HpfwConfig.from_json(open(args.config).read()) if args.config else HpfwConfig()
+    corpus = []
+    for p in args.audio:
+        pcm, _ = load_wav(p, cfg)
+        corpus.append(pcm)
+        print(f"  loaded {p}: {len(pcm) / cfg.sample_rate:.1f}s")
+    filters = api.learn_filters(corpus, cfg)
+    np.savez_compressed(args.output, filters=filters,
+                        config_json=np.frombuffer(cfg.to_json().encode(), np.uint8))
+    print(f"wrote {args.output}: filters {filters.shape}")
+    return 0
+
+
+def cmd_build_db(args):
+    from . import api
+    from .config import HpfwConfig
+    from .io.wav import load_wav
+
+    cfg = HpfwConfig.from_json(open(args.config).read()) if args.config else HpfwConfig()
+    filters = _load_filters(args.filters)
+    catalog = {}
+    for p in args.audio:
+        pcm, _ = load_wav(p, cfg)
+        catalog[p] = pcm
+    db = api.build_db(catalog, filters, cfg)
+    db.save(args.output)
+    print(f"wrote {args.output}: {db.n_tracks} tracks, "
+          f"{int(db.lengths.sum())} hashprints")
+    return 0
+
+
+def cmd_fingerprint(args):
+    from . import api, oracle
+    from .config import HpfwConfig
+    from .io.wav import load_wav
+
+    cfg = HpfwConfig.from_json(open(args.config).read()) if args.config else HpfwConfig()
+    filters = _load_filters(args.filters)
+    pcm, _ = load_wav(args.audio, cfg)
+    fp = api.fingerprint(pcm, filters, cfg)
+    if args.output:
+        np.savez_compressed(args.output, prints=fp)
+        print(f"wrote {args.output}: {fp.shape[0]} hashprints")
+    else:
+        for h in oracle.packed_to_uint64(fp)[: args.head]:
+            print(f"{h:016x}")
+        if fp.shape[0] > args.head:
+            print(f"... ({fp.shape[0]} hashprints total)")
+    return 0
+
+
+def cmd_match(args):
+    from . import api
+    from .io.wav import load_wav
+
+    db = api.FingerprintDB.load(args.db)
+    pcm, _ = load_wav(args.query, db.cfg)
+    qfp = api.fingerprint(pcm, db.filters, db.cfg)
+    t0 = time.time()
+    if args.scaled:
+        from .match.scaled import TwoStageDB
+
+        ids, scores, offs = TwoStageDB(db).match(qfp, top_k=args.top_k)
+    else:
+        ids, scores, offs = api.match(qfp, db, top_k=args.top_k)
+    dt = (time.time() - t0) * 1e3
+    fps = db.cfg.frames_per_second
+    for i, (tid, s, o) in enumerate(zip(ids, scores, offs)):
+        rel = int(s) / max(64 * qfp.shape[0], 1)
+        print(f"#{i + 1} {tid}  score={int(s)} ({rel:.0%})  "
+              f"offset={int(o)} ({int(o) / fps:.2f}s)")
+    print(f"[{dt:.1f} ms, {db.n_tracks} tracks]")
+    return 0
+
+
+def cmd_selfcheck(args):
+    from . import api, oracle
+    from .config import HpfwConfig
+    from .io import synth
+
+    cfg = HpfwConfig(frame_len=2048, fmin=380.0, n_bins=73, hop=256,
+                     context_w=8, delta_lag=4)
+    rng = np.random.default_rng(0)
+    filters = oracle.fix_eigenvector_signs(
+        rng.standard_normal((cfg.context_dim, 64)) / 50).astype(np.float32)
+    pcm = synth.synth_track(7, 3.0, cfg)
+    got = api.fingerprint(pcm, filters, cfg)
+    want = oracle.fingerprint(pcm, filters, cfg)
+    nbits = int(np.bitwise_count(np.bitwise_xor(got, want).astype(np.uint64)).sum())
+    total = got.size * 32
+    print(json.dumps({"differing_bits": nbits, "total_bits": total,
+                      "backend": __import__("jax").default_backend()}))
+    return 0 if nbits <= total * 1e-4 else 1
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="hpfw_tpu", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demo", help="end-to-end demo on synthetic audio")
+    d.add_argument("--tracks", type=int, default=10)
+    d.add_argument("--seconds", type=float, default=8.0)
+    d.add_argument("--small", action="store_true", help="small/fast config")
+    d.set_defaults(fn=cmd_demo)
+
+    l = sub.add_parser("learn", help="learn projection filters from audio")
+    l.add_argument("audio", nargs="+")
+    l.add_argument("-o", "--output", required=True)
+    l.add_argument("--config")
+    l.set_defaults(fn=cmd_learn)
+
+    b = sub.add_parser("build-db", help="fingerprint a catalog into a database")
+    b.add_argument("audio", nargs="+")
+    b.add_argument("--filters", required=True)
+    b.add_argument("-o", "--output", required=True)
+    b.add_argument("--config")
+    b.set_defaults(fn=cmd_build_db)
+
+    f = sub.add_parser("fingerprint", help="audio -> 64-bit hashprints")
+    f.add_argument("audio")
+    f.add_argument("--filters", required=True)
+    f.add_argument("--config")
+    f.add_argument("-o", "--output")
+    f.add_argument("--head", type=int, default=16)
+    f.set_defaults(fn=cmd_fingerprint)
+
+    m = sub.add_parser("match", help="identify a query against a database")
+    m.add_argument("query")
+    m.add_argument("--db", required=True)
+    m.add_argument("--top-k", type=int, default=5)
+    m.add_argument("--scaled", action="store_true",
+                   help="two-stage coarse->fine matcher")
+    m.set_defaults(fn=cmd_match)
+
+    s = sub.add_parser("selfcheck", help="oracle-vs-device bit parity")
+    s.set_defaults(fn=cmd_selfcheck)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

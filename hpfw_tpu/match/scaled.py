@@ -1,0 +1,178 @@
+"""Two-stage coarse->fine matcher for catalog-scale databases (1M tracks).
+
+Stage 1 (coarse, MXU): majority-vote coarse prints (ops/coarse.py) for every
+track are scanned against the coarse query with one int8 +/-1 correlation
+GEMM — all tracks, all coarse offsets, exact int32 arithmetic. Cost shrinks
+by stride^2 vs the full scan and runs at matrix-unit speed.
+
+Stage 2 (fine, exact): the top `pool` tracks by coarse peak are rescanned
+with the exact XOR+popcount scoring, restricted to a +/-fine_window offset
+band around each coarse peak. Scores returned are EXACT Hamming similarities
+(identical semantics to match/matcher.py on the evaluated offsets).
+
+The two-stage result is exact-on-pool: if the coarse stage ranks the true
+track into the pool (measured by the robustness eval, BASELINE config 5),
+its reported score/offset equals the exhaustive scan's. ShardedTwoStage runs
+the same code per mesh shard with an all-gather candidate merge, so a
+1M-track catalog splits into per-chip shards scanned in parallel
+(SURVEY.md §3.3 rebuild).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import coarse as coarse_ops
+from ..parallel.mesh import DB_AXIS, pad_tracks_to_mesh
+
+
+def _fine_rescan(query, cand_prints, cand_lengths, o_centers, *, fine_window):
+    """Exact masked scores for offsets o_centers-fw .. o_centers+fw.
+
+    query (N, 2) uint32; cand_prints (K, L, 2); o_centers (K,) int32.
+    Returns (scores (K,), offsets (K,)) — best exact score in the band,
+    first offset on ties.
+    """
+    k, l, _ = cand_prints.shape
+    n = query.shape[0]
+    fw = fine_window
+    span = 2 * fw + n
+    o_lo = jnp.clip(o_centers - fw, 0, jnp.maximum(l - span, 0))
+
+    def one(prints_row, length, lo):
+        win = jax.lax.dynamic_slice_in_dim(prints_row, lo, span, axis=0)
+        idx = jnp.arange(2 * fw + 1, dtype=jnp.int32)[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]
+        wins = win[idx]                                    # (2fw+1, N, 2)
+        x = jnp.bitwise_xor(wins, query[None])
+        sim = 64 - jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+        pos = lo + idx
+        sim = jnp.where(pos < length, sim, 0)
+        score = jnp.sum(sim, axis=-1)                      # (2fw+1,)
+        o = lo + jnp.arange(2 * fw + 1, dtype=jnp.int32)
+        valid = o <= jnp.maximum(length - n, 0)
+        score = jnp.where(valid, score, -1)
+        best = jnp.max(score)
+        first = jnp.min(jnp.where(score == best, o, jnp.int32(2 ** 30)))
+        return best, first
+
+    return jax.vmap(one)(cand_prints, cand_lengths, o_lo)
+
+
+def _two_stage_local(query, query_c, prints, lengths, db_c,
+                     *, stride, pool, fine_window):
+    """One shard's coarse scan + fine rescan. Returns (scores, idx, offsets)."""
+    t = prints.shape[0]
+    corr = coarse_ops.coarse_correlation(query_c, db_c)     # (T, Ac) int32
+    best_corr = jnp.max(corr, axis=1)
+    best_a = jnp.argmax(corr, axis=1).astype(jnp.int32)
+    k = min(pool, t)
+    _, cand = jax.lax.top_k(best_corr, k)
+    cand = cand.astype(jnp.int32)
+    scores, offsets = _fine_rescan(
+        query,
+        prints[cand],
+        lengths[cand],
+        best_a[cand] * stride,
+        fine_window=fine_window,
+    )
+    return scores, cand, offsets
+
+
+class TwoStageDB:
+    """Catalog-scale database: packed prints + int8 coarse prints on device.
+
+    mesh=None keeps everything on the default device; with a mesh, both
+    arrays shard over tracks and matching runs per shard with an all-gather
+    candidate merge.
+    """
+
+    def __init__(self, db, *, stride: int | None = None, mesh: Mesh | None = None):
+        self.db = db
+        cfg = db.cfg
+        self.stride = stride if stride is not None else cfg.db_downsample
+        self.mesh = mesh
+        prints = db.prints
+        lengths = db.lengths
+        t = prints.shape[0]
+        if mesh is not None:
+            t_pad = pad_tracks_to_mesh(t, mesh)
+            if t_pad != t:
+                prints = np.concatenate(
+                    [prints, np.zeros((t_pad - t,) + prints.shape[1:], prints.dtype)])
+                lengths = np.concatenate([lengths, np.zeros(t_pad - t, lengths.dtype)])
+        # Coarse prints are derived on device once at load time.
+        coarse = jax.jit(
+            functools.partial(coarse_ops.coarse_pm1, stride=self.stride)
+        )(jnp.asarray(prints))
+        # Zero out padded coarse windows (majority of all-zero packed prints
+        # is -1, which would correlate; real scan masks via zeroing).
+        lc = coarse.shape[1]
+        mask = (jnp.arange(lc)[None, :] < (jnp.asarray(lengths) // self.stride)[:, None])
+        coarse = jnp.where(mask[..., None], coarse, 0).astype(jnp.int8)
+        if mesh is not None:
+            shard = NamedSharding(mesh, P(DB_AXIS))
+            self.prints = jax.device_put(jnp.asarray(prints), shard)
+            self.lengths = jax.device_put(jnp.asarray(lengths), shard)
+            self.db_c = jax.device_put(coarse, shard)
+        else:
+            self.prints = jnp.asarray(prints)
+            self.lengths = jnp.asarray(lengths)
+            self.db_c = coarse
+        self.n_real = t
+
+    def match(self, query_prints: np.ndarray, *, top_k: int | None = None,
+              pool: int | None = None, fine_window: int | None = None):
+        cfg = self.db.cfg
+        top_k = top_k if top_k is not None else cfg.top_k
+        pool = pool if pool is not None else cfg.fine_candidates
+        fw = fine_window if fine_window is not None else self.stride
+        q = jnp.asarray(np.asarray(query_prints, dtype=np.uint32))
+        qc = coarse_ops.coarse_pm1(q, self.stride)
+        if self.mesh is None:
+            scores, idx, offs = _two_stage_jit(
+                q, qc, self.prints, self.lengths, self.db_c,
+                stride=self.stride, pool=pool, fine_window=fw)
+        else:
+            scores, idx, offs = _two_stage_sharded(
+                q, qc, self.prints, self.lengths, self.db_c,
+                mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw)
+        scores, idx, offs = np.asarray(scores), np.asarray(idx), np.asarray(offs)
+        real = idx < self.n_real
+        scores, idx, offs = scores[real], idx[real], offs[real]
+        order = np.lexsort((idx, -scores))[:top_k]
+        ids = [self.db.track_ids[i] for i in idx[order]]
+        return ids, scores[order], offs[order]
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "pool", "fine_window"))
+def _two_stage_jit(query, query_c, prints, lengths, db_c,
+                   *, stride, pool, fine_window):
+    return _two_stage_local(query, query_c, prints, lengths, db_c,
+                            stride=stride, pool=pool, fine_window=fine_window)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "stride", "pool", "fine_window")
+)
+def _two_stage_sharded(query, query_c, prints, lengths, db_c,
+                       *, mesh, stride, pool, fine_window):
+    def shard_fn(q, qc, p, ln, dc):
+        s, i, o = _two_stage_local(q, qc, p, ln, dc, stride=stride,
+                                   pool=pool, fine_window=fine_window)
+        shard = jax.lax.axis_index(DB_AXIS).astype(jnp.int32)
+        gi = shard * p.shape[0] + i
+        return (jax.lax.all_gather(s, DB_AXIS, tiled=True),
+                jax.lax.all_gather(gi, DB_AXIS, tiled=True),
+                jax.lax.all_gather(o, DB_AXIS, tiled=True))
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(query, query_c, prints, lengths, db_c)

@@ -1,0 +1,78 @@
+"""Coarse fingerprint derivation for the two-stage 1M-track matcher.
+
+A full-resolution linear scan of a million tracks is bandwidth-impossible
+(~80 GB of packed prints per pass; SURVEY.md §6 flags the memory/cost wall),
+so matching runs in two stages (SURVEY.md §7.4.4):
+
+  coarse: a temporally smoothed, stride-s summary print per s frames,
+          scanned for ALL tracks as an int8 +/-1 correlation GEMM on the MXU;
+  fine:   the exact XOR+popcount scan, restricted to the top candidates in
+          a +/-s offset window around each coarse peak.
+
+The coarse print is a per-bit MAJORITY VOTE over s consecutive full-res
+prints. Unlike plain decimation (which collapses when query/DB strides are
+out of phase), majority windows overlap a misaligned query window by
+(s-r)/s, so coarse correlation degrades gracefully with phase error r —
+the coarse stage only has to put the true track into the candidate pool;
+exactness comes from the fine stage.
+
+Derived purely from packed prints, so databases need no extra pipeline
+output and streaming queries can build them on the fly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def unpack_bits_pm1(packed: jnp.ndarray, dtype=jnp.int8) -> jnp.ndarray:
+    """(..., 2) uint32 packed prints -> (..., 64) +/-1 (lsb0 bit order)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (packed[..., :, None] >> shifts) & jnp.uint32(1)   # (..., 2, 32)
+    bits = bits.reshape(*packed.shape[:-1], 64)
+    return (bits.astype(jnp.int32) * 2 - 1).astype(dtype)
+
+
+def coarse_pm1(packed: jnp.ndarray, stride: int, *, dtype=jnp.int8) -> jnp.ndarray:
+    """Majority-vote coarse prints as +/-1 vectors.
+
+    packed: (L, 2) or (T, L, 2) uint32. Returns (Lc, 64) or (T, Lc, 64)
+    with Lc = L // stride (tail prints beyond the last full window drop).
+    Majority of s +/-1 bits = sign of their sum; ties (even s) break to -1
+    (sum == 0 -> -1), fixed and identical everywhere.
+    """
+    squeeze = packed.ndim == 2
+    if squeeze:
+        packed = packed[None]
+    t, l, _ = packed.shape
+    lc = l // stride
+    pm1 = unpack_bits_pm1(packed[:, : lc * stride], jnp.int32)
+    sums = pm1.reshape(t, lc, stride, 64).sum(axis=2)
+    out = jnp.where(sums > 0, 1, -1).astype(dtype)
+    return out[0] if squeeze else out
+
+
+def coarse_lengths(lengths: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Full-res lengths -> number of complete coarse windows per track."""
+    return lengths // stride
+
+
+def coarse_correlation(
+    query_c: jnp.ndarray,   # (Nc, 64) int8 +/-1
+    db_c: jnp.ndarray,      # (T, Lc, 64) int8 +/-1 (zero where padded)
+) -> jnp.ndarray:
+    """corr(t, a) = sum_j q(j) . d(t, a+j) for every coarse offset a.
+
+    One VALID conv over the coarse time axis -> the MXU does all tracks and
+    offsets as one batched GEMM; int8 x int8 -> int32 is exact. Padded coarse
+    positions are 0 and contribute nothing. Output (T, Lc - Nc + 1) int32.
+    """
+    return jax.lax.conv_general_dilated(
+        db_c,
+        query_c[:, :, None],
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.int32,
+    )[..., 0]

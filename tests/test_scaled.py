@@ -1,0 +1,97 @@
+"""Two-stage coarse->fine matcher tests (single device + 8-device mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hpfw_tpu import api, oracle
+from hpfw_tpu.io import synth
+from hpfw_tpu.match.scaled import TwoStageDB
+from hpfw_tpu.ops import coarse as coarse_ops
+from hpfw_tpu.parallel import mesh as meshlib
+
+
+def _filters(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    f = rng.standard_normal((cfg.context_dim, cfg.n_filters)) / np.sqrt(cfg.context_dim)
+    return oracle.fix_eigenvector_signs(f).astype(np.float32)
+
+
+def test_unpack_pm1_roundtrip(cfg):
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, (30, 64)).astype(bool)
+    packed = oracle.pack_bits(bits, cfg)
+    pm1 = np.asarray(coarse_ops.unpack_bits_pm1(jnp.asarray(packed)))
+    np.testing.assert_array_equal(pm1 == 1, bits)
+
+
+def test_coarse_majority_definition(cfg):
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, (40, 64)).astype(bool)
+    packed = oracle.pack_bits(bits, cfg)
+    s = 4
+    c = np.asarray(coarse_ops.coarse_pm1(jnp.asarray(packed), s))
+    assert c.shape == (10, 64)
+    pm1 = bits.astype(np.int32) * 2 - 1
+    want = np.where(pm1.reshape(10, s, 64).sum(1) > 0, 1, -1)
+    np.testing.assert_array_equal(c, want)
+
+
+def test_coarse_correlation_exact(cfg):
+    rng = np.random.default_rng(2)
+    q = rng.choice([-1, 1], (6, 64)).astype(np.int8)
+    d = rng.choice([-1, 1], (3, 20, 64)).astype(np.int8)
+    corr = np.asarray(coarse_ops.coarse_correlation(jnp.asarray(q), jnp.asarray(d)))
+    assert corr.shape == (3, 15)
+    for t in range(3):
+        for a in range(15):
+            want = int((q.astype(np.int32) * d[t, a:a + 6].astype(np.int32)).sum())
+            assert corr[t, a] == want
+
+
+def test_two_stage_agrees_with_exhaustive(cfg):
+    """On the pool it returns, two-stage scores/offsets are exact."""
+    tracks = synth.synth_catalog(24, 4.0, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    ts = TwoStageDB(db, stride=4)
+    q = synth.make_query(tracks[13], 0.9, 2.0, cfg, noise_db=-18.0, seed=5)
+    qfp = api.fingerprint(q, filters, cfg)
+    ids, scores, offs = ts.match(qfp, top_k=5, pool=24)
+    ids_d, scores_d, offs_d = api.match(qfp, db, top_k=5)
+    assert ids[0] == ids_d[0] == "13"
+    assert int(scores[0]) == int(scores_d[0])
+    assert int(offs[0]) == int(offs_d[0])
+
+
+def test_two_stage_sharded_equals_single(cfg):
+    assert len(jax.devices()) == 8
+    mesh = meshlib.db_mesh(8)
+    tracks = synth.synth_catalog(19, 4.0, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    single = TwoStageDB(db, stride=4)
+    sharded = TwoStageDB(db, stride=4, mesh=mesh)
+    q = synth.make_query(tracks[7], 1.1, 2.0, cfg, noise_db=-15.0, seed=3)
+    qfp = api.fingerprint(q, filters, cfg)
+    ids_1, s_1, o_1 = single.match(qfp, top_k=3, pool=19)
+    ids_8, s_8, o_8 = sharded.match(qfp, top_k=3, pool=3)
+    assert ids_1[0] == ids_8[0] == "7"
+    assert int(s_1[0]) == int(s_8[0])
+    assert int(o_1[0]) == int(o_8[0])
+
+
+def test_two_stage_exact_excerpt_perfect_score(cfg):
+    tracks = synth.synth_catalog(10, 4.0, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    ts = TwoStageDB(db, stride=4)
+    k = 11
+    q_pcm = tracks[6][k * cfg.hop: k * cfg.hop + 2 * cfg.sample_rate]
+    qfp = api.fingerprint(q_pcm, filters, cfg)
+    ids, scores, offs = ts.match(qfp, top_k=1, pool=10)
+    assert ids[0] == "6"
+    assert int(scores[0]) == 64 * qfp.shape[0]
+    assert int(offs[0]) == k
