@@ -1,0 +1,123 @@
+"""ctypes bindings for the C++ native runtime (native/hpfw_native.cc).
+
+Builds lazily with `make` on first use if the shared library is missing;
+every entry point has a pure-NumPy twin (io/wav.py, oracle.match) and tests
+assert bit-identical results (tests/test_native.py). If the toolchain is
+unavailable the package silently falls back to the NumPy paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libhpfw_native.so"))
+_lib = None
+_tried = False
+
+
+def load_library():
+    """Return the loaded library or None (builds it on first call)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(["make", "-s"], cwd=os.path.abspath(_NATIVE_DIR),
+                           check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.hpfw_wav_decode.restype = ctypes.c_int
+        lib.hpfw_wav_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+        lib.hpfw_resample_len.restype = ctypes.c_int64
+        lib.hpfw_resample_len.argtypes = [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+        lib.hpfw_resample_linear.restype = None
+        lib.hpfw_resample_linear.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.hpfw_match_db.restype = None
+        lib.hpfw_match_db.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def _fptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (mono float32 PCM, sample_rate) via the C++ decoder."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = ctypes.c_int64(0)
+    rate = ctypes.c_int32(0)
+    rc = lib.hpfw_wav_decode(data, len(data), None, ctypes.byref(n), ctypes.byref(rate))
+    if rc != 0:
+        raise ValueError(f"native wav decode failed (code {rc})")
+    out = np.empty(n.value, dtype=np.float32)
+    rc = lib.hpfw_wav_decode(data, len(data), _fptr(out, ctypes.c_float),
+                             ctypes.byref(n), ctypes.byref(rate))
+    if rc != 0:
+        raise ValueError(f"native wav decode failed (code {rc})")
+    return out, int(rate.value)
+
+
+def resample_linear(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if sr_in == sr_out:
+        return np.asarray(pcm, dtype=np.float32)
+    x = np.ascontiguousarray(pcm, dtype=np.float32)
+    n_out = lib.hpfw_resample_len(x.shape[0], sr_in, sr_out)
+    out = np.empty(n_out, dtype=np.float32)
+    lib.hpfw_resample_linear(_fptr(x, ctypes.c_float), x.shape[0], sr_in,
+                             sr_out, _fptr(out, ctypes.c_float), n_out)
+    return out
+
+
+def match_db(query_packed: np.ndarray, tracks: list[np.ndarray],
+             n_threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Threaded CPU Hamming scan. Inputs are (N, 2)-uint32 packed prints.
+
+    Returns per-track (best_scores, best_offsets), semantics identical to
+    oracle.match_track.
+    """
+    from ..oracle.pipeline import packed_to_uint64
+
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    q = np.ascontiguousarray(packed_to_uint64(query_packed))
+    lengths = np.array([t.shape[0] for t in tracks], dtype=np.int64)
+    max_len = max(int(lengths.max(initial=1)), 1)
+    db = np.zeros((len(tracks), max_len), dtype=np.uint64)
+    for i, t in enumerate(tracks):
+        db[i, : t.shape[0]] = packed_to_uint64(t)
+    scores = np.empty(len(tracks), dtype=np.int64)
+    offsets = np.empty(len(tracks), dtype=np.int64)
+    lib.hpfw_match_db(_fptr(q, ctypes.c_uint64), q.shape[0],
+                      _fptr(db, ctypes.c_uint64), _fptr(lengths, ctypes.c_int64),
+                      len(tracks), max_len,
+                      _fptr(scores, ctypes.c_int64), _fptr(offsets, ctypes.c_int64),
+                      n_threads)
+    return scores, offsets

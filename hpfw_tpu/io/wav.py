@@ -23,11 +23,22 @@ from ..config import HpfwConfig
 def load_wav(path: str, cfg: HpfwConfig | None = None) -> tuple[np.ndarray, int]:
     """Decode a WAV file -> (mono float32 PCM in [-1,1], sample_rate).
 
-    If cfg is given, the PCM is resampled to cfg.sample_rate.
+    Prefers the C++ decoder (native/hpfw_native.cc, bit-identical and
+    threaded-runtime grade); falls back to the pure-NumPy path when the
+    native library is unavailable. If cfg is given, the PCM is resampled to
+    cfg.sample_rate.
     """
     with open(path, "rb") as f:
         data = f.read()
-    pcm, sr = _decode_wav_bytes(data)
+    from . import native
+
+    if native.available():
+        try:
+            pcm, sr = native.decode_wav(data)
+        except ValueError:
+            pcm, sr = _decode_wav_bytes(data)
+    else:
+        pcm, sr = _decode_wav_bytes(data)
     if cfg is not None and sr != cfg.sample_rate:
         pcm = resample_linear(pcm, sr, cfg.sample_rate)
         sr = cfg.sample_rate

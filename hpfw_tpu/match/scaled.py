@@ -83,15 +83,24 @@ def _two_stage_local(query, query_c, prints, lengths, db_c,
     return scores, cand, offsets
 
 
+PLANE_EXTRA = 1024  # pow2 window headroom for the Pallas fine kernel
+
+
 class TwoStageDB:
     """Catalog-scale database: packed prints + int8 coarse prints on device.
 
     mesh=None keeps everything on the default device; with a mesh, both
     arrays shard over tracks and matching runs per shard with an all-gather
     candidate merge.
+
+    On TPU the fine stage runs as a Pallas kernel that DMAs each candidate
+    window straight from HBM (ops/pallas_fine.py) — XLA's row gather is
+    orders of magnitude too slow for this access pattern; elsewhere the XLA
+    twin (_fine_rescan) is used. use_pallas_fine overrides the default.
     """
 
-    def __init__(self, db, *, stride: int | None = None, mesh: Mesh | None = None):
+    def __init__(self, db, *, stride: int | None = None, mesh: Mesh | None = None,
+                 use_pallas_fine: bool | None = None):
         self.db = db
         cfg = db.cfg
         self.stride = stride if stride is not None else cfg.db_downsample
@@ -105,24 +114,49 @@ class TwoStageDB:
                 prints = np.concatenate(
                     [prints, np.zeros((t_pad - t,) + prints.shape[1:], prints.dtype)])
                 lengths = np.concatenate([lengths, np.zeros(t_pad - t, lengths.dtype)])
-        # Coarse prints are derived on device once at load time.
-        coarse = jax.jit(
+        # Coarse prints are derived on device once at load time, in track
+        # chunks: the unpack intermediate is ~256x the packed size, so a
+        # whole-catalog unpack would blow HBM at 100k+ tracks.
+        coarse_fn = jax.jit(
             functools.partial(coarse_ops.coarse_pm1, stride=self.stride)
-        )(jnp.asarray(prints))
+        )
+        prints_dev = jnp.asarray(prints)
+        chunk = max(1, min(t, 134_217_728 // max(prints.shape[1] * 64, 1)))
+        parts = [coarse_fn(prints_dev[i:i + chunk])
+                 for i in range(0, prints.shape[0], chunk)]
+        coarse = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         # Zero out padded coarse windows (majority of all-zero packed prints
         # is -1, which would correlate; real scan masks via zeroing).
         lc = coarse.shape[1]
         mask = (jnp.arange(lc)[None, :] < (jnp.asarray(lengths) // self.stride)[:, None])
         coarse = jnp.where(mask[..., None], coarse, 0).astype(jnp.int8)
+        if use_pallas_fine is None:
+            use_pallas_fine = jax.default_backend() == "tpu" and mesh is None
+        self.use_pallas_fine = use_pallas_fine
         if mesh is not None:
             shard = NamedSharding(mesh, P(DB_AXIS))
-            self.prints = jax.device_put(jnp.asarray(prints), shard)
+            self.prints = jax.device_put(prints_dev, shard)
             self.lengths = jax.device_put(jnp.asarray(lengths), shard)
             self.db_c = jax.device_put(coarse, shard)
         else:
-            self.prints = jnp.asarray(prints)
+            self.prints = prints_dev
             self.lengths = jnp.asarray(lengths)
             self.db_c = coarse
+            if use_pallas_fine:
+                # Flat split word planes (see ops/pallas_fine.py layout
+                # constraints), built on device; they REPLACE the packed
+                # prints there (keeping both would double HBM at scale).
+                from ..ops.pallas_fine import plane_lpad
+
+                tt, l, _ = prints.shape
+                self.lpad = plane_lpad(l)
+                self.d0 = (jnp.zeros((tt, self.lpad), jnp.uint32)
+                           .at[:, :l].set(prints_dev[:, :, 0]).reshape(-1))
+                self.d1 = (jnp.zeros((tt, self.lpad), jnp.uint32)
+                           .at[:, :l].set(prints_dev[:, :, 1]).reshape(-1))
+                self.l_true = l
+                self.prints = None
+                del prints_dev
         self.n_real = t
 
     def match(self, query_prints: np.ndarray, *, top_k: int | None = None,
@@ -132,16 +166,24 @@ class TwoStageDB:
         pool = pool if pool is not None else cfg.fine_candidates
         fw = fine_window if fine_window is not None else self.stride
         q = jnp.asarray(np.asarray(query_prints, dtype=np.uint32))
-        qc = coarse_ops.coarse_pm1(q, self.stride)
-        if self.mesh is None:
-            scores, idx, offs = _two_stage_jit(
-                q, qc, self.prints, self.lengths, self.db_c,
+        # One device dispatch, one host materialization: on a tunneled host
+        # link every extra sync costs a full roundtrip, so the query's coarse
+        # derivation runs inside the same jit and the three result vectors
+        # come back stacked.
+        if self.mesh is None and self.use_pallas_fine:
+            out = _two_stage_pallas_jit(
+                q, self.d0, self.d1, self.lengths, self.db_c,
+                stride=self.stride, pool=pool, fine_window=fw,
+                l_true=self.l_true, lpad=self.lpad)
+        elif self.mesh is None:
+            out = _two_stage_jit(
+                q, self.prints, self.lengths, self.db_c,
                 stride=self.stride, pool=pool, fine_window=fw)
         else:
-            scores, idx, offs = _two_stage_sharded(
-                q, qc, self.prints, self.lengths, self.db_c,
+            out = _two_stage_sharded(
+                q, self.prints, self.lengths, self.db_c,
                 mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw)
-        scores, idx, offs = np.asarray(scores), np.asarray(idx), np.asarray(offs)
+        scores, idx, offs = np.asarray(out)
         real = idx < self.n_real
         scores, idx, offs = scores[real], idx[real], offs[real]
         order = np.lexsort((idx, -scores))[:top_k]
@@ -149,30 +191,58 @@ class TwoStageDB:
         return ids, scores[order], offs[order]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("stride", "pool", "fine_window", "l_true", "lpad")
+)
+def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
+                          *, stride, pool, fine_window, l_true, lpad):
+    """Two-stage match with the Pallas DMA fine kernel (TPU path)."""
+    from ..ops.pallas_fine import pallas_fine_rescan
+
+    query_c = coarse_ops.coarse_pm1(query, stride)
+    corr = coarse_ops.coarse_correlation(query_c, db_c)
+    best_corr = jnp.max(corr, axis=1)
+    best_a = jnp.argmax(corr, axis=1).astype(jnp.int32)
+    t = lengths.shape[0]
+    k = min(-(-pool // 8) * 8, t - t % 8 if t % 8 else t)
+    _, cand = jax.lax.top_k(best_corr, k)
+    cand = cand.astype(jnp.int32)
+    n = query.shape[0]
+    n_fine = 2 * fine_window + 1
+    span = n + n_fine - 1
+    starts = jnp.clip(best_a[cand] * stride - fine_window, 0,
+                      max(l_true - span, 0))
+    s, o = pallas_fine_rescan(query, d0, d1, lengths, cand, starts,
+                              n_fine=n_fine, lpad=lpad)
+    return jnp.stack([s, cand, o])
+
+
 @functools.partial(jax.jit, static_argnames=("stride", "pool", "fine_window"))
-def _two_stage_jit(query, query_c, prints, lengths, db_c,
-                   *, stride, pool, fine_window):
-    return _two_stage_local(query, query_c, prints, lengths, db_c,
-                            stride=stride, pool=pool, fine_window=fine_window)
+def _two_stage_jit(query, prints, lengths, db_c, *, stride, pool, fine_window):
+    query_c = coarse_ops.coarse_pm1(query, stride)
+    s, i, o = _two_stage_local(query, query_c, prints, lengths, db_c,
+                               stride=stride, pool=pool, fine_window=fine_window)
+    return jnp.stack([s, i, o])
 
 
 @functools.partial(
     jax.jit, static_argnames=("mesh", "stride", "pool", "fine_window")
 )
-def _two_stage_sharded(query, query_c, prints, lengths, db_c,
+def _two_stage_sharded(query, prints, lengths, db_c,
                        *, mesh, stride, pool, fine_window):
+    query_c = coarse_ops.coarse_pm1(query, stride)
+
     def shard_fn(q, qc, p, ln, dc):
         s, i, o = _two_stage_local(q, qc, p, ln, dc, stride=stride,
                                    pool=pool, fine_window=fine_window)
         shard = jax.lax.axis_index(DB_AXIS).astype(jnp.int32)
         gi = shard * p.shape[0] + i
-        return (jax.lax.all_gather(s, DB_AXIS, tiled=True),
-                jax.lax.all_gather(gi, DB_AXIS, tiled=True),
-                jax.lax.all_gather(o, DB_AXIS, tiled=True))
+        return jax.lax.all_gather(jnp.stack([s, gi, o]), DB_AXIS, tiled=True,
+                                  axis=1)
 
     return jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS)),
-        out_specs=(P(), P(), P()),
+        out_specs=P(),
         check_vma=False,
     )(query, query_c, prints, lengths, db_c)

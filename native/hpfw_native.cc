@@ -1,0 +1,172 @@
+// hpfw_tpu native runtime: WAV decode, resampling, and a threaded CPU
+// Hamming matcher.
+//
+// The reference library is C++ end to end (SURVEY.md §2.1); in this rebuild
+// the TPU owns the compute path (JAX/XLA/Pallas) and this library owns the
+// host-side runtime the way the reference's native code does:
+//   - audio decode + resample (the data loader feeding the TPU),
+//   - the CPU matcher used by BASELINE config 1 ("match ... on CPU") and as
+//     a host-side fallback, scanning offsets with XOR + POPCNT across a
+//     std::thread pool over tracks (the reference's batch-driver analog,
+//     SURVEY.md §2.1 row 8).
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this environment);
+// every function has a NumPy twin that tests assert bit-identical behavior
+// (tests/test_native.py).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// WAV decode: PCM 8/16/24/32-bit and float32/64, any channel count -> mono
+// float32. Returns 0 on success. On success *out_n / *out_rate are set and
+// the caller passes a buffer of capacity *out_n (two-call protocol: first
+// call with out=nullptr fills sizes only).
+// ---------------------------------------------------------------------------
+int hpfw_wav_decode(const uint8_t* data, int64_t size,
+                    float* out, int64_t* out_n, int32_t* out_rate) {
+  if (size < 12 || memcmp(data, "RIFF", 4) != 0 || memcmp(data + 8, "WAVE", 4) != 0)
+    return -1;
+  int64_t pos = 12;
+  int audio_format = 0, n_ch = 0, bits = 0;
+  int32_t rate = 0;
+  const uint8_t* raw = nullptr;
+  int64_t raw_size = 0;
+  while (pos + 8 <= size) {
+    const uint8_t* cid = data + pos;
+    uint32_t csize;
+    memcpy(&csize, data + pos + 4, 4);
+    const uint8_t* body = data + pos + 8;
+    if (pos + 8 + csize > size) return -2;
+    if (memcmp(cid, "fmt ", 4) == 0 && csize >= 16) {
+      uint16_t fmt16, ch16, bits16;
+      memcpy(&fmt16, body, 2);
+      memcpy(&ch16, body + 2, 2);
+      memcpy(&rate, body + 4, 4);
+      memcpy(&bits16, body + 14, 2);
+      audio_format = fmt16;
+      n_ch = ch16;
+      bits = bits16;
+    } else if (memcmp(cid, "data", 4) == 0) {
+      raw = body;
+      raw_size = csize;
+    }
+    pos += 8 + csize + (csize & 1);
+  }
+  if (!raw || n_ch <= 0 || rate <= 0) return -3;
+
+  int64_t bytes_per = bits / 8;
+  int64_t n_frames_total = raw_size / (bytes_per * n_ch);
+  *out_n = n_frames_total;
+  *out_rate = rate;
+  if (!out) return 0;
+
+  for (int64_t i = 0; i < n_frames_total; ++i) {
+    double acc = 0.0;
+    for (int c = 0; c < n_ch; ++c) {
+      const uint8_t* p = raw + (i * n_ch + c) * bytes_per;
+      double v = 0.0;
+      if (audio_format == 1) {  // integer PCM
+        if (bits == 16) {
+          int16_t s; memcpy(&s, p, 2); v = s / 32768.0;
+        } else if (bits == 32) {
+          int32_t s; memcpy(&s, p, 4); v = s / 2147483648.0;
+        } else if (bits == 24) {
+          int32_t s = (int32_t)(p[0] | (p[1] << 8) | ((int8_t)p[2] << 16));
+          v = s / 8388608.0;
+        } else if (bits == 8) {
+          v = ((int)p[0] - 128) / 128.0;
+        } else return -4;
+      } else if (audio_format == 3) {  // IEEE float
+        if (bits == 32) { float f; memcpy(&f, p, 4); v = f; }
+        else if (bits == 64) { double d; memcpy(&d, p, 8); v = d; }
+        else return -4;
+      } else return -4;
+      acc += v;
+    }
+    out[i] = (float)(acc / n_ch);
+  }
+  return 0;
+}
+
+// Linear resampler — arithmetic identical to io/wav.py resample_linear.
+int64_t hpfw_resample_len(int64_t n_in, int32_t sr_in, int32_t sr_out) {
+  return (int64_t)((double)n_in * sr_out / sr_in);
+}
+
+void hpfw_resample_linear(const float* in, int64_t n_in, int32_t sr_in,
+                          int32_t sr_out, float* out, int64_t n_out) {
+  double step = (double)sr_in / sr_out;
+  for (int64_t i = 0; i < n_out; ++i) {
+    double src = i * step;
+    int64_t i0 = (int64_t)src;
+    if (i0 > n_in - 1) i0 = n_in - 1;
+    int64_t i1 = i0 + 1 < n_in ? i0 + 1 : n_in - 1;
+    float frac = (float)(src - (double)i0);
+    out[i] = (1.0f - frac) * in[i0] + frac * in[i1];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// CPU Hamming matcher. Packed prints as uint64 words (lo|hi<<32 of the
+// uint32 pairs). Semantics identical to oracle.match_track: offsets
+// [0, len-N] for len >= N, else truncated head overlap at offset 0; best
+// score with first-offset tie-break.
+// ---------------------------------------------------------------------------
+static inline int64_t score_at(const uint64_t* q, int64_t nq,
+                               const uint64_t* d) {
+  int64_t pop = 0;
+  for (int64_t n = 0; n < nq; ++n)
+    pop += __builtin_popcountll(q[n] ^ d[n]);
+  return 64 * nq - pop;
+}
+
+void hpfw_match_track(const uint64_t* query, int64_t n_query,
+                      const uint64_t* track, int64_t n_track,
+                      int64_t* best_score, int64_t* best_offset) {
+  if (n_track < n_query) {
+    *best_score = score_at(query, n_track, track);
+    *best_offset = 0;
+    return;
+  }
+  int64_t bs = -1, bo = 0;
+  for (int64_t o = 0; o + n_query <= n_track; ++o) {
+    int64_t s = score_at(query, n_query, track + o);
+    if (s > bs) { bs = s; bo = o; }
+  }
+  *best_score = bs;
+  *best_offset = bo;
+}
+
+// Batch scan: tracks are rows of a padded (n_tracks, max_len) uint64 array
+// with per-track lengths; a thread pool splits tracks (the reference's
+// CPU-parallel catalog driver, rebuilt).
+void hpfw_match_db(const uint64_t* query, int64_t n_query,
+                   const uint64_t* db, const int64_t* lengths,
+                   int64_t n_tracks, int64_t max_len,
+                   int64_t* scores, int64_t* offsets, int32_t n_threads) {
+  if (n_threads <= 0)
+    n_threads = (int32_t)std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t t = next.fetch_add(1);
+      if (t >= n_tracks) return;
+      hpfw_match_track(query, n_query, db + t * max_len, lengths[t],
+                       &scores[t], &offsets[t]);
+    }
+  };
+  std::vector<std::thread> pool;
+  int32_t n = (int32_t)std::min<int64_t>(n_threads, n_tracks);
+  pool.reserve(n);
+  for (int32_t i = 0; i < n; ++i) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"
