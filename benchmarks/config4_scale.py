@@ -73,14 +73,14 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, n_queries=20):
 
     log("warmup/compile...")
     t0 = time.time()
-    ids, scores, offs = ts.match(queries[0], top_k=10, pool=1024)
+    ids, scores, offs = ts.match(queries[0], top_k=10)
     log(f"first query {time.time() - t0:.1f}s -> top1 {ids[0]} (truth {truths[0]})")
 
     lat = []
     hits = 0
     for i in range(n_queries):
         t0 = time.perf_counter()
-        ids, scores, offs = ts.match(queries[i], top_k=10, pool=1024)
+        ids, scores, offs = ts.match(queries[i], top_k=10)
         lat.append((time.perf_counter() - t0) * 1e3)
         if ids[0] == str(truths[i]) and int(offs[0]) == true_offs[i]:
             hits += 1
@@ -106,12 +106,12 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, n_queries=20):
         def dispatch(q):
             return _two_stage_pallas_jit(
                 q, ts.d0, ts.d1, ts.lengths, ts.db_c, stride=ts.stride,
-                pool=1024, fine_window=ts.stride, l_true=ts.l_true,
+                pool=256, fine_window=ts.stride, l_true=ts.l_true,
                 lpad=ts.lpad)
     else:
         def dispatch(q):
             return _two_stage_jit(q, ts.prints, ts.lengths, ts.db_c,
-                                  stride=ts.stride, pool=1024,
+                                  stride=ts.stride, pool=256,
                                   fine_window=ts.stride)
     t0 = time.perf_counter()
     outs = [dispatch(q) for q in qs_dev]

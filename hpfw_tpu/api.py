@@ -111,9 +111,17 @@ def match(
     top_k = top_k if top_k is not None else db.cfg.top_k
     q = jnp.asarray(np.asarray(query_prints, dtype=np.uint32))
     prints, lengths = db.device_arrays()
-    scores, offsets = matcher.score_tracks(q, prints, lengths)
-    order, s, o = matcher.rank(np.asarray(scores), np.asarray(offsets), top_k)
+    # One host materialization (each D2H sync costs a full roundtrip on a
+    # tunneled host link).
+    both = np.asarray(_score_tracks_stacked(q, prints, lengths))
+    order, s, o = matcher.rank(both[0], both[1], top_k)
     return [db.track_ids[i] for i in order], s, o
+
+
+@jax.jit
+def _score_tracks_stacked(q, prints, lengths):
+    scores, offsets = matcher.score_tracks(q, prints, lengths)
+    return jnp.stack([scores, offsets])
 
 
 class FingerprintDB:

@@ -53,7 +53,7 @@ class HpfwConfig:
     # ---- matcher / database ----
     db_downsample: int = 16       # coarse-stage temporal downsample factor
     top_k: int = 10               # ranked candidates returned by match()
-    fine_candidates: int = 64     # coarse->fine rescan pool size
+    fine_candidates: int = 256    # coarse->fine rescan pool size
 
     # ---- derived ----
     @property

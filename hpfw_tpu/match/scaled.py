@@ -205,7 +205,9 @@ def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
     best_a = jnp.argmax(corr, axis=1).astype(jnp.int32)
     t = lengths.shape[0]
     k = min(-(-pool // 8) * 8, t - t % 8 if t % 8 else t)
-    _, cand = jax.lax.top_k(best_corr, k)
+    # approx_max_k uses the TPU's fast approximate top-k; the pool is just a
+    # candidate set so bounded recall (default 0.95 per element) is fine.
+    _, cand = jax.lax.approx_max_k(best_corr.astype(jnp.float32), k)
     cand = cand.astype(jnp.int32)
     n = query.shape[0]
     n_fine = 2 * fine_window + 1

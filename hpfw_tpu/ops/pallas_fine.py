@@ -66,7 +66,15 @@ def _fine_kernel(tracks_ref, starts_ref, lens_ref,      # scalar prefetch (K,)
     for dma in dmas:
         dma.wait()
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ct, WIDTH), 1)
+    # Useful lanes are [base, base + n_fine) with base < SNAP; everything
+    # past SNAP + n_fine is power-of-two padding. Restricting the popcount
+    # arithmetic to `comp` lanes saves ~45% of the VPU work; the rolled
+    # reads stay wraparound-free as long as comp + n_query <= WIDTH (the
+    # caller asserts the window span, which implies this).
+    comp = min(-(-(SNAP + n_fine) // 128) * 128, WIDTH)
+    if comp + n_query > WIDTH:
+        comp = WIDTH
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ct, comp), 1)
     starts = jnp.stack([starts_ref[i * ct + c] for c in range(ct)]).reshape(ct, 1)
     lens = jnp.stack([lens_ref[i * ct + c] for c in range(ct)]).reshape(ct, 1)
     snaps = (starts // SNAP) * SNAP
@@ -78,14 +86,14 @@ def _fine_kernel(tracks_ref, starts_ref, lens_ref,      # scalar prefetch (K,)
     row1 = w1[:].reshape(ct, WIDTH)
 
     def n_step(n, dist):
-        r0 = pltpu.roll(row0, -n, axis=1)
-        r1 = pltpu.roll(row1, -n, axis=1)
+        r0 = pltpu.roll(row0, -n, axis=1)[:, :comp]
+        r1 = pltpu.roll(row1, -n, axis=1)[:, :comp]
         p = (jax.lax.population_count(jnp.bitwise_xor(r0, q0_ref[n]))
              + jax.lax.population_count(jnp.bitwise_xor(r1, q1_ref[n])))
         return dist + jnp.where(n < kcut, p.astype(jnp.int32), 0)
 
     dist = jax.lax.fori_loop(0, n_query, n_step,
-                             jnp.zeros((ct, WIDTH), jnp.int32))
+                             jnp.zeros((ct, comp), jnp.int32))
     sim = 64 * kcut - dist
     valid = ((lane >= base) & (lane < base + n_fine)
              & (o_global <= jnp.maximum(lens - n_query, 0)))
