@@ -28,6 +28,8 @@ def accuracy(db, filters, tracks, cfg, degrade, n_eval, rng):
                              **degrade.get("query_kwargs", {}))
         if "pitch_semitones" in degrade:
             q = synth.pitch_shift(q, degrade["pitch_semitones"], cfg)
+        # fixed query length -> one jit shape across all conditions
+        q = q[: int(7.0 * cfg.sample_rate)]
         qfp = api.fingerprint(q, filters, cfg)
         if qfp.shape[0] == 0:
             continue

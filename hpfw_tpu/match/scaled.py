@@ -83,9 +83,6 @@ def _two_stage_local(query, query_c, prints, lengths, db_c,
     return scores, cand, offsets
 
 
-PLANE_EXTRA = 1024  # pow2 window headroom for the Pallas fine kernel
-
-
 class TwoStageDB:
     """Catalog-scale database: packed prints + int8 coarse prints on device.
 
@@ -189,6 +186,63 @@ class TwoStageDB:
         order = np.lexsort((idx, -scores))[:top_k]
         ids = [self.db.track_ids[i] for i in idx[order]]
         return ids, scores[order], offs[order]
+
+    def match_batch(self, query_batch: np.ndarray, *, top_k: int | None = None,
+                    pool: int | None = None, fine_window: int | None = None):
+        """Match B equal-length queries in one device dispatch.
+
+        The coarse database streams from HBM once for the whole batch, so
+        per-query cost approaches pure compute — the serving-throughput path.
+        Returns a list of B (track_ids, scores, offsets) tuples, each
+        identical to what match() returns for that query.
+        """
+        assert self.mesh is None and self.use_pallas_fine, (
+            "match_batch currently requires the single-device Pallas path")
+        cfg = self.db.cfg
+        top_k = top_k if top_k is not None else cfg.top_k
+        pool = pool if pool is not None else cfg.fine_candidates
+        fw = fine_window if fine_window is not None else self.stride
+        qs = jnp.asarray(np.asarray(query_batch, dtype=np.uint32))
+        out = np.asarray(_two_stage_pallas_batch_jit(
+            qs, self.d0, self.d1, self.lengths, self.db_c,
+            stride=self.stride, pool=pool, fine_window=fw,
+            l_true=self.l_true, lpad=self.lpad))
+        results = []
+        for b in range(out.shape[0]):
+            scores, idx, offs = out[b]
+            real = idx < self.n_real
+            scores, idx, offs = scores[real], idx[real], offs[real]
+            order = np.lexsort((idx, -scores))[:top_k]
+            results.append(([self.db.track_ids[i] for i in idx[order]],
+                            scores[order], offs[order]))
+        return results
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stride", "pool", "fine_window", "l_true", "lpad")
+)
+def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
+                                *, stride, pool, fine_window, l_true, lpad):
+    """Batched two-stage match: one coarse DB sweep serves all B queries."""
+    from ..ops.pallas_fine import pallas_fine_rescan_batch
+
+    b = queries.shape[0]
+    qc = jax.vmap(lambda q: coarse_ops.coarse_pm1(q, stride))(queries)
+    corr = coarse_ops.coarse_correlation_batch(qc, db_c)     # (B, T, Ac)
+    best_corr = jnp.max(corr, axis=2)                        # (B, T)
+    best_a = jnp.argmax(corr, axis=2).astype(jnp.int32)      # (B, T)
+    t = lengths.shape[0]
+    k = min(-(-pool // 8) * 8, t - t % 8 if t % 8 else t)
+    _, cand = jax.lax.approx_max_k(best_corr.astype(jnp.float32), k)
+    cand = cand.astype(jnp.int32)                            # (B, K)
+    n = queries.shape[1]
+    n_fine = 2 * fine_window + 1
+    span = n + n_fine - 1
+    centers = jnp.take_along_axis(best_a, cand, axis=1)
+    starts = jnp.clip(centers * stride - fine_window, 0, max(l_true - span, 0))
+    s, o = pallas_fine_rescan_batch(queries, d0, d1, lengths, cand, starts,
+                                    n_fine=n_fine, lpad=lpad)
+    return jnp.stack([s, cand, o], axis=1)                   # (B, 3, K)
 
 
 @functools.partial(

@@ -97,3 +97,31 @@ def coarse_correlation(
         preferred_element_type=jnp.int32,
     )                                                    # (T, M, 128)
     return out.reshape(t, m * s)[:, :n_off]
+
+
+def coarse_correlation_batch(
+    query_cs: jnp.ndarray,  # (B, Nc, 64) int8 +/-1 (equal-length queries)
+    db_c: jnp.ndarray,      # (T, Lc, 64)
+) -> jnp.ndarray:
+    """Batched exact correlation: (B, T, Lc - Nc + 1) int32.
+
+    All B queries' phase-shifted kernels stack into one (Nc+127, 64, B*128)
+    conv, so the whole coarse database streams from HBM ONCE for the entire
+    batch — per-query cost approaches pure MXU time (the serving-throughput
+    path; single queries pay the full memory sweep).
+    """
+    b, nc, c = query_cs.shape
+    t, lc, _ = db_c.shape
+    n_off = lc - nc + 1
+    if n_off <= 0:
+        return jnp.zeros((b, t, max(n_off, 0)), jnp.int32)
+    # Each query is one output channel: at B >= ~8 the MXU is busy enough
+    # without the single-query path's 128-phase-shift trick (which inflates
+    # MACs ~6x and would cancel the batching win).
+    kern = query_cs.transpose(1, 2, 0)                   # (Nc, 64, B)
+    out = jax.lax.conv_general_dilated(
+        db_c, kern, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.int32,
+    )                                                    # (T, n_off, B)
+    return out.transpose(2, 0, 1)

@@ -169,6 +169,121 @@ def pallas_fine_rescan(
     return scores[:, 0], offsets[:, 0]
 
 
+def _fine_kernel_batch(tracks_ref, starts_ref, lens_ref,
+                       q0_ref, q1_ref,                  # SMEM (B, Npad)
+                       d0_ref, d1_ref,
+                       score_ref, off_ref,
+                       w0, w1, sem,
+                       *, n_query: int, n_fine: int, lpad: int,
+                       tiles_per_query: int):
+    """Batched variant: candidates are grouped per query (pool contiguous),
+    so each program serves exactly one query: qi = program // tiles_per_query."""
+    i = pl.program_id(0)
+    qi = i // tiles_per_query
+    ct = CAND_TILE
+    dmas = []
+    for c in range(ct):
+        k = i * ct + c
+        snap = (starts_ref[k] // SNAP) * SNAP
+        flat = pl.multiple_of(tracks_ref[k] * lpad + snap, SNAP)
+        for plane, dst, _s in ((d0_ref, w0, 0), (d1_ref, w1, 1)):
+            dma = pltpu.make_async_copy(
+                plane.at[pl.ds(flat, WIDTH)],
+                dst.at[pl.ds(c * WIDTH, WIDTH)], sem.at[_s])
+            dma.start()
+            dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
+
+    comp = min(-(-(SNAP + n_fine) // 128) * 128, WIDTH)
+    if comp + n_query > WIDTH:
+        comp = WIDTH
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ct, comp), 1)
+    starts = jnp.stack([starts_ref[i * ct + c] for c in range(ct)]).reshape(ct, 1)
+    lens = jnp.stack([lens_ref[i * ct + c] for c in range(ct)]).reshape(ct, 1)
+    snaps = (starts // SNAP) * SNAP
+    base = starts - snaps
+    o_global = snaps + lane
+    kcut = jnp.clip(lens - o_global, 0, n_query)
+    row0 = w0[:].reshape(ct, WIDTH)
+    row1 = w1[:].reshape(ct, WIDTH)
+
+    def n_step(n, dist):
+        r0 = pltpu.roll(row0, -n, axis=1)[:, :comp]
+        r1 = pltpu.roll(row1, -n, axis=1)[:, :comp]
+        p = (jax.lax.population_count(jnp.bitwise_xor(r0, q0_ref[qi, n]))
+             + jax.lax.population_count(jnp.bitwise_xor(r1, q1_ref[qi, n])))
+        return dist + jnp.where(n < kcut, p.astype(jnp.int32), 0)
+
+    dist = jax.lax.fori_loop(0, n_query, n_step,
+                             jnp.zeros((ct, comp), jnp.int32))
+    sim = 64 * kcut - dist
+    valid = ((lane >= base) & (lane < base + n_fine)
+             & (o_global <= jnp.maximum(lens - n_query, 0)))
+    sim = jnp.where(valid, sim, -1)
+    best = jnp.max(sim, axis=1, keepdims=True)
+    inband = (lane >= base) & (lane < base + n_fine)
+    first = jnp.min(jnp.where((sim == best) & inband, o_global, jnp.int32(2 ** 30)),
+                    axis=1, keepdims=True)
+    score_ref[:] = best
+    off_ref[:] = first
+
+
+@functools.partial(jax.jit, static_argnames=("n_fine", "lpad", "interpret"))
+def pallas_fine_rescan_batch(
+    queries: jnp.ndarray,      # (B, N, 2) uint32 equal-length queries
+    d0: jnp.ndarray, d1: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cand_tracks: jnp.ndarray,  # (B, K) int32 — pool per query
+    cand_starts: jnp.ndarray,  # (B, K) int32
+    *, n_fine: int, lpad: int, interpret: bool = False,
+):
+    """Batched exact rescan. Returns ((B, K), (B, K)) int32 scores/offsets."""
+    b, n, _ = queries.shape
+    k = cand_tracks.shape[1]
+    assert n + n_fine - 1 <= SNAP + 1
+    assert lpad % SNAP == 0 and k % CAND_TILE == 0
+    n_pad = -(-n // 128) * 128
+    q0 = jnp.zeros((b, n_pad), jnp.uint32).at[:, :n].set(queries[:, :, 0])
+    q1 = jnp.zeros((b, n_pad), jnp.uint32).at[:, :n].set(queries[:, :, 1])
+    flat_tracks = cand_tracks.reshape(-1).astype(jnp.int32)
+    flat_starts = cand_starts.reshape(-1).astype(jnp.int32)
+    cand_lens = lengths[flat_tracks]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b * k // CAND_TILE,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((CAND_TILE, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CAND_TILE, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CAND_TILE * WIDTH,), jnp.uint32),
+            pltpu.VMEM((CAND_TILE * WIDTH,), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_fine_kernel_batch, n_query=n, n_fine=n_fine,
+                               lpad=lpad, tiles_per_query=k // CAND_TILE)
+    scores, offsets = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * k, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b * k, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(flat_tracks, flat_starts, cand_lens.astype(jnp.int32), q0, q1, d0, d1)
+    return scores.reshape(b, k), offsets.reshape(b, k)
+
+
 def plane_lpad(l: int) -> int:
     """Per-track slot length: true length + a full DMA window, 1024-aligned."""
     return -(-(l + WIDTH) // SNAP) * SNAP

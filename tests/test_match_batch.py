@@ -1,0 +1,62 @@
+"""Batched two-stage matching == per-query matching (CPU, pallas interpret).
+
+match_batch requires the Pallas fine path; on CPU we force it with
+use_pallas_fine=True + interpret-mode kernels via the pallas interpret flag
+threaded through the jits' pallas_call (interpret is selected inside the
+kernels by backend in tests via monkeypatching the call arg — instead we
+just run the batch jit with interpret via direct function calls).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hpfw_tpu import api, oracle
+from hpfw_tpu.io import synth
+from hpfw_tpu.match.scaled import TwoStageDB
+from hpfw_tpu.ops import coarse as coarse_ops
+from hpfw_tpu.ops.pallas_fine import pallas_fine_rescan, pallas_fine_rescan_batch, plane_pad
+
+
+def test_coarse_correlation_batch_equals_single(cfg):
+    rng = np.random.default_rng(0)
+    qs = rng.choice([-1, 1], (3, 6, 64)).astype(np.int8)
+    d = rng.choice([-1, 1], (5, 40, 64)).astype(np.int8)
+    batch = np.asarray(coarse_ops.coarse_correlation_batch(jnp.asarray(qs), jnp.asarray(d)))
+    for b in range(3):
+        single = np.asarray(coarse_ops.coarse_correlation(jnp.asarray(qs[b]), jnp.asarray(d)))
+        np.testing.assert_array_equal(batch[b], single)
+
+
+def test_fine_rescan_batch_equals_single():
+    rng = np.random.default_rng(1)
+    t, l, n, fw = 24, 300, 60, 8
+    n_fine = 2 * fw + 1
+    prints = rng.integers(0, 2 ** 32, (t, l, 2), dtype=np.uint32)
+    lengths = np.full(t, l, np.int32)
+    queries = rng.integers(0, 2 ** 32, (2, n, 2), dtype=np.uint32)
+    prints[5, 100:100 + n] = queries[0]
+    prints[9, 40:40 + n] = queries[1]
+    d0, d1, lpad = plane_pad(prints)
+    k = 8
+    cand = np.stack([rng.permutation(t)[:k], rng.permutation(t)[:k]]).astype(np.int32)
+    cand[0, 0] = 5
+    cand[1, 0] = 9
+    centers = np.stack([np.full(k, 100), np.full(k, 40)]).astype(np.int32)
+    span = n + n_fine - 1
+    starts = np.clip(centers - fw, 0, max(l - span, 0)).astype(np.int32)
+
+    s_b, o_b = pallas_fine_rescan_batch(
+        jnp.asarray(queries), jnp.asarray(d0), jnp.asarray(d1),
+        jnp.asarray(lengths), jnp.asarray(cand), jnp.asarray(starts),
+        n_fine=n_fine, lpad=lpad, interpret=True)
+    for b in range(2):
+        s_1, o_1 = pallas_fine_rescan(
+            jnp.asarray(queries[b]), jnp.asarray(d0), jnp.asarray(d1),
+            jnp.asarray(lengths), jnp.asarray(cand[b]), jnp.asarray(starts[b]),
+            n_fine=n_fine, lpad=lpad, interpret=True)
+        np.testing.assert_array_equal(np.asarray(s_b[b]), np.asarray(s_1))
+        np.testing.assert_array_equal(np.asarray(o_b[b]), np.asarray(o_1))
+    assert int(s_b[0, 0]) == 64 * n and int(o_b[0, 0]) == 100
+    assert int(s_b[1, 0]) == 64 * n and int(o_b[1, 0]) == 40
