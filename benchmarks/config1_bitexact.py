@@ -48,6 +48,22 @@ def main():
     emit("config1_match_correct", bool(ok and abs(int(offs[0]) - exp_off) <= 1), "bool",
          top1=ids[0], offset=int(offs[0]), expected_offset=exp_off,
          match_ms=round(dt, 1))
+
+    # The config says "on CPU": the threaded C++ matcher is the CPU engine.
+    from hpfw_tpu.io import native
+
+    if native.available():
+        track_list = [db.prints[i, : db.lengths[i]] for i in range(db.n_tracks)]
+        t0 = time.perf_counter()
+        s_cpu, o_cpu = native.match_db(qfp, track_list)
+        dt_cpu = (time.perf_counter() - t0) * 1e3
+        best = int(np.argmax(s_cpu))
+        agree = (best == int(ids[0]) and int(o_cpu[best]) == int(offs[0])
+                 and int(s_cpu[best]) == int(scores[0]))
+        emit("config1_cpu_native_match_ms", round(dt_cpu, 1), "ms",
+             agrees_with_tpu=bool(agree))
+        assert agree, "native CPU matcher disagrees with device matcher"
+
     assert diff_bits == 0, f"{diff_bits} differing bits"
     assert ok, f"got {ids[0]}"
     log("config1 PASS")

@@ -97,6 +97,34 @@ def fingerprint_batch(
     return np.asarray(fn(jnp.asarray(pcms), jnp.asarray(filters, dtype=jnp.float32)))
 
 
+def fingerprint_stream(
+    batches,
+    filters: np.ndarray,
+    cfg: HpfwConfig = DEFAULT_CONFIG,
+    *,
+    use_pallas: bool = False,
+):
+    """Fingerprint an iterator of equal-shaped (B, S) PCM batches with
+    double-buffered host->device streaming (SURVEY.md §7.1 step 6): batch
+    i+1 uploads asynchronously while batch i computes, so extraction
+    overlaps the host link instead of alternating with it. Yields (B, N, 2)
+    uint32 per input batch, in order.
+    """
+    filters_dev = jnp.asarray(filters, dtype=jnp.float32)
+    fn = None
+    pending = []  # [(device_input, result_future)]
+    for batch in batches:
+        batch = np.asarray(batch, dtype=np.float32)
+        if fn is None:
+            fn = _fingerprint_batch_jit(cfg, batch.shape[1], use_pallas)
+        dev = jnp.asarray(batch)          # async H2D
+        pending.append(fn(dev, filters_dev))   # async dispatch
+        if len(pending) > 2:              # keep two batches in flight
+            yield np.asarray(pending.pop(0))
+    for r in pending:
+        yield np.asarray(r)
+
+
 def match(
     query_prints: np.ndarray,
     db: "FingerprintDB",

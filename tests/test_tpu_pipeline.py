@@ -177,3 +177,33 @@ def test_learn_filters_resumable(tmp_path, cfg):
     f1 = pca.finalize_filters(s1, cfg)
     f3 = pca.finalize_filters(s3, cfg)
     np.testing.assert_allclose(f1, f3, atol=1e-5)
+
+
+def test_fingerprint_stream_double_buffered(cfg):
+    filters = _filters(cfg)
+    tracks = synth.synth_catalog(7, 2.0, cfg)
+    n = min(len(t) for t in tracks)
+    batches = [np.stack([tracks[i][:n], tracks[i + 1][:n]]) for i in range(0, 6, 2)]
+    streamed = list(api.fingerprint_stream(iter(batches), filters, cfg))
+    assert len(streamed) == 3
+    for i, batch in enumerate(batches):
+        want = api.fingerprint_batch(batch, filters, cfg)
+        np.testing.assert_array_equal(streamed[i], want)
+
+
+def test_pack_bits_msb0_order():
+    from hpfw_tpu.config import HpfwConfig
+    from hpfw_tpu.ops import fingerprint as fp_ops
+    import jax.numpy as jnp
+
+    cfg_msb = HpfwConfig(bit_order="msb0")
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, (20, 64)).astype(bool)
+    got = np.asarray(fp_ops.pack_bits(jnp.asarray(bits), cfg_msb))
+    want = oracle.pack_bits(bits, cfg_msb)
+    np.testing.assert_array_equal(got, want)
+    # filter 0 -> bit 63 of the logical word
+    h = oracle.packed_to_uint64(want)
+    np.testing.assert_array_equal(((h >> np.uint64(63)) & np.uint64(1)).astype(bool), bits[:, 0])
+    back = np.asarray(fp_ops.unpack_bits(jnp.asarray(got), cfg_msb))
+    np.testing.assert_array_equal(back, bits)
