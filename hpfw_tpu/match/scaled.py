@@ -63,6 +63,36 @@ def _fine_rescan(query, cand_prints, cand_lengths, o_centers, *, fine_window):
     return jax.vmap(one)(cand_prints, cand_lengths, o_lo)
 
 
+def _pool_candidates(best_corr, pool: int):
+    """Top-`pool` track indices, padded to a multiple of 8 (the Pallas
+    candidate tile) by repeating the first candidate; duplicates are
+    deduplicated in the host-side ranking."""
+    t = best_corr.shape[0]
+    k0 = max(1, min(pool, t))
+    k = -(-k0 // 8) * 8
+    kk = min(k, t)
+    _, cand = jax.lax.approx_max_k(best_corr.astype(jnp.float32), kk)
+    cand = cand.astype(jnp.int32)
+    if k > kk:
+        cand = jnp.concatenate([cand, jnp.broadcast_to(cand[:1], (k - kk,))])
+    return cand
+
+
+def _rank_dedup(scores, idx, offs, track_ids, top_k):
+    """Host ranking: desc score, asc index, duplicates dropped."""
+    order = np.lexsort((idx, -scores))
+    seen = set()
+    keep = []
+    for i in order:
+        if int(idx[i]) not in seen:
+            seen.add(int(idx[i]))
+            keep.append(i)
+        if len(keep) == top_k:
+            break
+    keep = np.array(keep, dtype=np.int64)
+    return ([track_ids[i] for i in idx[keep]], scores[keep], offs[keep])
+
+
 def _two_stage_local(query, query_c, prints, lengths, db_c,
                      *, stride, pool, fine_window):
     """One shard's coarse scan + fine rescan. Returns (scores, idx, offsets)."""
@@ -97,11 +127,13 @@ class TwoStageDB:
     """
 
     def __init__(self, db, *, stride: int | None = None, mesh: Mesh | None = None,
-                 use_pallas_fine: bool | None = None):
+                 use_pallas_fine: bool | None = None,
+                 pallas_interpret: bool = False):
         self.db = db
         cfg = db.cfg
         self.stride = stride if stride is not None else cfg.db_downsample
         self.mesh = mesh
+        self.pallas_interpret = pallas_interpret
         prints = db.prints
         lengths = db.lengths
         t = prints.shape[0]
@@ -128,13 +160,27 @@ class TwoStageDB:
         mask = (jnp.arange(lc)[None, :] < (jnp.asarray(lengths) // self.stride)[:, None])
         coarse = jnp.where(mask[..., None], coarse, 0).astype(jnp.int8)
         if use_pallas_fine is None:
-            use_pallas_fine = jax.default_backend() == "tpu" and mesh is None
+            use_pallas_fine = jax.default_backend() == "tpu"
         self.use_pallas_fine = use_pallas_fine
         if mesh is not None:
             shard = NamedSharding(mesh, P(DB_AXIS))
-            self.prints = jax.device_put(prints_dev, shard)
             self.lengths = jax.device_put(jnp.asarray(lengths), shard)
             self.db_c = jax.device_put(coarse, shard)
+            if use_pallas_fine:
+                # Flat word planes, sharded over tracks: T_pad divides the
+                # mesh, each shard's chunk of the 1-D plane holds whole
+                # track slots, so every shard runs the same Pallas fine
+                # kernel on purely local data.
+                from ..ops.pallas_fine import plane_pad
+
+                d0, d1, lpad = plane_pad(prints)
+                self.lpad = lpad
+                self.l_true = prints.shape[1]
+                self.d0 = jax.device_put(d0, NamedSharding(mesh, P(DB_AXIS)))
+                self.d1 = jax.device_put(d1, NamedSharding(mesh, P(DB_AXIS)))
+                self.prints = None
+            else:
+                self.prints = jax.device_put(prints_dev, shard)
         else:
             self.prints = prints_dev
             self.lengths = jnp.asarray(lengths)
@@ -176,6 +222,12 @@ class TwoStageDB:
             out = _two_stage_jit(
                 q, self.prints, self.lengths, self.db_c,
                 stride=self.stride, pool=pool, fine_window=fw)
+        elif self.use_pallas_fine:
+            out = _two_stage_sharded_pallas(
+                q, self.d0, self.d1, self.lengths, self.db_c,
+                mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
+                l_true=self.l_true, lpad=self.lpad,
+                interpret=self.pallas_interpret)
         else:
             out = _two_stage_sharded(
                 q, self.prints, self.lengths, self.db_c,
@@ -183,9 +235,7 @@ class TwoStageDB:
         scores, idx, offs = np.asarray(out)
         real = idx < self.n_real
         scores, idx, offs = scores[real], idx[real], offs[real]
-        order = np.lexsort((idx, -scores))[:top_k]
-        ids = [self.db.track_ids[i] for i in idx[order]]
-        return ids, scores[order], offs[order]
+        return _rank_dedup(scores, idx, offs, self.db.track_ids, top_k)
 
     def match_batch(self, query_batch: np.ndarray, *, top_k: int | None = None,
                     pool: int | None = None, fine_window: int | None = None):
@@ -212,9 +262,7 @@ class TwoStageDB:
             scores, idx, offs = out[b]
             real = idx < self.n_real
             scores, idx, offs = scores[real], idx[real], offs[real]
-            order = np.lexsort((idx, -scores))[:top_k]
-            results.append(([self.db.track_ids[i] for i in idx[order]],
-                            scores[order], offs[order]))
+            results.append(_rank_dedup(scores, idx, offs, self.db.track_ids, top_k))
         return results
 
 
@@ -231,10 +279,7 @@ def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
     corr = coarse_ops.coarse_correlation_batch(qc, db_c)     # (B, T, Ac)
     best_corr = jnp.max(corr, axis=2)                        # (B, T)
     best_a = jnp.argmax(corr, axis=2).astype(jnp.int32)      # (B, T)
-    t = lengths.shape[0]
-    k = min(-(-pool // 8) * 8, t - t % 8 if t % 8 else t)
-    _, cand = jax.lax.approx_max_k(best_corr.astype(jnp.float32), k)
-    cand = cand.astype(jnp.int32)                            # (B, K)
+    cand = jax.vmap(lambda bc: _pool_candidates(bc, pool))(best_corr)  # (B, K)
     n = queries.shape[1]
     n_fine = 2 * fine_window + 1
     span = n + n_fine - 1
@@ -257,12 +302,7 @@ def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
     corr = coarse_ops.coarse_correlation(query_c, db_c)
     best_corr = jnp.max(corr, axis=1)
     best_a = jnp.argmax(corr, axis=1).astype(jnp.int32)
-    t = lengths.shape[0]
-    k = min(-(-pool // 8) * 8, t - t % 8 if t % 8 else t)
-    # approx_max_k uses the TPU's fast approximate top-k; the pool is just a
-    # candidate set so bounded recall (default 0.95 per element) is fine.
-    _, cand = jax.lax.approx_max_k(best_corr.astype(jnp.float32), k)
-    cand = cand.astype(jnp.int32)
+    cand = _pool_candidates(best_corr, pool)
     n = query.shape[0]
     n_fine = 2 * fine_window + 1
     span = n + n_fine - 1
@@ -279,6 +319,52 @@ def _two_stage_jit(query, prints, lengths, db_c, *, stride, pool, fine_window):
     s, i, o = _two_stage_local(query, query_c, prints, lengths, db_c,
                                stride=stride, pool=pool, fine_window=fine_window)
     return jnp.stack([s, i, o])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
+                     "lpad", "interpret"),
+)
+def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
+                              *, mesh, stride, pool, fine_window,
+                              l_true, lpad, interpret=False):
+    """Sharded two-stage with the Pallas DMA fine kernel per shard.
+
+    Each chip scans its coarse shard on the MXU, rescans its own candidate
+    pool with local HBM DMAs, and the fixed-size candidate lists merge with
+    one all-gather — the v4-8 production path (CPU-sim tested in interpret
+    mode).
+    """
+    from ..ops.pallas_fine import pallas_fine_rescan
+
+    query_c = coarse_ops.coarse_pm1(query, stride)
+    n = query.shape[0]
+    n_fine = 2 * fine_window + 1
+    span = n + n_fine - 1
+
+    def shard_fn(q, qc, d0_loc, d1_loc, ln_loc, dc_loc):
+        t_loc = ln_loc.shape[0]
+        corr = coarse_ops.coarse_correlation(qc, dc_loc)
+        best_corr = jnp.max(corr, axis=1)
+        best_a = jnp.argmax(corr, axis=1).astype(jnp.int32)
+        cand = _pool_candidates(best_corr, pool)
+        starts = jnp.clip(best_a[cand] * stride - fine_window, 0,
+                          max(l_true - span, 0))
+        s, o = pallas_fine_rescan(q, d0_loc, d1_loc, ln_loc, cand, starts,
+                                  n_fine=n_fine, lpad=lpad,
+                                  interpret=interpret)
+        shard = jax.lax.axis_index(DB_AXIS).astype(jnp.int32)
+        gi = shard * t_loc + cand
+        return jax.lax.all_gather(jnp.stack([s, gi, o]), DB_AXIS, tiled=True,
+                                  axis=1)
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )(query, query_c, d0, d1, lengths, db_c)
 
 
 @functools.partial(

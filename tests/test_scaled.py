@@ -95,3 +95,22 @@ def test_two_stage_exact_excerpt_perfect_score(cfg):
     assert ids[0] == "6"
     assert int(scores[0]) == 64 * qfp.shape[0]
     assert int(offs[0]) == k
+
+
+def test_two_stage_sharded_pallas_fine(cfg):
+    """The v4-8 production path: per-shard Pallas fine kernel (interpret on
+    the CPU sim) + all-gather merge — must equal the single-device result."""
+    mesh = meshlib.db_mesh(8)
+    tracks = synth.synth_catalog(19, 4.0, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    single = TwoStageDB(db, stride=4)
+    sharded = TwoStageDB(db, stride=4, mesh=mesh,
+                         use_pallas_fine=True, pallas_interpret=True)
+    q = synth.make_query(tracks[12], 0.7, 2.0, cfg, noise_db=-15.0, seed=8)
+    qfp = api.fingerprint(q, filters, cfg)
+    ids_1, s_1, o_1 = single.match(qfp, top_k=3, pool=19)
+    ids_8, s_8, o_8 = sharded.match(qfp, top_k=3, pool=3)
+    assert ids_1[0] == ids_8[0] == "12"
+    assert int(s_1[0]) == int(s_8[0])
+    assert int(o_1[0]) == int(o_8[0])
