@@ -42,7 +42,8 @@ def noisy_excerpt(rng, track_prints, start, n, flip_rate=0.15):
     return np.bitwise_xor(q, flip)
 
 
-def main(n_tracks=100_000, track_seconds=60, query_seconds=10, n_queries=20):
+def main(n_tracks=100_000, track_seconds=60, query_seconds=10, n_queries=20,
+         stride=None):
     import jax
 
     cfg = HpfwConfig()
@@ -59,7 +60,7 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, n_queries=20):
                            [str(i) for i in range(n_tracks)], prints, lengths)
     log("uploading + deriving coarse prints...")
     t0 = time.time()
-    ts = TwoStageDB(db, stride=cfg.db_downsample)
+    ts = TwoStageDB(db, stride=stride if stride else cfg.db_downsample)
     log(f"db ready in {time.time() - t0:.1f}s")
 
     # Planted queries

@@ -19,7 +19,7 @@ from hpfw_tpu.config import HpfwConfig
 from hpfw_tpu.io import synth
 
 
-def accuracy(db, filters, tracks, cfg, degrade, n_eval, rng):
+def accuracy(db, filters, tracks, cfg, degrade, n_eval, rng, matcher=None):
     hits = 0
     for i in range(n_eval):
         tid = int(rng.integers(0, len(tracks)))
@@ -33,7 +33,10 @@ def accuracy(db, filters, tracks, cfg, degrade, n_eval, rng):
         qfp = api.fingerprint(q, filters, cfg)
         if qfp.shape[0] == 0:
             continue
-        ids, _, _ = api.match(qfp, db, top_k=1)
+        if matcher is not None:
+            ids, _, _ = matcher.match(qfp, top_k=1)
+        else:
+            ids, _, _ = api.match(qfp, db, top_k=1)
         hits += ids[0] == str(tid)
     return hits / n_eval
 
@@ -66,6 +69,23 @@ def main(n_tracks=50, track_seconds=30.0, n_train=12, n_eval=20):
             acc = accuracy(db, filters, tracks, cfg, degrade, n_eval, rng_eval)
             emit(f"config5_top1_{name}_{cond}", round(acc, 3), "accuracy")
             log(f"{name:8s} {cond:14s} top1={acc:.2f}")
+
+    # Two-stage matcher recall on REAL audio (not iid prints): does the
+    # coarse majority-vote peak land within +/-fine_window of the true
+    # alignment? Studied at two strides — stride 32 halves the 1M-track
+    # coarse cost if recall holds.
+    from hpfw_tpu.match.scaled import TwoStageDB
+
+    db = api.build_db(tracks, learned, cfg)
+    for stride in (16, 32):
+        ts = TwoStageDB(db, stride=stride)
+        for cond, degrade in [("noise_-10dB", {"query_kwargs": {"noise_db": -10.0}}),
+                              ("noise_-5dB", {"query_kwargs": {"noise_db": -5.0}})]:
+            rng_eval = np.random.default_rng(99)
+            acc = accuracy(db, learned, tracks, cfg, degrade, n_eval, rng_eval,
+                           matcher=ts)
+            emit(f"config5_twostage_s{stride}_{cond}", round(acc, 3), "accuracy")
+            log(f"two-stage s={stride:2d} {cond:12s} top1={acc:.2f}")
 
 
 if __name__ == "__main__":
