@@ -28,7 +28,7 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tracks", type=int, default=16)
-    ap.add_argument("--seconds", type=float, default=120.0)
+    ap.add_argument("--seconds", type=float, default=240.0)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--pallas", action="store_true")
     args = ap.parse_args()

@@ -187,19 +187,17 @@ class TwoStageDB:
             self.db_c = coarse
             if use_pallas_fine:
                 # Flat split word planes (see ops/pallas_fine.py layout
-                # constraints), built on device; they REPLACE the packed
-                # prints there (keeping both would double HBM at scale).
-                from ..ops.pallas_fine import plane_lpad
+                # constraints). Packed prints leave the device BEFORE the
+                # planes upload — holding both at once OOMs at 200k tracks —
+                # and slots pack tight (cross-slot reads are masked).
+                from ..ops.pallas_fine import plane_pad
 
-                tt, l, _ = prints.shape
-                self.lpad = plane_lpad(l)
-                self.d0 = (jnp.zeros((tt, self.lpad), jnp.uint32)
-                           .at[:, :l].set(prints_dev[:, :, 0]).reshape(-1))
-                self.d1 = (jnp.zeros((tt, self.lpad), jnp.uint32)
-                           .at[:, :l].set(prints_dev[:, :, 1]).reshape(-1))
-                self.l_true = l
                 self.prints = None
-                del prints_dev
+                del prints_dev, parts
+                d0, d1, self.lpad = plane_pad(prints, tight=True)
+                self.l_true = prints.shape[1]
+                self.d0 = jnp.asarray(d0)
+                self.d1 = jnp.asarray(d1)
         self.n_real = t
 
     def match(self, query_prints: np.ndarray, *, top_k: int | None = None,
@@ -217,7 +215,8 @@ class TwoStageDB:
             out = _two_stage_pallas_jit(
                 q, self.d0, self.d1, self.lengths, self.db_c,
                 stride=self.stride, pool=pool, fine_window=fw,
-                l_true=self.l_true, lpad=self.lpad)
+                l_true=self.l_true, lpad=self.lpad,
+                interpret=self.pallas_interpret)
         elif self.mesh is None:
             out = _two_stage_jit(
                 q, self.prints, self.lengths, self.db_c,
@@ -291,10 +290,13 @@ def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stride", "pool", "fine_window", "l_true", "lpad")
+    jax.jit,
+    static_argnames=("stride", "pool", "fine_window", "l_true", "lpad",
+                     "interpret"),
 )
 def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
-                          *, stride, pool, fine_window, l_true, lpad):
+                          *, stride, pool, fine_window, l_true, lpad,
+                          interpret=False):
     """Two-stage match with the Pallas DMA fine kernel (TPU path)."""
     from ..ops.pallas_fine import pallas_fine_rescan
 
@@ -309,7 +311,7 @@ def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
     starts = jnp.clip(best_a[cand] * stride - fine_window, 0,
                       max(l_true - span, 0))
     s, o = pallas_fine_rescan(query, d0, d1, lengths, cand, starts,
-                              n_fine=n_fine, lpad=lpad)
+                              n_fine=n_fine, lpad=lpad, interpret=interpret)
     return jnp.stack([s, cand, o])
 
 

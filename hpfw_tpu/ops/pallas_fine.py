@@ -284,17 +284,36 @@ def pallas_fine_rescan_batch(
     return scores.reshape(b, k), offsets.reshape(b, k)
 
 
-def plane_lpad(l: int) -> int:
-    """Per-track slot length: true length + a full DMA window, 1024-aligned."""
+def plane_lpad(l: int, *, tight: bool = False) -> int:
+    """Per-track slot length (1024-aligned).
+
+    tight=True packs slots to ceil(l/1024)*1024 and relies on a single
+    WIDTH-sized tail pad on the whole flat plane: a DMA window that runs
+    past a track's slot reads the NEXT track's words, but every lane it
+    could contribute through is masked (kcut = clip(len - o_global, 0, N)
+    is zero there), so cross-slot garbage never scores. tight=False gives
+    every slot its own WIDTH of headroom — required when the plane is
+    SHARDED over a mesh, because a shard's last track has no next-shard
+    bytes to harmlessly read.
+    """
+    if tight:
+        return -(-l // SNAP) * SNAP
     return -(-(l + WIDTH) // SNAP) * SNAP
 
 
-def plane_pad(prints: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
-    """(T, L, 2) packed prints -> two flat (T*Lpad,) word planes + Lpad."""
+def plane_pad(prints: np.ndarray, *, tight: bool = False
+              ) -> tuple[np.ndarray, np.ndarray, int]:
+    """(T, L, 2) packed prints -> two flat word planes + Lpad.
+
+    Flat length is T*Lpad (+ WIDTH tail when tight) — see plane_lpad.
+    """
     t, l, _ = prints.shape
-    lpad = plane_lpad(l)
-    d0 = np.zeros((t, lpad), np.uint32)
-    d1 = np.zeros((t, lpad), np.uint32)
-    d0[:, :l] = prints[:, :, 0]
-    d1[:, :l] = prints[:, :, 1]
-    return d0.reshape(-1), d1.reshape(-1), lpad
+    lpad = plane_lpad(l, tight=tight)
+    tail = WIDTH if tight else 0
+    d0 = np.zeros(t * lpad + tail, np.uint32)
+    d1 = np.zeros(t * lpad + tail, np.uint32)
+    v0 = d0[: t * lpad].reshape(t, lpad)
+    v1 = d1[: t * lpad].reshape(t, lpad)
+    v0[:, :l] = prints[:, :, 0]
+    v1[:, :l] = prints[:, :, 1]
+    return d0, d1, lpad

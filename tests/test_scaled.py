@@ -114,3 +114,22 @@ def test_two_stage_sharded_pallas_fine(cfg):
     assert ids_1[0] == ids_8[0] == "12"
     assert int(s_1[0]) == int(s_8[0])
     assert int(o_1[0]) == int(o_8[0])
+
+
+def test_two_stage_single_device_pallas_tight_planes(cfg):
+    """Single-device Pallas path (tight plane packing): cross-slot DMA reads
+    must never score — exact agreement with the XLA path required."""
+    tracks = synth.synth_catalog(14, 4.0, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    xla = TwoStageDB(db, stride=4)
+    pallas = TwoStageDB(db, stride=4, use_pallas_fine=True, pallas_interpret=True)
+    for seed, tid in [(1, 9), (2, 0), (3, 13)]:  # incl. first and LAST track
+        q = synth.make_query(tracks[tid], 0.8, 2.0, cfg, noise_db=-15.0, seed=seed)
+        qfp = api.fingerprint(q, filters, cfg)
+        ids_x, s_x, o_x = xla.match(qfp, top_k=3, pool=14)
+        ids_p, s_p, o_p = pallas.match(qfp, top_k=3, pool=14)
+        assert ids_p == ids_x
+        np.testing.assert_array_equal(s_p, s_x)
+        np.testing.assert_array_equal(o_p, o_x)
+        assert ids_p[0] == str(tid)
