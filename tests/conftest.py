@@ -11,6 +11,11 @@ This must run before jax is imported anywhere.
 
 import os
 
+# No persistent compile cache in tests: it can hold CPU AOT results built
+# with a different machine profile (remote compiles), risking SIGILL on
+# load; CPU test compiles are fast anyway.
+os.environ["HPFW_NO_COMPILE_CACHE"] = "1"
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
