@@ -51,17 +51,31 @@ def fingerprint(
     cfg: HpfwConfig = DEFAULT_CONFIG,
     *,
     use_pallas: bool = False,
+    bucket_s: float = 1.0,
 ) -> np.ndarray:
     """Audio -> packed 64-bit hashprints, shape (N, 2) uint32.
 
     Reference surface: fingerprint(audio) -> hashprint sequence (SURVEY.md
     §1.2). Use oracle.packed_to_uint64 for a (N,) uint64 view.
+
+    bucket_s: input length is zero-padded up to this granularity so a
+    variable-length catalog compiles one program per bucket instead of one
+    per distinct length. EXACT: the first n_hashprints(true_len) prints
+    depend only on samples within the true length, and only those are
+    returned. bucket_s=0 disables.
     """
     pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
-    if cfg.n_hashprints(pcm.shape[0]) == 0:
+    n_true = cfg.n_hashprints(pcm.shape[0])
+    if n_true == 0:
         return np.zeros((0, 2), dtype=np.uint32)
+    if bucket_s:
+        bucket = max(1, int(round(bucket_s * cfg.sample_rate)))
+        padded = -(-pcm.shape[0] // bucket) * bucket
+        if padded != pcm.shape[0]:
+            pcm = np.concatenate([pcm, np.zeros(padded - pcm.shape[0], np.float32)])
     fn = _fingerprint_jit(cfg, pcm.shape[0], use_pallas)
-    return np.asarray(fn(jnp.asarray(pcm), jnp.asarray(filters, dtype=jnp.float32)))
+    out = np.asarray(fn(jnp.asarray(pcm), jnp.asarray(filters, dtype=jnp.float32)))
+    return out[:n_true]
 
 
 @functools.lru_cache(maxsize=16)

@@ -207,3 +207,16 @@ def test_pack_bits_msb0_order():
     np.testing.assert_array_equal(((h >> np.uint64(63)) & np.uint64(1)).astype(bool), bits[:, 0])
     back = np.asarray(fp_ops.unpack_bits(jnp.asarray(got), cfg_msb))
     np.testing.assert_array_equal(back, bits)
+
+
+def test_fingerprint_bucketing_exact(cfg):
+    """Length bucketing pads PCM but returns identical prints (and count)."""
+    filters = _filters(cfg)
+    rng = np.random.default_rng(11)
+    for extra in [0, 17, cfg.hop - 1, 3 * cfg.hop + 5]:
+        pcm = synth.synth_track(40, 1.7, cfg)
+        pcm = pcm[: len(pcm) - extra]
+        unbucketed = api.fingerprint(pcm, filters, cfg, bucket_s=0)
+        bucketed = api.fingerprint(pcm, filters, cfg, bucket_s=0.25)
+        assert bucketed.shape == unbucketed.shape == (cfg.n_hashprints(len(pcm)), 2)
+        np.testing.assert_array_equal(bucketed, unbucketed)
