@@ -104,7 +104,8 @@ def fingerprint_batch(
 ) -> np.ndarray:
     """Fingerprint a batch of equal-length tracks, shape (B, N, 2) uint32."""
     pcms = np.asarray(pcms, dtype=np.float32)
-    assert pcms.ndim == 2
+    if pcms.ndim != 2:
+        raise ValueError(f"expected (B, S) PCM batch, got shape {pcms.shape}")
     if cfg.n_hashprints(pcms.shape[1]) == 0:
         return np.zeros((pcms.shape[0], 0, 2), dtype=np.uint32)
     fn = _fingerprint_batch_jit(cfg, pcms.shape[1], use_pallas)
@@ -133,7 +134,7 @@ def fingerprint_stream(
             fn = _fingerprint_batch_jit(cfg, batch.shape[1], use_pallas)
         dev = jnp.asarray(batch)          # async H2D
         pending.append(fn(dev, filters_dev))   # async dispatch
-        if len(pending) > 2:              # keep two batches in flight
+        if len(pending) >= 2:             # keep two batches in flight
             yield np.asarray(pending.pop(0))
     for r in pending:
         yield np.asarray(r)
@@ -153,6 +154,11 @@ def match(
     top_k = top_k if top_k is not None else db.cfg.top_k
     q = jnp.asarray(np.asarray(query_prints, dtype=np.uint32))
     prints, lengths = db.device_arrays()
+    if q.shape[0] > prints.shape[1]:
+        # Oracle semantics for tracks shorter than the query are truncated
+        # head overlap at offset 0; padding the print array up to the query
+        # length makes the masked scan reproduce that exactly.
+        prints = jnp.pad(prints, ((0, 0), (0, q.shape[0] - prints.shape[1]), (0, 0)))
     # One host materialization (each D2H sync costs a full roundtrip on a
     # tunneled host link).
     both = np.asarray(_score_tracks_stacked(q, prints, lengths))
@@ -206,7 +212,9 @@ class FingerprintDB:
     @classmethod
     def load(cls, path: str) -> "FingerprintDB":
         z = np.load(path, allow_pickle=False)
-        assert int(z["format_version"]) == 1
+        if int(z["format_version"]) != 1:
+            raise ValueError(
+                f"unsupported DB format version {int(z['format_version'])}")
         cfg = HpfwConfig.from_json(bytes(z["config_json"].tobytes()).decode())
         return cls(cfg, z["filters"], [str(t) for t in z["track_ids"]],
                    z["prints"], z["lengths"])

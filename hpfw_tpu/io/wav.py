@@ -50,6 +50,7 @@ def _decode_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = b""
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
@@ -57,14 +58,20 @@ def _decode_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_ch, sr, _, _, bits = fmt
-    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real format in GUID
-        audio_format = 3 if bits in (32, 64) and b"\x03\x00" in raw[:0] else 1
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code is the first uint16 of
+        # the SubFormat GUID at fmt-body offset 24 (16 base + cbSize(2) +
+        # validBits(2) + channelMask(4)).
+        if len(fmt_body) < 26:
+            raise ValueError("extensible WAV with truncated fmt chunk")
+        audio_format = struct.unpack("<H", fmt_body[24:26])[0]
     if audio_format == 1:  # integer PCM
         if bits == 16:
             x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0

@@ -200,6 +200,19 @@ class TwoStageDB:
                 self.d1 = jnp.asarray(d1)
         self.n_real = t
 
+    def _check_query_len(self, n: int) -> None:
+        """The two-stage scan needs at least one coarse alignment; queries
+        longer than every DB track have no catalog-scale use (the dense
+        api.match path implements the oracle's truncated-overlap semantics
+        if that's really wanted)."""
+        lc = self.db_c.shape[1]
+        if n // self.stride > lc:
+            raise ValueError(
+                f"query ({n} prints, {n // self.stride} coarse) is longer than "
+                f"every DB track ({lc} coarse windows); two-stage matching "
+                "needs query <= padded DB length — use api.match for "
+                "truncated-overlap semantics")
+
     def match(self, query_prints: np.ndarray, *, top_k: int | None = None,
               pool: int | None = None, fine_window: int | None = None):
         cfg = self.db.cfg
@@ -207,6 +220,7 @@ class TwoStageDB:
         pool = pool if pool is not None else cfg.fine_candidates
         fw = fine_window if fine_window is not None else self.stride
         q = jnp.asarray(np.asarray(query_prints, dtype=np.uint32))
+        self._check_query_len(q.shape[0])
         # One device dispatch, one host materialization: on a tunneled host
         # link every extra sync costs a full roundtrip, so the query's coarse
         # derivation runs inside the same jit and the three result vectors
@@ -245,8 +259,12 @@ class TwoStageDB:
         Returns a list of B (track_ids, scores, offsets) tuples, each
         identical to what match() returns for that query.
         """
-        assert self.mesh is None and self.use_pallas_fine, (
-            "match_batch currently requires the single-device Pallas path")
+        if not self.use_pallas_fine:
+            raise ValueError("match_batch requires the Pallas fine path "
+                             "(use_pallas_fine=True)")
+        if self.mesh is not None:
+            raise ValueError("match_batch on a mesh: not yet wired "
+                             "(single-device only)")
         cfg = self.db.cfg
         top_k = top_k if top_k is not None else cfg.top_k
         pool = pool if pool is not None else cfg.fine_candidates

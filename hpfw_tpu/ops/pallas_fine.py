@@ -40,76 +40,6 @@ WIDTH = 2048         # DMA window lanes: pow2 (roll-safe), 1024-multiple
 SNAP = 1024          # HBM DMA offset alignment for 1-D uint32 arrays
 
 
-def _fine_kernel(tracks_ref, starts_ref, lens_ref,      # scalar prefetch (K,)
-                 q0_ref, q1_ref,                        # SMEM (Npad,)
-                 d0_ref, d1_ref,                        # HBM flat (T*Lpad,)
-                 score_ref, off_ref,                    # VMEM out (CT, 1)
-                 w0, w1, sem,                           # scratch
-                 *, n_query: int, n_fine: int, lpad: int):
-    i = pl.program_id(0)
-    ct = CAND_TILE
-
-    # One aligned 2048-lane DMA per candidate per word plane.
-    dmas = []
-    for c in range(ct):
-        k = i * ct + c
-        snap = (starts_ref[k] // SNAP) * SNAP
-        flat = pl.multiple_of(tracks_ref[k] * lpad + snap, SNAP)
-        for plane, dst, _s in ((d0_ref, w0, 0), (d1_ref, w1, 1)):
-            dma = pltpu.make_async_copy(
-                plane.at[pl.ds(flat, WIDTH)],
-                dst.at[pl.ds(c * WIDTH, WIDTH)],
-                sem.at[_s],
-            )
-            dma.start()
-            dmas.append(dma)
-    for dma in dmas:
-        dma.wait()
-
-    # Useful lanes are [base, base + n_fine) with base < SNAP; everything
-    # past SNAP + n_fine is power-of-two padding. Restricting the popcount
-    # arithmetic to `comp` lanes saves ~45% of the VPU work; the rolled
-    # reads stay wraparound-free as long as comp + n_query <= WIDTH (the
-    # caller asserts the window span, which implies this).
-    comp = min(-(-(SNAP + n_fine) // 128) * 128, WIDTH)
-    if comp + n_query > WIDTH:
-        comp = WIDTH
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ct, comp), 1)
-    starts = jnp.stack([starts_ref[i * ct + c] for c in range(ct)]).reshape(ct, 1)
-    lens = jnp.stack([lens_ref[i * ct + c] for c in range(ct)]).reshape(ct, 1)
-    snaps = (starts // SNAP) * SNAP
-    base = starts - snaps                              # in [0, 1024)
-    o_global = snaps + lane                            # offset scored by lane
-    kcut = jnp.clip(lens - o_global, 0, n_query)
-
-    row0 = w0[:].reshape(ct, WIDTH)
-    row1 = w1[:].reshape(ct, WIDTH)
-
-    def n_step(n, dist):
-        r0 = pltpu.roll(row0, -n, axis=1)[:, :comp]
-        r1 = pltpu.roll(row1, -n, axis=1)[:, :comp]
-        p = (jax.lax.population_count(jnp.bitwise_xor(r0, q0_ref[n]))
-             + jax.lax.population_count(jnp.bitwise_xor(r1, q1_ref[n])))
-        return dist + jnp.where(n < kcut, p.astype(jnp.int32), 0)
-
-    dist = jax.lax.fori_loop(0, n_query, n_step,
-                             jnp.zeros((ct, comp), jnp.int32))
-    sim = 64 * kcut - dist
-    valid = ((lane >= base) & (lane < base + n_fine)
-             & (o_global <= jnp.maximum(lens - n_query, 0)))
-    sim = jnp.where(valid, sim, -1)
-    best = jnp.max(sim, axis=1, keepdims=True)
-    # First-best offset, restricted to the rescan band (when every offset is
-    # invalid, best == -1 everywhere and this reports the band start, exactly
-    # like the XLA twin).
-    inband = (lane >= base) & (lane < base + n_fine)
-    first = jnp.min(jnp.where((sim == best) & inband, o_global, jnp.int32(2 ** 30)),
-                    axis=1, keepdims=True)
-    score_ref[:] = best
-    off_ref[:] = first
-
-
-@functools.partial(jax.jit, static_argnames=("n_fine", "lpad", "interpret"))
 def pallas_fine_rescan(
     query: jnp.ndarray,        # (N, 2) uint32
     d0: jnp.ndarray,           # (T*Lpad,) uint32 word plane 0 (flat)
@@ -122,51 +52,14 @@ def pallas_fine_rescan(
     lpad: int,                 # per-track slot length in the flat planes
     interpret: bool = False,
 ):
-    """Exact (score, offset) per candidate. Returns ((K,), (K,)) int32."""
-    n = query.shape[0]
-    k = cand_tracks.shape[0]
-    assert n + n_fine - 1 <= SNAP + 1, "window span exceeds the 2048 DMA window"
-    assert lpad % SNAP == 0
-    assert k % CAND_TILE == 0, "pad candidates to a multiple of CAND_TILE"
-    n_pad = -(-n // 128) * 128
-    q0 = jnp.zeros((n_pad,), jnp.uint32).at[:n].set(query[:, 0])
-    q1 = jnp.zeros((n_pad,), jnp.uint32).at[:n].set(query[:, 1])
-    cand_lens = lengths[cand_tracks]
+    """Exact (score, offset) per candidate. Returns ((K,), (K,)) int32.
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(k // CAND_TILE,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # q0
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # q1
-            pl.BlockSpec(memory_space=pl.ANY),       # d0 (stays in HBM)
-            pl.BlockSpec(memory_space=pl.ANY),       # d1
-        ],
-        out_specs=[
-            pl.BlockSpec((CAND_TILE, 1), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((CAND_TILE, 1), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((CAND_TILE * WIDTH,), jnp.uint32),
-            pltpu.VMEM((CAND_TILE * WIDTH,), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(_fine_kernel, n_query=n, n_fine=n_fine,
-                               lpad=lpad)
-    scores, offsets = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((k, 1), jnp.int32),
-            jax.ShapeDtypeStruct((k, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(cand_tracks.astype(jnp.int32), cand_starts.astype(jnp.int32),
-      cand_lens.astype(jnp.int32), q0, q1, d0, d1)
-    return scores[:, 0], offsets[:, 0]
+    Thin B=1 view of the batch kernel below — one kernel, two surfaces.
+    """
+    s, o = pallas_fine_rescan_batch(
+        query[None], d0, d1, lengths, cand_tracks[None], cand_starts[None],
+        n_fine=n_fine, lpad=lpad, interpret=interpret)
+    return s[0], o[0]
 
 
 def _fine_kernel_batch(tracks_ref, starts_ref, lens_ref,
@@ -176,11 +69,13 @@ def _fine_kernel_batch(tracks_ref, starts_ref, lens_ref,
                        w0, w1, sem,
                        *, n_query: int, n_fine: int, lpad: int,
                        tiles_per_query: int):
-    """Batched variant: candidates are grouped per query (pool contiguous),
-    so each program serves exactly one query: qi = program // tiles_per_query."""
+    """Candidates are grouped per query (pool contiguous), so each program
+    serves exactly one query: qi = program // tiles_per_query. Single-query
+    calls are the B=1 special case (qi == 0 everywhere)."""
     i = pl.program_id(0)
     qi = i // tiles_per_query
     ct = CAND_TILE
+    # One aligned 2048-lane DMA per candidate per word plane.
     dmas = []
     for c in range(ct):
         k = i * ct + c

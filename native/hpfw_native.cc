@@ -53,6 +53,14 @@ int hpfw_wav_decode(const uint8_t* data, int64_t size,
       audio_format = fmt16;
       n_ch = ch16;
       bits = bits16;
+      if (audio_format == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: real format code = first uint16 of the
+        // SubFormat GUID at fmt-body offset 24.
+        if (csize < 26) return -5;
+        uint16_t sub16;
+        memcpy(&sub16, body + 24, 2);
+        audio_format = sub16;
+      }
     } else if (memcmp(cid, "data", 4) == 0) {
       raw = body;
       raw_size = csize;

@@ -133,3 +133,34 @@ def test_two_stage_single_device_pallas_tight_planes(cfg):
         np.testing.assert_array_equal(s_p, s_x)
         np.testing.assert_array_equal(o_p, o_x)
         assert ids_p[0] == str(tid)
+
+
+def test_two_stage_overlong_query_raises(cfg):
+    tracks = synth.synth_catalog(6, 2.0, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    ts = TwoStageDB(db, stride=4)
+    n_long = (ts.db_c.shape[1] + 1) * 4
+    q = np.zeros((n_long, 2), dtype=np.uint32)
+    with pytest.raises(ValueError, match="longer than"):
+        ts.match(q, top_k=1)
+
+
+def test_dense_match_overlong_query_truncated_overlap(cfg):
+    """Query longer than every DB track: oracle head-overlap semantics."""
+    tracks = synth.synth_catalog(5, 1.5, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    rng = np.random.default_rng(11)
+    n_long = db.prints.shape[1] + 7
+    q = rng.integers(0, 2 ** 32, (n_long, 2), dtype=np.uint32)
+    fps = [db.prints[i, : db.lengths[i]] for i in range(db.n_tracks)]
+    q[: fps[2].shape[0]] = fps[2]  # plant track 2 as the head of the query
+    ids, scores, offs = api.match(q, db, top_k=5)
+    want = [oracle.match_track(q, f) for f in fps]
+    order = np.lexsort((np.arange(5), -np.array([w[0] for w in want])))
+    assert ids[0] == str(order[0]) == "2"
+    for rank_i, ti in enumerate(order):
+        assert ids[rank_i] == str(ti)
+        assert int(scores[rank_i]) == want[ti][0]
+        assert int(offs[rank_i]) == want[ti][1]
