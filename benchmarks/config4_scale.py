@@ -96,26 +96,14 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, n_queries=20,
 
     # Device-side throughput: queue all queries (device-resident inputs),
     # materialize once — what a pipelined serving stack sees per query.
+    # ts.dispatch is the exact jit match() runs (same statics, no recompile).
     import jax.numpy as jnp
-
-    from hpfw_tpu.match.scaled import _two_stage_jit, _two_stage_pallas_jit
 
     qs_dev = [jnp.asarray(q) for q in queries]
     for q in qs_dev:
         q.block_until_ready()
-    if ts.use_pallas_fine:
-        def dispatch(q):
-            return _two_stage_pallas_jit(
-                q, ts.d0, ts.d1, ts.lengths, ts.db_c, stride=ts.stride,
-                pool=256, fine_window=ts.stride, l_true=ts.l_true,
-                lpad=ts.lpad)
-    else:
-        def dispatch(q):
-            return _two_stage_jit(q, ts.prints, ts.lengths, ts.db_c,
-                                  stride=ts.stride, pool=256,
-                                  fine_window=ts.stride)
     t0 = time.perf_counter()
-    outs = [dispatch(q) for q in qs_dev]
+    outs = [ts.dispatch(q) for q in qs_dev]
     np.asarray(outs[-1])
     per_ms = (time.perf_counter() - t0) / len(qs_dev) * 1e3
     emit("config4_device_ms_per_query", round(per_ms, 2), "ms",

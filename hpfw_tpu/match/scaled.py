@@ -120,29 +120,49 @@ class TwoStageDB:
     arrays shard over tracks and matching runs per shard with an all-gather
     candidate merge.
 
-    On TPU the fine stage runs as a Pallas kernel that DMAs each candidate
-    window straight from HBM (ops/pallas_fine.py) — XLA's row gather is
-    orders of magnitude too slow for this access pattern; elsewhere the XLA
-    twin (_fine_rescan) is used. use_pallas_fine overrides the default.
+    On TPU both stages run as Pallas kernels: the coarse scan streams the
+    flat int8 coarse DB once and fuses the phase GEMM with max/argmax
+    (ops/pallas_coarse.py — the XLA conv formulation reads ~4x the bytes),
+    and the fine stage DMAs each candidate window straight from HBM
+    (ops/pallas_fine.py — XLA's row gather is orders of magnitude too slow
+    for that access pattern). Elsewhere the XLA twins are used.
+    use_pallas_fine / use_pallas_coarse override the defaults.
     """
 
     def __init__(self, db, *, stride: int | None = None, mesh: Mesh | None = None,
                  use_pallas_fine: bool | None = None,
+                 use_pallas_coarse: bool | None = None,
+                 coarse_tile: int = 128,
                  pallas_interpret: bool = False):
         self.db = db
         cfg = db.cfg
         self.stride = stride if stride is not None else cfg.db_downsample
         self.mesh = mesh
         self.pallas_interpret = pallas_interpret
+        if use_pallas_fine is None:
+            use_pallas_fine = jax.default_backend() == "tpu"
+        self.use_pallas_fine = use_pallas_fine
+        if use_pallas_coarse is None:
+            use_pallas_coarse = use_pallas_fine
+        # The fused coarse kernel stores the coarse DB flat, which only the
+        # Pallas match paths consume.
+        use_pallas_coarse = use_pallas_coarse and use_pallas_fine
+        self.use_pallas_coarse = use_pallas_coarse
+        self.coarse_tile = coarse_tile
         prints = db.prints
         lengths = db.lengths
         t = prints.shape[0]
-        if mesh is not None:
-            t_pad = pad_tracks_to_mesh(t, mesh)
-            if t_pad != t:
-                prints = np.concatenate(
-                    [prints, np.zeros((t_pad - t,) + prints.shape[1:], prints.dtype)])
-                lengths = np.concatenate([lengths, np.zeros(t_pad - t, lengths.dtype)])
+        # Track-count padding: whole tracks per mesh shard, and whole track
+        # tiles per shard for the fused coarse kernel (zero tracks score 0
+        # and fall to the n_real cut).
+        unit = mesh.devices.size if mesh is not None else 1
+        if use_pallas_coarse:
+            unit *= coarse_tile
+        t_pad = -(-t // unit) * unit
+        if t_pad != t:
+            prints = np.concatenate(
+                [prints, np.zeros((t_pad - t,) + prints.shape[1:], prints.dtype)])
+            lengths = np.concatenate([lengths, np.zeros(t_pad - t, lengths.dtype)])
         # Coarse prints are derived on device once at load time, in track
         # chunks: the unpack intermediate is ~256x the packed size, so a
         # whole-catalog unpack would blow HBM at 100k+ tracks.
@@ -159,9 +179,11 @@ class TwoStageDB:
         lc = coarse.shape[1]
         mask = (jnp.arange(lc)[None, :] < (jnp.asarray(lengths) // self.stride)[:, None])
         coarse = jnp.where(mask[..., None], coarse, 0).astype(jnp.int8)
-        if use_pallas_fine is None:
-            use_pallas_fine = jax.default_backend() == "tpu"
-        self.use_pallas_fine = use_pallas_fine
+        self.lc_true = lc
+        if use_pallas_coarse:
+            from ..ops.pallas_coarse import flatten_coarse
+
+            coarse = flatten_coarse(coarse)
         if mesh is not None:
             shard = NamedSharding(mesh, P(DB_AXIS))
             self.lengths = jax.device_put(jnp.asarray(lengths), shard)
@@ -205,7 +227,7 @@ class TwoStageDB:
         longer than every DB track have no catalog-scale use (the dense
         api.match path implements the oracle's truncated-overlap semantics
         if that's really wanted)."""
-        lc = self.db_c.shape[1]
+        lc = self.lc_true
         if n // self.stride > lc:
             raise ValueError(
                 f"query ({n} prints, {n // self.stride} coarse) is longer than "
@@ -213,38 +235,50 @@ class TwoStageDB:
                 "needs query <= padded DB length — use api.match for "
                 "truncated-overlap semantics")
 
+    def dispatch(self, query_dev, *, pool: int | None = None,
+                 fine_window: int | None = None):
+        """Queue one two-stage match on device; returns the (3, K) stacked
+        [scores, track idx, offsets] device array WITHOUT a host sync.
+
+        This is the exact program match() runs — benchmarks queue it
+        directly so device-side timings measure the production jit.
+        """
+        cfg = self.db.cfg
+        pool = pool if pool is not None else cfg.fine_candidates
+        fw = fine_window if fine_window is not None else self.stride
+        if self.mesh is None and self.use_pallas_fine:
+            return _two_stage_pallas_jit(
+                query_dev, self.d0, self.d1, self.lengths, self.db_c,
+                stride=self.stride, pool=pool, fine_window=fw,
+                l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
+                coarse_tile=self.coarse_tile,
+                interpret=self.pallas_interpret)
+        if self.mesh is None:
+            return _two_stage_jit(
+                query_dev, self.prints, self.lengths, self.db_c,
+                stride=self.stride, pool=pool, fine_window=fw)
+        if self.use_pallas_fine:
+            return _two_stage_sharded_pallas(
+                query_dev, self.d0, self.d1, self.lengths, self.db_c,
+                mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
+                l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
+                coarse_tile=self.coarse_tile,
+                interpret=self.pallas_interpret)
+        return _two_stage_sharded(
+            query_dev, self.prints, self.lengths, self.db_c,
+            mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw)
+
     def match(self, query_prints: np.ndarray, *, top_k: int | None = None,
               pool: int | None = None, fine_window: int | None = None):
         cfg = self.db.cfg
         top_k = top_k if top_k is not None else cfg.top_k
-        pool = pool if pool is not None else cfg.fine_candidates
-        fw = fine_window if fine_window is not None else self.stride
         q = jnp.asarray(np.asarray(query_prints, dtype=np.uint32))
         self._check_query_len(q.shape[0])
         # One device dispatch, one host materialization: on a tunneled host
         # link every extra sync costs a full roundtrip, so the query's coarse
         # derivation runs inside the same jit and the three result vectors
         # come back stacked.
-        if self.mesh is None and self.use_pallas_fine:
-            out = _two_stage_pallas_jit(
-                q, self.d0, self.d1, self.lengths, self.db_c,
-                stride=self.stride, pool=pool, fine_window=fw,
-                l_true=self.l_true, lpad=self.lpad,
-                interpret=self.pallas_interpret)
-        elif self.mesh is None:
-            out = _two_stage_jit(
-                q, self.prints, self.lengths, self.db_c,
-                stride=self.stride, pool=pool, fine_window=fw)
-        elif self.use_pallas_fine:
-            out = _two_stage_sharded_pallas(
-                q, self.d0, self.d1, self.lengths, self.db_c,
-                mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
-                l_true=self.l_true, lpad=self.lpad,
-                interpret=self.pallas_interpret)
-        else:
-            out = _two_stage_sharded(
-                q, self.prints, self.lengths, self.db_c,
-                mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw)
+        out = self.dispatch(q, pool=pool, fine_window=fine_window)
         scores, idx, offs = np.asarray(out)
         real = idx < self.n_real
         scores, idx, offs = scores[real], idx[real], offs[real]
@@ -270,10 +304,11 @@ class TwoStageDB:
         pool = pool if pool is not None else cfg.fine_candidates
         fw = fine_window if fine_window is not None else self.stride
         qs = jnp.asarray(np.asarray(query_batch, dtype=np.uint32))
+        self._check_query_len(qs.shape[1])
         out = np.asarray(_two_stage_pallas_batch_jit(
             qs, self.d0, self.d1, self.lengths, self.db_c,
             stride=self.stride, pool=pool, fine_window=fw,
-            l_true=self.l_true, lpad=self.lpad))
+            l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true))
         results = []
         for b in range(out.shape[0]):
             scores, idx, offs = out[b]
@@ -284,16 +319,23 @@ class TwoStageDB:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stride", "pool", "fine_window", "l_true", "lpad")
+    jax.jit, static_argnames=("stride", "pool", "fine_window", "l_true",
+                              "lpad", "lc_true")
 )
 def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
-                                *, stride, pool, fine_window, l_true, lpad):
+                                *, stride, pool, fine_window, l_true, lpad,
+                                lc_true=None):
     """Batched two-stage match: one coarse DB sweep serves all B queries."""
     from ..ops.pallas_fine import pallas_fine_rescan_batch
 
     b = queries.shape[0]
     qc = jax.vmap(lambda q: coarse_ops.coarse_pm1(q, stride))(queries)
+    if db_c.ndim == 2:   # flat layout (fused single-query coarse kernel)
+        db_c = db_c.reshape(db_c.shape[0], db_c.shape[1] // 64, 64)
     corr = coarse_ops.coarse_correlation_batch(qc, db_c)     # (B, T, Ac)
+    if lc_true is not None:
+        # Offsets the 3-D twin never scans (even-Lc flatten padding).
+        corr = corr[:, :, : lc_true - qc.shape[1] + 1]
     best_corr = jnp.max(corr, axis=2)                        # (B, T)
     best_a = jnp.argmax(corr, axis=2).astype(jnp.int32)      # (B, T)
     cand = jax.vmap(lambda bc: _pool_candidates(bc, pool))(best_corr)  # (B, K)
@@ -307,21 +349,33 @@ def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
     return jnp.stack([s, cand, o], axis=1)                   # (B, 3, K)
 
 
+def _coarse_best(query_c, db_c, *, lc_true, coarse_tile, interpret):
+    """Per-track (best corr, best coarse offset): fused Pallas kernel when
+    the coarse DB is flat, XLA conv + max/argmax when 3-D."""
+    if db_c.ndim == 2:
+        from ..ops.pallas_coarse import pallas_coarse_scan
+
+        return pallas_coarse_scan(query_c, db_c, tt=coarse_tile,
+                                  lc_true=lc_true, interpret=interpret)
+    corr = coarse_ops.coarse_correlation(query_c, db_c)
+    return jnp.max(corr, axis=1), jnp.argmax(corr, axis=1).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("stride", "pool", "fine_window", "l_true", "lpad",
-                     "interpret"),
+                     "lc_true", "coarse_tile", "interpret"),
 )
 def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
                           *, stride, pool, fine_window, l_true, lpad,
-                          interpret=False):
-    """Two-stage match with the Pallas DMA fine kernel (TPU path)."""
+                          lc_true=None, coarse_tile=128, interpret=False):
+    """Two-stage match with the Pallas kernels (TPU path)."""
     from ..ops.pallas_fine import pallas_fine_rescan
 
     query_c = coarse_ops.coarse_pm1(query, stride)
-    corr = coarse_ops.coarse_correlation(query_c, db_c)
-    best_corr = jnp.max(corr, axis=1)
-    best_a = jnp.argmax(corr, axis=1).astype(jnp.int32)
+    best_corr, best_a = _coarse_best(query_c, db_c, lc_true=lc_true,
+                                     coarse_tile=coarse_tile,
+                                     interpret=interpret)
     cand = _pool_candidates(best_corr, pool)
     n = query.shape[0]
     n_fine = 2 * fine_window + 1
@@ -344,12 +398,13 @@ def _two_stage_jit(query, prints, lengths, db_c, *, stride, pool, fine_window):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
-                     "lpad", "interpret"),
+                     "lpad", "lc_true", "coarse_tile", "interpret"),
 )
 def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
                               *, mesh, stride, pool, fine_window,
-                              l_true, lpad, interpret=False):
-    """Sharded two-stage with the Pallas DMA fine kernel per shard.
+                              l_true, lpad, lc_true=None, coarse_tile=128,
+                              interpret=False):
+    """Sharded two-stage with the Pallas kernels per shard.
 
     Each chip scans its coarse shard on the MXU, rescans its own candidate
     pool with local HBM DMAs, and the fixed-size candidate lists merge with
@@ -365,9 +420,9 @@ def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
 
     def shard_fn(q, qc, d0_loc, d1_loc, ln_loc, dc_loc):
         t_loc = ln_loc.shape[0]
-        corr = coarse_ops.coarse_correlation(qc, dc_loc)
-        best_corr = jnp.max(corr, axis=1)
-        best_a = jnp.argmax(corr, axis=1).astype(jnp.int32)
+        best_corr, best_a = _coarse_best(qc, dc_loc, lc_true=lc_true,
+                                         coarse_tile=coarse_tile,
+                                         interpret=interpret)
         cand = _pool_candidates(best_corr, pool)
         starts = jnp.clip(best_a[cand] * stride - fine_window, 0,
                           max(l_true - span, 0))

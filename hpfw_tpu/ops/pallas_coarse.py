@@ -1,0 +1,128 @@
+"""Pallas TPU kernel: fused coarse scan — int8 phase-GEMM + max/first-argmax.
+
+The two-stage matcher's coarse stage is bandwidth-bound: at 250k tracks the
+int8 coarse database is ~1.3 GB and the MACs are trivial (SURVEY.md §3.3
+"the single hottest loop"). The XLA formulation (ops/coarse.py
+coarse_correlation) loses ~4x off HBM peak two ways:
+
+  1. it materializes a zero-PADDED copy of the coarse DB in HBM (the
+     128-phase conv needs (m-1)*128 + Nc + 127 windows per track — ~1.8x
+     the real data at 60 s tracks) and then reads that;
+  2. it writes the full (T, offsets) int32 correlation surface back to HBM
+     and re-reads it for the max/argmax reduction (~2x the coarse DB again).
+
+This kernel streams each track tile's REAL bytes from HBM exactly once
+(Pallas double-buffers the tile DMA automatically), zero-extends in
+registers, runs the phase GEMM on the MXU (int8 x int8 -> int32), and
+reduces best-correlation + first-best-offset in VMEM — writing back just
+two int32 words per track.
+
+Math (identical to coarse_correlation + max/argmax, tested exact):
+  corr(t, o) = sum_j q(j) . d(t, o + j)      over coarse windows, int32
+  best(t)    = max_o corr(t, o),  idx(t) = argmin{o : corr(t,o) = best}
+with o < n_off = Lc - Nc + 1 and the query embedded at S phase shifts into
+a ((Nc+S-1)*64, S) int8 kernel so output lane r of GEMM block m scores
+offset m*S + r at full MXU width.
+
+Layout contract: the coarse DB is FLAT (T, Lc*64) int8 with Lc*64 a
+multiple of 128 lanes and T a multiple of the track tile (caller pads; a
+zero track scores 0 everywhere and is filtered by the n_real cut).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TRACK_TILE = 128     # tracks per program (grid rows)
+PHASES = 128         # query phase shifts = GEMM output lanes (MXU width)
+
+
+def _coarse_kernel(w_ref, db_ref, best_ref, idx_ref, *,
+                   lcw: int, k_pad: int, s: int, m_blocks: int, n_off: int):
+    """One track tile: phase GEMM per offset block, fused max/first-argmax."""
+    tt = db_ref.shape[0]
+    parts = []
+    for m in range(m_blocks):
+        col0 = m * s * 64
+        k_m = min(k_pad, lcw - col0)
+        x = db_ref[:, col0:col0 + k_m]
+        parts.append(jax.lax.dot_general(
+            x, w_ref[:k_m, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32))
+    corr = parts[0] if m_blocks == 1 else jnp.concatenate(parts, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, corr.shape, 1)
+    corr = jnp.where(lane < n_off, corr, jnp.int32(-(2 ** 31) + 1))
+    best = jnp.max(corr, axis=1, keepdims=True)
+    # Mosaic argmax tie direction is unreliable -> min-index-where-equal
+    # (first best offset, same as the XLA twin's argmax).
+    idx = jnp.min(jnp.where(corr == best, lane, jnp.int32(2 ** 30)),
+                  axis=1, keepdims=True)
+    best_ref[:] = best
+    idx_ref[:] = idx
+
+
+@functools.partial(jax.jit, static_argnames=("s", "tt", "lc_true", "interpret"))
+def pallas_coarse_scan(
+    query_c: jnp.ndarray,    # (Nc, 64) int8 +/-1 coarse query
+    db_c_flat: jnp.ndarray,  # (T, Lc*64) int8, zero past each track's length
+    *,
+    s: int = PHASES,
+    tt: int = TRACK_TILE,
+    lc_true: int | None = None,  # pre-flatten window count (offsets scanned
+                                 # match the XLA twin on the 3-D array)
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-track (best corr, first best coarse offset). ((T,), (T,)) int32."""
+    nc = query_c.shape[0]
+    t, lcw = db_c_flat.shape
+    assert lcw % 128 == 0, "flat coarse rows must be 128-lane aligned"
+    assert t % tt == 0, "pad tracks to the track tile"
+    lc = lcw // 64
+    n_off = (lc_true if lc_true is not None else lc) - nc + 1
+    assert n_off >= 1, "query longer than the coarse DB (caller checks)"
+    m_blocks = -(-n_off // s)
+    # Phase-shift kernel, rows padded to a 128-lane-sliceable K.
+    k_full = (nc + s - 1) * 64
+    k_pad = -(-k_full // 128) * 128
+    w = jnp.stack(
+        [jnp.pad(query_c, ((r, s - 1 - r), (0, 0))) for r in range(s)],
+        axis=-1,
+    ).reshape(k_full, s)
+    w = jnp.pad(w, ((0, k_pad - k_full), (0, 0)))
+    kernel = functools.partial(_coarse_kernel, lcw=lcw, k_pad=k_pad, s=s,
+                               m_blocks=m_blocks, n_off=n_off)
+    best, idx = pl.pallas_call(
+        kernel,
+        grid=(t // tt,),
+        in_specs=[
+            pl.BlockSpec((k_pad, s), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, lcw), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, 1), jnp.int32),
+            jax.ShapeDtypeStruct((t, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(w, db_c_flat)
+    return best[:, 0], idx[:, 0]
+
+
+def flatten_coarse(db_c: jnp.ndarray) -> jnp.ndarray:
+    """(T, Lc, 64) int8 -> (T, Lc_even*64) flat, Lc padded to an even count
+    so rows are 128-lane aligned. One-time XLA reshape at DB load."""
+    t, lc, _ = db_c.shape
+    if lc % 2:
+        db_c = jnp.pad(db_c, ((0, 0), (0, 1), (0, 0)))
+        lc += 1
+    return db_c.reshape(t, lc * 64)

@@ -1,0 +1,74 @@
+"""Pallas fused coarse scan vs the XLA twin — exact int32 equality.
+
+Runs in interpret mode on the CPU sim; the hardware run is
+benchmarks/config4_scale.py (and the @tpu smoke subset).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hpfw_tpu.ops import coarse as coarse_ops
+from hpfw_tpu.ops.pallas_coarse import flatten_coarse, pallas_coarse_scan
+
+
+def _xla_best(query_c, db_c):
+    corr = np.asarray(coarse_ops.coarse_correlation(
+        jnp.asarray(query_c), jnp.asarray(db_c)))
+    return corr.max(axis=1), corr.argmax(axis=1)
+
+
+def _mk(rng, t, lc, nc, lengths=None):
+    q = rng.choice([-1, 1], (nc, 64)).astype(np.int8)
+    d = rng.choice([-1, 1], (t, lc, 64)).astype(np.int8)
+    if lengths is not None:
+        for i, ln in enumerate(lengths):
+            d[i, ln:] = 0
+    return q, d
+
+
+@pytest.mark.parametrize("lc,nc,s", [(19, 5, 8), (40, 5, 8), (40, 11, 16)])
+def test_pallas_coarse_equals_xla(lc, nc, s):
+    """Covers m_blocks = 1 and > 1, k_pad below and above lcw."""
+    rng = np.random.default_rng(0)
+    t, tt = 32, 16
+    q, d = _mk(rng, t, lc, nc,
+               lengths=rng.integers(nc, lc + 1, size=t))
+    want_best, want_idx = _xla_best(q, d)
+    flat = flatten_coarse(jnp.asarray(d))
+    best, idx = pallas_coarse_scan(jnp.asarray(q), flat, s=s, tt=tt,
+                                   lc_true=lc, interpret=True)
+    np.testing.assert_array_equal(np.asarray(best), want_best)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+def test_pallas_coarse_first_argmax_on_ties():
+    """Planted equal peaks: the reported offset must be the FIRST best."""
+    rng = np.random.default_rng(1)
+    nc, lc, t, tt, s = 4, 24, 16, 16, 8
+    q = rng.choice([-1, 1], (nc, 64)).astype(np.int8)
+    d = np.zeros((t, lc, 64), np.int8)
+    for i in range(t):
+        d[i, 3:3 + nc] = q     # peak at offset 3
+        d[i, 11:11 + nc] = q   # identical peak at offset 11
+    want_best, want_idx = _xla_best(q, d)
+    best, idx = pallas_coarse_scan(
+        jnp.asarray(q), flatten_coarse(jnp.asarray(d)), s=s, tt=tt,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(best), want_best)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    assert int(idx[0]) == 3
+
+
+def test_pallas_coarse_zero_padded_tracks_score_zero():
+    rng = np.random.default_rng(2)
+    nc, lc, t, tt, s = 3, 10, 16, 8, 8
+    q, d = _mk(rng, t, lc, nc)
+    d[t // 2:] = 0   # padded track slots
+    best, idx = pallas_coarse_scan(
+        jnp.asarray(q), flatten_coarse(jnp.asarray(d)), s=s, tt=tt,
+        interpret=True)
+    assert np.all(np.asarray(best[t // 2:]) == 0)
+    want_best, _ = _xla_best(q, d)
+    np.testing.assert_array_equal(np.asarray(best), want_best)

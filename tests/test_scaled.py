@@ -164,3 +164,23 @@ def test_dense_match_overlong_query_truncated_overlap(cfg):
         assert ids[rank_i] == str(ti)
         assert int(scores[rank_i]) == want[ti][0]
         assert int(offs[rank_i]) == want[ti][1]
+
+
+def test_two_stage_pallas_coarse_equals_xla_coarse(cfg):
+    """Isolates the fused coarse kernel: same fine path, coarse XLA vs Pallas."""
+    tracks = synth.synth_catalog(21, 4.0, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    a = TwoStageDB(db, stride=4, use_pallas_fine=True, use_pallas_coarse=False,
+                   pallas_interpret=True)
+    b = TwoStageDB(db, stride=4, use_pallas_fine=True, use_pallas_coarse=True,
+                   coarse_tile=16, pallas_interpret=True)
+    for seed in (0, 1):
+        q = synth.make_query(tracks[seed + 9], 0.7, 2.0, cfg,
+                             noise_db=-12.0, seed=seed)
+        qfp = api.fingerprint(q, filters, cfg)
+        ids_a, s_a, o_a = a.match(qfp, top_k=5, pool=16)
+        ids_b, s_b, o_b = b.match(qfp, top_k=5, pool=16)
+        assert ids_a == ids_b
+        np.testing.assert_array_equal(s_a, s_b)
+        np.testing.assert_array_equal(o_a, o_b)
