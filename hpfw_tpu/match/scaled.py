@@ -64,14 +64,19 @@ def _fine_rescan(query, cand_prints, cand_lengths, o_centers, *, fine_window):
 
 
 def _pool_candidates(best_corr, pool: int):
-    """Top-`pool` track indices, padded to a multiple of 8 (the Pallas
+    """EXACT top-`pool` track indices, padded to a multiple of 8 (the Pallas
     candidate tile) by repeating the first candidate; duplicates are
-    deduplicated in the host-side ranking."""
+    deduplicated in the host-side ranking.
+
+    lax.top_k (not approx_max_k): exact pooling is what the module
+    docstring's exact-on-pool guarantee rests on, and it measures FASTER on
+    the v5e at catalog scale (1.5 ms vs 2.0 ms over 100k int32 scores —
+    benchmarks/profile_stages.py)."""
     t = best_corr.shape[0]
     k0 = max(1, min(pool, t))
     k = -(-k0 // 8) * 8
     kk = min(k, t)
-    _, cand = jax.lax.approx_max_k(best_corr.astype(jnp.float32), kk)
+    _, cand = jax.lax.top_k(best_corr, kk)
     cand = cand.astype(jnp.int32)
     if k > kk:
         cand = jnp.concatenate([cand, jnp.broadcast_to(cand[:1], (k - kk,))])
@@ -296,19 +301,26 @@ class TwoStageDB:
         if not self.use_pallas_fine:
             raise ValueError("match_batch requires the Pallas fine path "
                              "(use_pallas_fine=True)")
-        if self.mesh is not None:
-            raise ValueError("match_batch on a mesh: not yet wired "
-                             "(single-device only)")
         cfg = self.db.cfg
         top_k = top_k if top_k is not None else cfg.top_k
         pool = pool if pool is not None else cfg.fine_candidates
         fw = fine_window if fine_window is not None else self.stride
         qs = jnp.asarray(np.asarray(query_batch, dtype=np.uint32))
         self._check_query_len(qs.shape[1])
-        out = np.asarray(_two_stage_pallas_batch_jit(
-            qs, self.d0, self.d1, self.lengths, self.db_c,
-            stride=self.stride, pool=pool, fine_window=fw,
-            l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true))
+        if self.mesh is not None:
+            out = np.asarray(_two_stage_sharded_batch(
+                qs, self.d0, self.d1, self.lengths, self.db_c,
+                mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
+                l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
+                coarse_tile=self.coarse_tile,
+                interpret=self.pallas_interpret))
+        else:
+            out = np.asarray(_two_stage_pallas_batch_jit(
+                qs, self.d0, self.d1, self.lengths, self.db_c,
+                stride=self.stride, pool=pool, fine_window=fw,
+                l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
+                coarse_tile=self.coarse_tile,
+                interpret=self.pallas_interpret))
         results = []
         for b in range(out.shape[0]):
             scores, idx, offs = out[b]
@@ -318,26 +330,36 @@ class TwoStageDB:
         return results
 
 
+def _coarse_best_batch(qc, db_c, *, lc_true, coarse_tile, interpret):
+    """Batched per-track (best corr, best offset): fused Pallas batch kernel
+    on the flat layout (one DB sweep for all B queries), XLA conv when 3-D."""
+    if db_c.ndim == 2:
+        from ..ops.pallas_coarse import pallas_coarse_scan_batch
+
+        return pallas_coarse_scan_batch(qc, db_c, tt=coarse_tile,
+                                        lc_true=lc_true, interpret=interpret)
+    corr = coarse_ops.coarse_correlation_batch(qc, db_c)     # (B, T, Ac)
+    if lc_true is not None:
+        corr = corr[:, :, : lc_true - qc.shape[1] + 1]
+    return jnp.max(corr, axis=2), jnp.argmax(corr, axis=2).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("stride", "pool", "fine_window", "l_true",
-                              "lpad", "lc_true")
+                              "lpad", "lc_true", "coarse_tile", "interpret")
 )
 def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
                                 *, stride, pool, fine_window, l_true, lpad,
-                                lc_true=None):
+                                lc_true=None, coarse_tile=128,
+                                interpret=False):
     """Batched two-stage match: one coarse DB sweep serves all B queries."""
     from ..ops.pallas_fine import pallas_fine_rescan_batch
 
     b = queries.shape[0]
     qc = jax.vmap(lambda q: coarse_ops.coarse_pm1(q, stride))(queries)
-    if db_c.ndim == 2:   # flat layout (fused single-query coarse kernel)
-        db_c = db_c.reshape(db_c.shape[0], db_c.shape[1] // 64, 64)
-    corr = coarse_ops.coarse_correlation_batch(qc, db_c)     # (B, T, Ac)
-    if lc_true is not None:
-        # Offsets the 3-D twin never scans (even-Lc flatten padding).
-        corr = corr[:, :, : lc_true - qc.shape[1] + 1]
-    best_corr = jnp.max(corr, axis=2)                        # (B, T)
-    best_a = jnp.argmax(corr, axis=2).astype(jnp.int32)      # (B, T)
+    best_corr, best_a = _coarse_best_batch(qc, db_c, lc_true=lc_true,
+                                           coarse_tile=coarse_tile,
+                                           interpret=interpret)
     cand = jax.vmap(lambda bc: _pool_candidates(bc, pool))(best_corr)  # (B, K)
     n = queries.shape[1]
     n_fine = 2 * fine_window + 1
@@ -345,8 +367,54 @@ def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
     centers = jnp.take_along_axis(best_a, cand, axis=1)
     starts = jnp.clip(centers * stride - fine_window, 0, max(l_true - span, 0))
     s, o = pallas_fine_rescan_batch(queries, d0, d1, lengths, cand, starts,
-                                    n_fine=n_fine, lpad=lpad)
+                                    n_fine=n_fine, lpad=lpad,
+                                    interpret=interpret)
     return jnp.stack([s, cand, o], axis=1)                   # (B, 3, K)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
+                     "lpad", "lc_true", "coarse_tile", "interpret"),
+)
+def _two_stage_sharded_batch(queries, d0, d1, lengths, db_c,
+                             *, mesh, stride, pool, fine_window, l_true,
+                             lpad, lc_true=None, coarse_tile=128,
+                             interpret=False):
+    """Sharded batched serving: per shard, one coarse sweep serves all B
+    queries and the per-shard batched fine rescan runs on local DMAs; the
+    fixed-size (B, 3, K) candidate blocks merge with one all-gather along K.
+    """
+    from ..ops.pallas_fine import pallas_fine_rescan_batch
+
+    qcs = jax.vmap(lambda q: coarse_ops.coarse_pm1(q, stride))(queries)
+    n = queries.shape[1]
+    n_fine = 2 * fine_window + 1
+    span = n + n_fine - 1
+
+    def shard_fn(qs, qc, d0_loc, d1_loc, ln_loc, dc_loc):
+        t_loc = ln_loc.shape[0]
+        best_corr, best_a = _coarse_best_batch(qc, dc_loc, lc_true=lc_true,
+                                               coarse_tile=coarse_tile,
+                                               interpret=interpret)
+        cand = jax.vmap(lambda bc: _pool_candidates(bc, pool))(best_corr)
+        centers = jnp.take_along_axis(best_a, cand, axis=1)
+        starts = jnp.clip(centers * stride - fine_window, 0,
+                          max(l_true - span, 0))
+        s, o = pallas_fine_rescan_batch(qs, d0_loc, d1_loc, ln_loc, cand,
+                                        starts, n_fine=n_fine, lpad=lpad,
+                                        interpret=interpret)
+        shard = jax.lax.axis_index(DB_AXIS).astype(jnp.int32)
+        gi = shard * t_loc + cand
+        return jax.lax.all_gather(jnp.stack([s, gi, o], axis=1), DB_AXIS,
+                                  tiled=True, axis=2)
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )(queries, qcs, d0, d1, lengths, db_c)
 
 
 def _coarse_best(query_c, db_c, *, lc_true, coarse_tile, interpret):

@@ -44,16 +44,23 @@ PHASES = 128         # query phase shifts = GEMM output lanes (MXU width)
 
 def _coarse_kernel(w_ref, db_ref, best_ref, idx_ref, *,
                    lcw: int, k_pad: int, s: int, m_blocks: int, n_off: int):
-    """One track tile: phase GEMM per offset block, fused max/first-argmax."""
+    """One track tile: phase GEMM per offset block, fused max/first-argmax.
+
+    The GEMM runs in bf16 with f32 accumulation — EXACT for this data
+    (+/-1/0 values, partial sums < 2^24) and ~6x faster than integer
+    dot_general, which Mosaic lowers to multi-pass emulation on this stack
+    (measured 33 TOPS int8 vs native-rate bf16). Storage stays int8 (HBM
+    bytes are the budget); the cast happens in registers.
+    """
     tt = db_ref.shape[0]
     parts = []
     for m in range(m_blocks):
         col0 = m * s * 64
         k_m = min(k_pad, lcw - col0)
-        x = db_ref[:, col0:col0 + k_m]
+        x = db_ref[:, col0:col0 + k_m].astype(jnp.bfloat16)
         parts.append(jax.lax.dot_general(
             x, w_ref[:k_m, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32))
+            preferred_element_type=jnp.float32).astype(jnp.int32))
     corr = parts[0] if m_blocks == 1 else jnp.concatenate(parts, axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, corr.shape, 1)
     corr = jnp.where(lane < n_off, corr, jnp.int32(-(2 ** 31) + 1))
@@ -93,7 +100,7 @@ def pallas_coarse_scan(
         [jnp.pad(query_c, ((r, s - 1 - r), (0, 0))) for r in range(s)],
         axis=-1,
     ).reshape(k_full, s)
-    w = jnp.pad(w, ((0, k_pad - k_full), (0, 0)))
+    w = jnp.pad(w, ((0, k_pad - k_full), (0, 0))).astype(jnp.bfloat16)
     kernel = functools.partial(_coarse_kernel, lcw=lcw, k_pad=k_pad, s=s,
                                m_blocks=m_blocks, n_off=n_off)
     best, idx = pl.pallas_call(
@@ -116,6 +123,66 @@ def pallas_coarse_scan(
         interpret=interpret,
     )(w, db_c_flat)
     return best[:, 0], idx[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("s", "tt", "lc_true", "interpret"))
+def pallas_coarse_scan_batch(
+    query_cs: jnp.ndarray,   # (B, Nc, 64) int8 +/-1 equal-length queries
+    db_c_flat: jnp.ndarray,  # (T, Lc*64) int8
+    *,
+    s: int = PHASES,
+    tt: int = TRACK_TILE,
+    lc_true: int | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched fused coarse scan: ((B, T), (B, T)) int32 best/offset.
+
+    Same kernel body as the single-query scan on a (tracks, query) grid with
+    the query dimension minor: each track tile is DMA'd from HBM ONCE and
+    revisited for all B queries (Pallas skips the re-fetch when the block
+    index is unchanged), so the whole coarse DB streams once per batch and
+    per-query cost approaches pure MXU time — the serving-throughput path.
+    """
+    b, nc, _ = query_cs.shape
+    t, lcw = db_c_flat.shape
+    assert lcw % 128 == 0 and t % tt == 0
+    lc = lcw // 64
+    n_off = (lc_true if lc_true is not None else lc) - nc + 1
+    assert n_off >= 1
+    m_blocks = -(-n_off // s)
+    k_full = (nc + s - 1) * 64
+    k_pad = -(-k_full // 128) * 128
+    # One phase kernel per query, stacked along rows: (B*k_pad, S).
+    w = jax.vmap(
+        lambda q: jnp.pad(
+            jnp.stack([jnp.pad(q, ((r, s - 1 - r), (0, 0))) for r in range(s)],
+                      axis=-1).reshape(k_full, s),
+            ((0, k_pad - k_full), (0, 0)))
+    )(query_cs).reshape(b * k_pad, s).astype(jnp.bfloat16)
+    kernel = functools.partial(_coarse_kernel, lcw=lcw, k_pad=k_pad, s=s,
+                               m_blocks=m_blocks, n_off=n_off)
+    best, idx = pl.pallas_call(
+        kernel,
+        grid=(t // tt, b),
+        in_specs=[
+            pl.BlockSpec((k_pad, s), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, lcw), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tt, 1), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, 1), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b), jnp.int32),
+            jax.ShapeDtypeStruct((t, b), jnp.int32),
+        ],
+        interpret=interpret,
+    )(w, db_c_flat)
+    return best.T, idx.T
 
 
 def flatten_coarse(db_c: jnp.ndarray) -> jnp.ndarray:

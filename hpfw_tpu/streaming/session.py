@@ -9,8 +9,9 @@ an example driver (SURVEY.md §3.4). Here it is a first-class subsystem:
   sequence-parallel analog of SURVEY.md §2.2: time-axis chunking with halo
   overlap). One compile, any stream length.
 - StreamingSession: ring of recent prints as the sliding query, continuous
-  match against a FingerprintDB (dense) or ShardedDB (mesh), per-step
-  latency tracking for the p50/p99 harness.
+  match against a FingerprintDB (dense), ShardedDB (mesh), or TwoStageDB
+  (catalog scale — the production live-song-ID pairing), per-step latency
+  tracking for the p50/p99 harness.
 """
 
 from __future__ import annotations
@@ -97,9 +98,9 @@ class StreamingSession:
     def _match_window(self):
         q = np.array(self._ring, dtype=np.uint32)
         t0 = time.perf_counter()
-        if hasattr(self.db, "mesh"):  # ShardedDB
+        if hasattr(self.db, "match"):  # ShardedDB / TwoStageDB
             ids, scores, offs = self.db.match(q, top_k=1)
-        else:
+        else:  # dense FingerprintDB
             from .. import api
 
             ids, scores, offs = api.match(q, self.db, top_k=1)

@@ -72,3 +72,23 @@ def test_pallas_coarse_zero_padded_tracks_score_zero():
     assert np.all(np.asarray(best[t // 2:]) == 0)
     want_best, _ = _xla_best(q, d)
     np.testing.assert_array_equal(np.asarray(best), want_best)
+
+
+def test_pallas_coarse_batch_equals_single():
+    rng = np.random.default_rng(3)
+    t, tt, lc, nc, s, b = 32, 16, 40, 5, 8, 3
+    d = rng.choice([-1, 1], (t, lc, 64)).astype(np.int8)
+    lens = rng.integers(nc, lc + 1, size=t)
+    for i, ln in enumerate(lens):
+        d[i, ln:] = 0
+    qs = rng.choice([-1, 1], (b, nc, 64)).astype(np.int8)
+    flat = flatten_coarse(jnp.asarray(d))
+    from hpfw_tpu.ops.pallas_coarse import pallas_coarse_scan_batch
+
+    best_b, idx_b = pallas_coarse_scan_batch(jnp.asarray(qs), flat, s=s,
+                                             tt=tt, lc_true=lc, interpret=True)
+    for k in range(b):
+        best_1, idx_1 = pallas_coarse_scan(jnp.asarray(qs[k]), flat, s=s,
+                                           tt=tt, lc_true=lc, interpret=True)
+        np.testing.assert_array_equal(np.asarray(best_b[k]), np.asarray(best_1))
+        np.testing.assert_array_equal(np.asarray(idx_b[k]), np.asarray(idx_1))

@@ -58,3 +58,28 @@ def test_streaming_session_identifies_track(cfg):
     stats = sess.latency_stats()
     assert stats["n_matches"] > 0
     assert np.isfinite(stats["match_p50_ms"])
+
+
+def test_streaming_session_with_two_stage_db(cfg):
+    """Catalog-scale pairing: live stream matched against a TwoStageDB
+    (the production live-song-ID path) converges to the truth and agrees
+    with the dense-DB session."""
+    from hpfw_tpu.match.scaled import TwoStageDB
+
+    tracks = synth.synth_catalog(12, 5.0, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    ts = TwoStageDB(db, stride=4)
+    live = synth.make_query(tracks[9], 0.5, 4.0, cfg, noise_db=-15.0, seed=2)
+    sess_ts = StreamingSession(ts, filters, cfg, query_prints=64, chunk_prints=16)
+    sess_dense = StreamingSession(db, filters, cfg, query_prints=64, chunk_prints=16)
+    step = cfg.sample_rate // 4
+    best_ts = best_dense = None
+    for pos in range(0, len(live), step):
+        chunk = live[pos:pos + step]
+        best_ts = sess_ts.feed(chunk)
+        best_dense = sess_dense.feed(chunk)
+    assert best_ts is not None and best_ts[0] == "9"
+    # Same final hypothesis as the dense session (two-stage is exact-on-pool).
+    assert best_ts == best_dense
+    assert sess_ts.latency_stats()["n_matches"] > 0
