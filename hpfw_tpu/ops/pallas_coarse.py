@@ -35,11 +35,33 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TRACK_TILE = 128     # tracks per program (grid rows)
 PHASES = 128         # query phase shifts = GEMM output lanes (MXU width)
+
+
+def _phase_matrix(query_c: jnp.ndarray, s: int, k_pad: int) -> jnp.ndarray:
+    """((Nc+S-1)*64 -> k_pad, S) bf16 phase-shift kernel: column r is the
+    query shifted down r windows.
+
+    Built with ONE static selection GEMM — sel[(j,r), t] = [j - r == t] is a
+    trace-time constant — because the naive jnp.stack of S padded copies
+    costs ~2 ms of launch-latency-bound XLA ops per query on this stack.
+    """
+    nc = query_c.shape[0]
+    rows = nc + s - 1
+    j = np.arange(rows)[:, None, None]
+    r = np.arange(s)[None, :, None]
+    t = np.arange(nc)[None, None, :]
+    sel = jnp.asarray((j - r == t).reshape(rows * s, nc), dtype=jnp.bfloat16)
+    w3 = jax.lax.dot_general(
+        sel, query_c.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (rows*S, 64)
+    w = w3.reshape(rows, s, 64).transpose(0, 2, 1).reshape(rows * 64, s)
+    return jnp.pad(w, ((0, k_pad - rows * 64), (0, 0))).astype(jnp.bfloat16)
 
 
 def _coarse_kernel(w_ref, db_ref, best_ref, idx_ref, *,
@@ -96,11 +118,7 @@ def pallas_coarse_scan(
     # Phase-shift kernel, rows padded to a 128-lane-sliceable K.
     k_full = (nc + s - 1) * 64
     k_pad = -(-k_full // 128) * 128
-    w = jnp.stack(
-        [jnp.pad(query_c, ((r, s - 1 - r), (0, 0))) for r in range(s)],
-        axis=-1,
-    ).reshape(k_full, s)
-    w = jnp.pad(w, ((0, k_pad - k_full), (0, 0))).astype(jnp.bfloat16)
+    w = _phase_matrix(query_c, s, k_pad)
     kernel = functools.partial(_coarse_kernel, lcw=lcw, k_pad=k_pad, s=s,
                                m_blocks=m_blocks, n_off=n_off)
     best, idx = pl.pallas_call(
@@ -153,12 +171,8 @@ def pallas_coarse_scan_batch(
     k_full = (nc + s - 1) * 64
     k_pad = -(-k_full // 128) * 128
     # One phase kernel per query, stacked along rows: (B*k_pad, S).
-    w = jax.vmap(
-        lambda q: jnp.pad(
-            jnp.stack([jnp.pad(q, ((r, s - 1 - r), (0, 0))) for r in range(s)],
-                      axis=-1).reshape(k_full, s),
-            ((0, k_pad - k_full), (0, 0)))
-    )(query_cs).reshape(b * k_pad, s).astype(jnp.bfloat16)
+    w = jax.vmap(lambda q: _phase_matrix(q, s, k_pad))(
+        query_cs).reshape(b * k_pad, s)
     kernel = functools.partial(_coarse_kernel, lcw=lcw, k_pad=k_pad, s=s,
                                m_blocks=m_blocks, n_off=n_off)
     best, idx = pl.pallas_call(
