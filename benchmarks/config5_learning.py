@@ -41,7 +41,54 @@ def accuracy(db, filters, tracks, cfg, degrade, n_eval, rng, matcher=None):
     return hits / n_eval
 
 
-def main(n_tracks=50, track_seconds=30.0, n_train=12, n_eval=20):
+def artist_eval(cfg, n_eval, *, n_artists=6, tracks_per=8, track_seconds=30.0):
+    """Known-artist robustness: per-artist filter banks vs one global bank vs
+    random projections, matched within the true artist's catalog (the
+    paper's known-artist setting). Pitch conditions are where learned
+    spectro-temporal structure should pay off."""
+    from hpfw_tpu.artist import ArtistDB
+
+    catalogs = {
+        f"artist{a}": {f"a{a}t{i}": synth.synth_artist_track(a, i, track_seconds, cfg)
+                       for i in range(tracks_per)}
+        for a in range(n_artists)
+    }
+    log(f"artist eval: {n_artists} artists x {tracks_per} tracks")
+    adb = ArtistDB.build(catalogs, cfg)           # per-artist learned banks
+    all_tracks = [t for c in catalogs.values() for t in c.values()]
+    global_f = api.learn_filters(all_tracks, cfg)
+    random_f = make_filters(cfg, seed=123)
+    banks = {
+        "perartist": adb.banks,
+        "global": {a: api.build_db(c, global_f, cfg) for a, c in catalogs.items()},
+        "random": {a: api.build_db(c, random_f, cfg) for a, c in catalogs.items()},
+    }
+    conditions = [("clean", 0.0), ("pitch_+0.5st", 0.5),
+                  ("pitch_-0.5st", -0.5), ("pitch_+1st", 1.0)]
+    for mode, dbs in banks.items():
+        for cond, semis in conditions:
+            rng = np.random.default_rng(42)
+            hits = 0
+            for _ in range(n_eval):
+                a = f"artist{int(rng.integers(0, n_artists))}"
+                ti = int(rng.integers(0, tracks_per))
+                q = synth.make_query(catalogs[a][f"{a.replace('artist', 'a')}t{ti}"],
+                                     rng.uniform(0.5, 2.0), 8.0, cfg,
+                                     noise_db=-20.0,
+                                     seed=int(rng.integers(1 << 30)))
+                if semis:
+                    q = synth.pitch_shift(q, semis, cfg)
+                q = q[: int(7.0 * cfg.sample_rate)]
+                qfp = api.fingerprint(q, dbs[a].filters, cfg)
+                ids, _, _ = api.match(qfp, dbs[a], top_k=1)
+                hits += ids[0] == f"{a.replace('artist', 'a')}t{ti}"
+            acc = hits / n_eval
+            emit(f"config5_artist_{mode}_{cond}", round(acc, 3), "accuracy",
+                 n_eval=n_eval)
+            log(f"artist {mode:9s} {cond:14s} top1={acc:.2f}")
+
+
+def main(n_tracks=50, track_seconds=30.0, n_train=12, n_eval=100):
     cfg = HpfwConfig()
     rng = np.random.default_rng(7)
     log(f"catalog {n_tracks} x {track_seconds}s; training on {n_train} tracks")
@@ -86,6 +133,8 @@ def main(n_tracks=50, track_seconds=30.0, n_train=12, n_eval=20):
                            matcher=ts)
             emit(f"config5_twostage_s{stride}_{cond}", round(acc, 3), "accuracy")
             log(f"two-stage s={stride:2d} {cond:12s} top1={acc:.2f}")
+
+    artist_eval(cfg, n_eval)
 
 
 if __name__ == "__main__":

@@ -11,18 +11,22 @@ Public surface (mirrors the reference, SURVEY.md §1.2):
     match(query, db)      -> ranked track IDs
     build_db / learn_filters / FingerprintDB.save/load
     streaming.StreamingSession for live song ID
+    artist.ArtistDB for per-artist filter banks (known-artist song ID)
 """
 
 from .utils.cache import enable_compilation_cache as _enable_cache
 
 _enable_cache()
 
-from .api import FingerprintDB, build_db, fingerprint, learn_filters, match
+from .api import (FingerprintDB, build_db, fingerprint, fingerprint_multi,
+                  learn_filters, match)
+from .artist import ArtistDB
 from .config import DEFAULT_CONFIG, HpfwConfig
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
-    "FingerprintDB", "build_db", "fingerprint", "learn_filters", "match",
+    "FingerprintDB", "build_db", "fingerprint", "fingerprint_multi",
+    "learn_filters", "match", "ArtistDB",
     "HpfwConfig", "DEFAULT_CONFIG", "__version__",
 ]

@@ -140,6 +140,49 @@ def fingerprint_stream(
         yield np.asarray(r)
 
 
+@functools.lru_cache(maxsize=16)
+def _fingerprint_multi_jit(cfg: HpfwConfig, n_samples: int, n_banks: int):
+    """PCM -> (A, N, 2) prints under A filter banks, CQT computed once.
+
+    The per-bank projections fuse into ONE (M, D) @ (D, A*64) GEMM, then
+    delta/sign/pack vmap over banks. Bit-identical to fingerprinting with
+    each bank separately (each output column's dot is independent)."""
+
+    def run(pcm, filter_stack):           # filter_stack: (A, D, 64)
+        spec = frontend.cqt(pcm, cfg)
+        a, d, nf = filter_stack.shape
+        wide = jnp.transpose(filter_stack, (1, 0, 2)).reshape(d, a * nf)
+        y = fp_ops.project_features(spec, wide, cfg)      # (M, A*64)
+        y = y.reshape(-1, a, nf).transpose(1, 0, 2)       # (A, M, 64)
+        return jax.vmap(
+            lambda yy: fp_ops.binarize_and_pack(fp_ops.delta(yy, cfg), cfg)
+        )(y)
+
+    return jax.jit(run)
+
+
+def fingerprint_multi(
+    pcm: np.ndarray,
+    filter_stack: np.ndarray,
+    cfg: HpfwConfig = DEFAULT_CONFIG,
+) -> np.ndarray:
+    """Fingerprint one clip under A filter banks -> (A, N, 2) uint32.
+
+    The known-artist path (hpfw_tpu.artist): adding banks widens one MXU
+    GEMM instead of re-running the pipeline per artist.
+    """
+    pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
+    filter_stack = np.asarray(filter_stack, dtype=np.float32)
+    if filter_stack.ndim != 3:
+        raise ValueError(f"expected (A, D, 64) filter stack, got {filter_stack.shape}")
+    n_true = cfg.n_hashprints(pcm.shape[0])
+    if n_true == 0:
+        return np.zeros((filter_stack.shape[0], 0, 2), dtype=np.uint32)
+    fn = _fingerprint_multi_jit(cfg, pcm.shape[0], filter_stack.shape[0])
+    out = np.asarray(fn(jnp.asarray(pcm), jnp.asarray(filter_stack)))
+    return out[:, :n_true]
+
+
 def match(
     query_prints: np.ndarray,
     db: "FingerprintDB",

@@ -6,6 +6,9 @@
     python -m hpfw_tpu.cli build-db SONGS... --filters filters.npz -o db.npz
     python -m hpfw_tpu.cli fingerprint SONG.wav --filters filters.npz
     python -m hpfw_tpu.cli match QUERY.wav --db db.npz [--top-k 5] [--scaled]
+    python -m hpfw_tpu.cli build-artist-db DIR... -o adb.npz   # dir per artist
+    python -m hpfw_tpu.cli match-artist QUERY.wav --db adb.npz [--artist NAME]
+    python -m hpfw_tpu.cli artist-demo             # known-artist end-to-end
     python -m hpfw_tpu.cli selfcheck               # oracle-vs-device parity
 """
 
@@ -131,6 +134,75 @@ def cmd_match(args):
     return 0
 
 
+def cmd_build_artist_db(args):
+    """Each positional arg is a directory of one artist's WAV files."""
+    import os
+
+    from .artist import ArtistDB
+    from .config import HpfwConfig
+    from .io.wav import load_wav
+
+    cfg = HpfwConfig.from_json(open(args.config).read()) if args.config else HpfwConfig()
+    catalogs = {}
+    for d in args.dirs:
+        name = os.path.basename(os.path.normpath(d))
+        wavs = sorted(f for f in os.listdir(d) if f.lower().endswith(".wav"))
+        if not wavs:
+            print(f"warning: no .wav files in {d}", file=sys.stderr)
+            continue
+        catalogs[name] = {os.path.splitext(w)[0]: load_wav(os.path.join(d, w), cfg)[0]
+                          for w in wavs}
+        print(f"{name}: {len(wavs)} tracks")
+    adb = ArtistDB.build(catalogs, cfg)
+    adb.save(args.output)
+    print(f"wrote {args.output} ({len(catalogs)} artists)")
+    return 0
+
+
+def cmd_match_artist(args):
+    from .artist import ArtistDB
+    from .io.wav import load_wav
+
+    adb = ArtistDB.load(args.db)
+    pcm, _ = load_wav(args.query, adb.cfg)
+    if args.artist:
+        ids, scores, offs = adb.match(pcm, artist=args.artist, top_k=args.top_k)
+        rows = [(f"{args.artist}/{t}", s, o) for t, s, o in zip(ids, scores, offs)]
+    else:
+        pairs, scores, offs = adb.match(pcm, top_k=args.top_k)
+        rows = [(f"{a}/{t}", s, o) for (a, t), s, o in zip(pairs, scores, offs)]
+    for i, (label, s, o) in enumerate(rows):
+        print(f"#{i + 1} {label}  score={int(s)}  offset={int(o)}")
+    return 0
+
+
+def cmd_artist_demo(args):
+    from .artist import ArtistDB
+    from .config import HpfwConfig
+    from .io import synth
+
+    cfg = HpfwConfig() if not args.small else HpfwConfig(
+        frame_len=2048, fmin=380.0, n_bins=73, hop=256, context_w=8, delta_lag=4)
+    print(f"synthesizing {args.artists} artists x {args.tracks} tracks ...")
+    catalogs = {
+        f"artist{a}": {f"t{i:02d}": synth.synth_artist_track(a, i, args.seconds, cfg)
+                       for i in range(args.tracks)}
+        for a in range(args.artists)
+    }
+    print("learning per-artist banks + building databases ...")
+    adb = ArtistDB.build(catalogs, cfg)
+    truth_a, truth_t = f"artist{args.artists - 1}", f"t{args.tracks - 2:02d}"
+    q = synth.make_query(catalogs[truth_a][truth_t], 1.0,
+                         min(5.0, args.seconds / 2), cfg, noise_db=-12.0, seed=1)
+    print(f"query: noisy excerpt of {truth_a}/{truth_t} (artist not given)")
+    pairs, scores, offs = adb.match(q, top_k=3)
+    for i, ((a, t), s, o) in enumerate(zip(pairs, scores, offs)):
+        print(f"  #{i + 1} {a}/{t}  score={int(s)}  offset={int(o)}")
+    ok = pairs[0] == (truth_a, truth_t)
+    print("OK" if ok else "MISMATCH")
+    return 0 if ok else 1
+
+
 def cmd_selfcheck(args):
     from . import api, oracle
     from .config import HpfwConfig
@@ -190,6 +262,28 @@ def main(argv=None):
     m.add_argument("--scaled", action="store_true",
                    help="two-stage coarse->fine matcher")
     m.set_defaults(fn=cmd_match)
+
+    ab = sub.add_parser("build-artist-db",
+                        help="per-artist filter banks from WAV directories")
+    ab.add_argument("dirs", nargs="+", help="one directory per artist")
+    ab.add_argument("-o", "--output", required=True)
+    ab.add_argument("--config")
+    ab.set_defaults(fn=cmd_build_artist_db)
+
+    ma = sub.add_parser("match-artist", help="identify a query (known artist "
+                        "with --artist, else ranked across artists)")
+    ma.add_argument("query")
+    ma.add_argument("--db", required=True)
+    ma.add_argument("--artist")
+    ma.add_argument("--top-k", type=int, default=5)
+    ma.set_defaults(fn=cmd_match_artist)
+
+    ad = sub.add_parser("artist-demo", help="known-artist end-to-end demo")
+    ad.add_argument("--artists", type=int, default=4)
+    ad.add_argument("--tracks", type=int, default=5)
+    ad.add_argument("--seconds", type=float, default=8.0)
+    ad.add_argument("--small", action="store_true")
+    ad.set_defaults(fn=cmd_artist_demo)
 
     s = sub.add_parser("selfcheck", help="oracle-vs-device bit parity")
     s.set_defaults(fn=cmd_selfcheck)
