@@ -83,17 +83,25 @@ class StreamingSession:
 
     def __init__(self, db, filters: np.ndarray, cfg: HpfwConfig | None = None,
                  *, query_prints: int = 128, chunk_prints: int = 32,
-                 match_every: int = 1):
-        self.db = db                      # FingerprintDB or ShardedDB
+                 match_every: int = 1, vote_decay: float = 0.8):
+        self.db = db                      # FingerprintDB, ShardedDB, TwoStageDB
         self.cfg = cfg if cfg is not None else getattr(db, "cfg", None) or db.db.cfg
         self.extractor = ChunkedExtractor(filters, self.cfg, chunk_prints)
         self.query_prints = query_prints
         self.match_every = match_every
+        # Live song ID integrates evidence over time (SURVEY.md §3.4
+        # "update per-track running scores"): each window's top hit casts a
+        # score-weighted vote into an exponentially-decayed tally, so one
+        # noisy window at catalog scale can't flip the running hypothesis.
+        self.vote_decay = vote_decay
+        self._votes: dict[str, float] = {}
+        self._last: dict[str, tuple[int, int]] = {}   # id -> (score, offset)
         self._ring: deque = deque(maxlen=query_prints)
         self._chunks_seen = 0
         self.match_latencies_ms: list[float] = []
         self.step_latencies_ms: list[float] = []
-        self.current_best: tuple[str, int, int] | None = None  # (id, score, offset)
+        self.last_match: tuple[str, int, int] | None = None  # instantaneous
+        self.current_best: tuple[str, int, int] | None = None  # integrated
 
     def _match_window(self):
         q = np.array(self._ring, dtype=np.uint32)
@@ -106,7 +114,13 @@ class StreamingSession:
             ids, scores, offs = api.match(q, self.db, top_k=1)
         self.match_latencies_ms.append((time.perf_counter() - t0) * 1e3)
         if len(ids):
-            self.current_best = (ids[0], int(scores[0]), int(offs[0]))
+            self.last_match = (ids[0], int(scores[0]), int(offs[0]))
+            for k in self._votes:
+                self._votes[k] *= self.vote_decay
+            self._votes[ids[0]] = self._votes.get(ids[0], 0.0) + float(scores[0])
+            self._last[ids[0]] = (int(scores[0]), int(offs[0]))
+            top = max(self._votes, key=self._votes.get)
+            self.current_best = (top,) + self._last[top]
 
     def feed(self, pcm: np.ndarray):
         """Stream in audio; returns the current best (id, score, offset) or None."""
