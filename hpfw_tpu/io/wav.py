@@ -1,13 +1,16 @@
-"""WAV decode + resample (host-side audio I/O).
+"""Audio decode + resample (host-side audio I/O).
 
 The reference wraps a native audio library for decode (SURVEY.md §2.1 row 1).
-Here decode is host-side by definition (TPUs don't decode WAV); a C++
+Here decode is host-side by definition (TPUs don't decode audio); a C++
 implementation lives in native/hpfw_native.cc (loaded via ctypes in
 io/native.py) with this pure-NumPy path as the always-available fallback and
 correctness oracle for it.
 
-Supports PCM16/24/32, float32/64 WAV, any channel count (downmixed to mono),
-with linear resampling to the config sample rate.
+Supports WAV (PCM 8/16/24/32, float32/64, mu-law, A-law, and the
+WAVE_FORMAT_EXTENSIBLE wrapper) and AIFF/AIFF-C (big-endian PCM), any
+channel count (downmixed to mono), with linear resampling to the config
+sample rate. Compressed codecs (mp3/ogg/flac) are out of scope in this
+offline environment — convert upstream.
 """
 
 from __future__ import annotations
@@ -45,7 +48,90 @@ def load_wav(path: str, cfg: HpfwConfig | None = None) -> tuple[np.ndarray, int]
     return pcm, sr
 
 
+def _mulaw_table() -> np.ndarray:
+    """G.711 mu-law byte -> float32 in [-1, 1] (exact int16 expansion)."""
+    u = ~np.arange(256, dtype=np.uint8)
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 7
+    mant = (u & 0xF).astype(np.int32)
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.float32) / 32768.0
+
+
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law byte -> float32 in [-1, 1] (exact int16 expansion)."""
+    a = np.arange(256, dtype=np.uint8) ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 7
+    mant = (a & 0xF).astype(np.int32)
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, -mag, mag).astype(np.float32) / 32768.0
+
+
+def _decode_f80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF sample rate field)."""
+    e = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:10], "big")
+    sign = -1.0 if e & 0x8000 else 1.0
+    e &= 0x7FFF
+    if e == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (e - 16383 - 63)
+
+
+def _decode_aiff_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """AIFF / AIFF-C big-endian PCM (compression NONE or sowt)."""
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF file")
+    pos = 12
+    n_ch = bits = 0
+    sr = 0
+    comp = b"NONE"
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack(">I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"COMM":
+            n_ch, _, bits = struct.unpack(">hIh", body[:8])
+            sr = int(round(_decode_f80(body[8:18])))
+            if len(body) >= 22:
+                comp = body[18:22]
+        elif cid == b"SSND":
+            off = struct.unpack(">I", body[:4])[0]
+            raw = body[8 + off:]
+        pos += 8 + size + (size & 1)
+    if raw is None or n_ch <= 0 or sr <= 0:
+        raise ValueError("missing COMM/SSND chunk")
+    if comp not in (b"NONE", b"sowt"):
+        raise ValueError(f"unsupported AIFF-C compression {comp!r}")
+    endian = "<" if comp == b"sowt" else ">"
+    if bits == 16:
+        x = np.frombuffer(raw, dtype=f"{endian}i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = np.frombuffer(raw, dtype=np.int8).astype(np.float32) / 128.0
+    elif bits == 24:
+        b3 = np.frombuffer(raw, dtype=np.uint8)[: (len(raw) // 3) * 3].reshape(-1, 3)
+        if endian == ">":
+            b3 = b3[:, ::-1]
+        x = (
+            b3[:, 0].astype(np.int32)
+            | (b3[:, 1].astype(np.int32) << 8)
+            | (b3[:, 2].astype(np.int8).astype(np.int32) << 16)
+        ).astype(np.float32) / 8388608.0
+    elif bits == 32:
+        x = np.frombuffer(raw, dtype=f"{endian}i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return np.ascontiguousarray(x, dtype=np.float32), sr
+
+
 def _decode_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    if data[:4] == b"FORM":
+        return _decode_aiff_bytes(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
@@ -90,6 +176,10 @@ def _decode_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError(f"unsupported PCM bit depth {bits}")
     elif audio_format == 3:  # IEEE float
         x = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8").astype(np.float32)
+    elif audio_format == 6:  # G.711 A-law
+        x = _alaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+    elif audio_format == 7:  # G.711 mu-law
+        x = _mulaw_table()[np.frombuffer(raw, dtype=np.uint8)]
     else:
         raise ValueError(f"unsupported WAV format code {audio_format}")
     if n_ch > 1:

@@ -16,6 +16,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -24,13 +25,123 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// WAV decode: PCM 8/16/24/32-bit and float32/64, any channel count -> mono
+// Audio decode: WAV (PCM 8/16/24/32, float32/64, mu-law, A-law, extensible)
+// and AIFF/AIFF-C (big-endian PCM, 'NONE'/'sowt'), any channel count -> mono
 // float32. Returns 0 on success. On success *out_n / *out_rate are set and
 // the caller passes a buffer of capacity *out_n (two-call protocol: first
 // call with out=nullptr fills sizes only).
 // ---------------------------------------------------------------------------
+static const float* mulaw_table() {
+  static float t[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; ++i) {
+      uint8_t u = (uint8_t)~i;
+      int exp = (u >> 4) & 7, mant = u & 0xF;
+      int32_t mag = (((mant << 3) + 0x84) << exp) - 0x84;
+      t[i] = (float)((u & 0x80) ? -mag : mag) / 32768.0f;
+    }
+    init = true;
+  }
+  return t;
+}
+
+static const float* alaw_table() {
+  static float t[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; ++i) {
+      uint8_t a = (uint8_t)(i ^ 0x55);
+      int exp = (a >> 4) & 7, mant = a & 0xF;
+      int32_t mag = exp == 0 ? (mant << 4) + 8 : ((mant << 4) + 0x108) << (exp - 1);
+      t[i] = (float)((a & 0x80) ? -mag : mag) / 32768.0f;
+    }
+    init = true;
+  }
+  return t;
+}
+
+static uint32_t rd_be32(const uint8_t* p) {
+  return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+         ((uint32_t)p[2] << 8) | p[3];
+}
+
+static double decode_f80(const uint8_t* p) {  // AIFF sample-rate field
+  int e = ((p[0] & 0x7F) << 8) | p[1];
+  uint64_t mant = 0;
+  for (int i = 0; i < 8; ++i) mant = (mant << 8) | p[2 + i];
+  if (e == 0 && mant == 0) return 0.0;
+  double v = (double)mant * pow(2.0, e - 16383 - 63);
+  return (p[0] & 0x80) ? -v : v;
+}
+
+static int aiff_decode(const uint8_t* data, int64_t size,
+                       float* out, int64_t* out_n, int32_t* out_rate) {
+  if (size < 12 || memcmp(data + 8, "AIF", 3) != 0) return -1;
+  int64_t pos = 12;
+  int n_ch = 0, bits = 0;
+  int32_t rate = 0;
+  bool little = false;  // 'sowt' AIFF-C
+  const uint8_t* raw = nullptr;
+  int64_t raw_size = 0;
+  while (pos + 8 <= size) {
+    const uint8_t* cid = data + pos;
+    uint32_t csize = rd_be32(data + pos + 4);
+    const uint8_t* body = data + pos + 8;
+    if (pos + 8 + (int64_t)csize > size) return -2;
+    if (memcmp(cid, "COMM", 4) == 0 && csize >= 18) {
+      n_ch = (int16_t)((body[0] << 8) | body[1]);
+      bits = (int16_t)((body[6] << 8) | body[7]);
+      rate = (int32_t)(decode_f80(body + 8) + 0.5);
+      if (csize >= 22) {
+        if (memcmp(body + 18, "sowt", 4) == 0) little = true;
+        else if (memcmp(body + 18, "NONE", 4) != 0) return -4;
+      }
+    } else if (memcmp(cid, "SSND", 4) == 0 && csize >= 8) {
+      uint32_t off = rd_be32(body);
+      raw = body + 8 + off;
+      raw_size = csize - 8 - off;
+    }
+    pos += 8 + csize + (csize & 1);
+  }
+  if (!raw || n_ch <= 0 || rate <= 0) return -3;
+  int64_t bytes_per = bits / 8;
+  if (bytes_per <= 0) return -4;
+  int64_t frames = raw_size / (bytes_per * n_ch);
+  *out_n = frames;
+  *out_rate = rate;
+  if (!out) return 0;
+  for (int64_t i = 0; i < frames; ++i) {
+    double acc = 0.0;
+    for (int c = 0; c < n_ch; ++c) {
+      const uint8_t* p = raw + (i * n_ch + c) * bytes_per;
+      double v = 0.0;
+      if (bits == 16) {
+        int16_t s = little ? (int16_t)(p[0] | (p[1] << 8))
+                           : (int16_t)((p[0] << 8) | p[1]);
+        v = s / 32768.0;
+      } else if (bits == 8) {
+        v = (int8_t)p[0] / 128.0;
+      } else if (bits == 24) {
+        int32_t s = little ? (int32_t)(p[0] | (p[1] << 8) | ((int8_t)p[2] << 16))
+                           : (int32_t)(p[2] | (p[1] << 8) | ((int8_t)p[0] << 16));
+        v = s / 8388608.0;
+      } else if (bits == 32) {
+        uint32_t u = little ? (uint32_t)(p[0] | (p[1] << 8) | (p[2] << 16) | ((uint32_t)p[3] << 24))
+                            : rd_be32(p);
+        v = (int32_t)u / 2147483648.0;
+      } else return -4;
+      acc += v;
+    }
+    out[i] = (float)(acc / n_ch);
+  }
+  return 0;
+}
+
 int hpfw_wav_decode(const uint8_t* data, int64_t size,
                     float* out, int64_t* out_n, int32_t* out_rate) {
+  if (size >= 12 && memcmp(data, "FORM", 4) == 0)
+    return aiff_decode(data, size, out, out_n, out_rate);
   if (size < 12 || memcmp(data, "RIFF", 4) != 0 || memcmp(data + 8, "WAVE", 4) != 0)
     return -1;
   int64_t pos = 12;
@@ -95,6 +206,10 @@ int hpfw_wav_decode(const uint8_t* data, int64_t size,
         if (bits == 32) { float f; memcpy(&f, p, 4); v = f; }
         else if (bits == 64) { double d; memcpy(&d, p, 8); v = d; }
         else return -4;
+      } else if (audio_format == 6) {  // G.711 A-law
+        v = alaw_table()[p[0]];
+      } else if (audio_format == 7) {  // G.711 mu-law
+        v = mulaw_table()[p[0]];
       } else return -4;
       acc += v;
     }

@@ -83,3 +83,81 @@ def test_native_extensible_unknown_subformat_rejected(float_samples):
     data = _extensible_wav(float_samples, 22050, sub_format=0x0055)
     with pytest.raises(ValueError):
         native.decode_wav(data)
+
+
+def _plain_wav(raw: bytes, fmt_code: int, sample_rate: int, bits: int,
+               n_ch: int = 1) -> bytes:
+    block = n_ch * bits // 8
+    fmt_body = struct.pack("<HHIIHH", fmt_code, n_ch, sample_rate,
+                           sample_rate * block, block, bits)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+              + b"data" + struct.pack("<I", len(raw)) + raw)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _aiff(samples_be: bytes, n_frames: int, sample_rate: int, bits: int,
+          n_ch: int = 1, comp: bytes = b"") -> bytes:
+    # 80-bit float sample rate
+    e = 16383 + 63
+    mant = sample_rate
+    while mant < (1 << 63):
+        mant <<= 1
+        e -= 1
+    comm = struct.pack(">hIh", n_ch, n_frames, bits) \
+        + struct.pack(">H", e) + mant.to_bytes(8, "big") + comp
+    ssnd = struct.pack(">II", 0, 0) + samples_be
+    body = (b"COMM" + struct.pack(">I", len(comm)) + comm + (b"\0" if len(comm) % 2 else b"")
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    form_type = b"AIFC" if comp else b"AIFF"
+    return b"FORM" + struct.pack(">I", 4 + len(body)) + form_type + body
+
+
+def _g711_reference_mulaw(b):
+    u = ~np.asarray(b, dtype=np.uint8)
+    sign = (u & 0x80) != 0
+    mag = ((((u & 0xF).astype(np.int32) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    return np.where(sign, -mag, mag).astype(np.float32) / 32768.0
+
+
+def test_mulaw_and_alaw_wav_decode():
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, 512, dtype=np.uint8).tobytes()
+    pcm_u, sr = wav._decode_wav_bytes(_plain_wav(raw, 7, 8000, 8))
+    assert sr == 8000 and pcm_u.shape == (512,)
+    np.testing.assert_array_equal(pcm_u, _g711_reference_mulaw(np.frombuffer(raw, np.uint8)))
+    pcm_a, _ = wav._decode_wav_bytes(_plain_wav(raw, 6, 8000, 8))
+    assert np.all(np.abs(pcm_a) <= 1.0) and pcm_a.std() > 0
+
+
+def test_aiff_decode_pcm16_be_and_sowt():
+    ints = np.array([-32768, -1, 0, 1, 12345, 32767], dtype=np.int16)
+    be = _aiff(ints.astype(">i2").tobytes(), len(ints), 22050, 16)
+    pcm, sr = wav._decode_wav_bytes(be)
+    assert sr == 22050
+    np.testing.assert_array_equal(pcm, ints.astype(np.float32) / 32768.0)
+    sowt = _aiff(ints.astype("<i2").tobytes(), len(ints), 44100, 16,
+                 comp=b"sowt" + struct.pack(">B", 4) + b"sowt")
+    # AIFF-C stores a pstring after compression id; our parsers read only
+    # the 4-byte compression type at offset 18 of COMM.
+    pcm2, sr2 = wav._decode_wav_bytes(sowt)
+    assert sr2 == 44100
+    np.testing.assert_array_equal(pcm2, ints.astype(np.float32) / 32768.0)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_new_formats_match_numpy():
+    rng = np.random.default_rng(4)
+    raw = rng.integers(0, 256, 333, dtype=np.uint8).tobytes()
+    ints = (rng.standard_normal(400) * 20000).astype(np.int16)
+    cases = [
+        _plain_wav(raw, 7, 8000, 8),
+        _plain_wav(raw, 6, 8000, 8),
+        _aiff(ints.astype(">i2").tobytes(), len(ints), 22050, 16),
+        _aiff(np.stack([ints, -ints], 1).astype(">i2").tobytes(),
+              len(ints), 16000, 16, n_ch=2),
+    ]
+    for i, data in enumerate(cases):
+        got, sr_n = native.decode_wav(data)
+        want, sr_p = wav._decode_wav_bytes(data)
+        assert sr_n == sr_p, f"case {i}"
+        np.testing.assert_allclose(got, want, atol=1e-7, err_msg=f"case {i}")
