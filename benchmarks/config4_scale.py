@@ -110,6 +110,27 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, n_queries=20,
          qps_device=round(1000.0 / per_ms, 1), n_tracks=n_tracks)
     log(f"config4 device-side: {per_ms:.2f} ms/query")
 
+    # Batched serving: B queries share one coarse-DB sweep (the batched
+    # Pallas coarse kernel revisits each track tile across queries).
+    if ts.use_pallas_fine:
+        b = min(16, len(queries))
+        batch = np.stack(queries[:b])
+        res = ts.match_batch(batch, top_k=10)   # correctness + compile
+        hits_b = sum(res[i][0][0] == str(truths[i])
+                     and int(res[i][2][0]) == true_offs[i] for i in range(b))
+        qb_dev = jnp.asarray(batch)
+        qb_dev.block_until_ready()
+        iters = 8
+        t0 = time.perf_counter()
+        outs = [ts.dispatch_batch(qb_dev) for _ in range(iters)]
+        np.asarray(outs[-1])
+        per_q = (time.perf_counter() - t0) / (iters * b) * 1e3
+        emit("config4_batched_ms_per_query", round(per_q, 2), "ms",
+             qps_device=round(1000.0 / per_q, 1), batch=b,
+             recall_top1=hits_b / b, n_tracks=n_tracks)
+        log(f"config4 batched (B={b}): {per_q:.2f} ms/query "
+            f"({1000.0 / per_q:.0f} QPS), recall {hits_b}/{b}")
+
 
 if __name__ == "__main__":
     args = [int(float(a)) for a in sys.argv[1:]]

@@ -289,6 +289,26 @@ class TwoStageDB:
         scores, idx, offs = scores[real], idx[real], offs[real]
         return _rank_dedup(scores, idx, offs, self.db.track_ids, top_k)
 
+    def dispatch_batch(self, queries_dev, *, pool: int | None = None,
+                       fine_window: int | None = None):
+        """Queue one batched match ((B, N, 2) device array) without a host
+        sync; returns the (B, 3, K) stacked device array. The exact program
+        match_batch runs — benchmarks queue it directly."""
+        cfg = self.db.cfg
+        pool = pool if pool is not None else cfg.fine_candidates
+        fw = fine_window if fine_window is not None else self.stride
+        if self.mesh is not None:
+            return _two_stage_sharded_batch(
+                queries_dev, self.d0, self.d1, self.lengths, self.db_c,
+                mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
+                l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
+                coarse_tile=self.coarse_tile, interpret=self.pallas_interpret)
+        return _two_stage_pallas_batch_jit(
+            queries_dev, self.d0, self.d1, self.lengths, self.db_c,
+            stride=self.stride, pool=pool, fine_window=fw,
+            l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
+            coarse_tile=self.coarse_tile, interpret=self.pallas_interpret)
+
     def match_batch(self, query_batch: np.ndarray, *, top_k: int | None = None,
                     pool: int | None = None, fine_window: int | None = None):
         """Match B equal-length queries in one device dispatch.
@@ -307,20 +327,7 @@ class TwoStageDB:
         fw = fine_window if fine_window is not None else self.stride
         qs = jnp.asarray(np.asarray(query_batch, dtype=np.uint32))
         self._check_query_len(qs.shape[1])
-        if self.mesh is not None:
-            out = np.asarray(_two_stage_sharded_batch(
-                qs, self.d0, self.d1, self.lengths, self.db_c,
-                mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
-                l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
-                coarse_tile=self.coarse_tile,
-                interpret=self.pallas_interpret))
-        else:
-            out = np.asarray(_two_stage_pallas_batch_jit(
-                qs, self.d0, self.d1, self.lengths, self.db_c,
-                stride=self.stride, pool=pool, fine_window=fw,
-                l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
-                coarse_tile=self.coarse_tile,
-                interpret=self.pallas_interpret))
+        out = np.asarray(self.dispatch_batch(qs, pool=pool, fine_window=fw))
         results = []
         for b in range(out.shape[0]):
             scores, idx, offs = out[b]
