@@ -71,11 +71,19 @@ def build_prints(n_tracks, seconds, filters, cfg, workers=None, batch=32):
 
 
 def main(n_tracks=10_000, track_seconds=15, n_queries=300):
+    import os
+
     cfg = HpfwConfig()
     filters = make_filters(cfg)
-    log(f"building {n_tracks} x {track_seconds}s real-audio catalog "
-        f"({COVER_FRACTION:.0%} pitch-shifted covers)...")
-    prints = build_prints(n_tracks, float(track_seconds), filters, cfg)
+    cache = f"/tmp/recall_prints_{n_tracks}_{track_seconds}.npz"
+    if os.path.exists(cache):
+        log(f"loading cached catalog prints from {cache}")
+        prints = np.load(cache)["prints"]
+    else:
+        log(f"building {n_tracks} x {track_seconds}s real-audio catalog "
+            f"({COVER_FRACTION:.0%} pitch-shifted covers)...")
+        prints = build_prints(n_tracks, float(track_seconds), filters, cfg)
+        np.savez(cache, prints=prints)
     lengths = np.full(n_tracks, prints.shape[1], np.int32)
     db = api.FingerprintDB(cfg, filters, [str(i) for i in range(n_tracks)],
                            prints, lengths)
@@ -105,21 +113,23 @@ def main(n_tracks=10_000, track_seconds=15, n_queries=300):
 
     from hpfw_tpu.match.scaled import TwoStageDB
 
-    for stride in (16, 32, 64):
-        ts = TwoStageDB(db, stride=stride)
-        for pool_k in (64, 256, 1024):
-            agree = hit = 0
-            for qfp, (d_id, d_s, d_o), tid in zip(queries, dense_top, truths):
-                ids, s, o = ts.match(qfp, top_k=1, pool=pool_k)
-                agree += (ids[0] == d_id and int(s[0]) == d_s and int(o[0]) == d_o)
-                hit += ids[0] == str(tid)
-            emit(f"recall_s{stride}_p{pool_k}",
-                 round(hit / n_queries, 4), "top1_accuracy",
-                 agreement_with_dense=round(agree / n_queries, 4),
-                 n_tracks=n_tracks)
-            log(f"stride={stride:2d} pool={pool_k:4d}: top1 {hit / n_queries:.4f} "
-                f"dense-agreement {agree / n_queries:.4f}")
-        del ts
+    for kind in ("sum", "sign"):
+        for stride in (16, 32, 64):
+            ts = TwoStageDB(db, stride=stride, coarse_kind=kind)
+            for pool_k in (64, 256, 1024):
+                agree = hit = 0
+                for qfp, (d_id, d_s, d_o), tid in zip(queries, dense_top, truths):
+                    ids, s, o = ts.match(qfp, top_k=1, pool=pool_k)
+                    agree += (ids[0] == d_id and int(s[0]) == d_s and int(o[0]) == d_o)
+                    hit += ids[0] == str(tid)
+                emit(f"recall_{kind}_s{stride}_p{pool_k}",
+                     round(hit / n_queries, 4), "top1_accuracy",
+                     agreement_with_dense=round(agree / n_queries, 4),
+                     n_tracks=n_tracks)
+                log(f"{kind:4s} stride={stride:2d} pool={pool_k:4d}: "
+                    f"top1 {hit / n_queries:.4f} "
+                    f"dense-agreement {agree / n_queries:.4f}")
+            del ts
 
 
 if __name__ == "__main__":

@@ -52,6 +52,9 @@ class HpfwConfig:
 
     # ---- matcher / database ----
     db_downsample: int = 16       # coarse-stage temporal downsample factor
+    coarse_kind: str = "sum"      # coarse print statistic: per-bit window
+                                  # "sum" (richer, same bytes) or majority
+                                  # "sign" (recall study: RESULTS.md)
     top_k: int = 10               # ranked candidates returned by match()
     fine_candidates: int = 256    # coarse->fine rescan pool size
 
@@ -100,6 +103,9 @@ class HpfwConfig:
         assert self.n_filters == 64, "hashprints are 64-bit words"
         assert self.bit_order in ("lsb0", "msb0")
         assert self.tie_break in ("gt", "ge")
+        assert self.coarse_kind in ("sign", "sum")
+        if self.coarse_kind == "sum":
+            assert self.db_downsample <= 127, "sum coarse prints are int8"
         assert self.window in ("hann", "hamming")
         max_kernel = int(-(-self.q_factor * self.sample_rate // self.fmin))
         assert self.frame_len >= max_kernel, (

@@ -137,11 +137,14 @@ class TwoStageDB:
     def __init__(self, db, *, stride: int | None = None, mesh: Mesh | None = None,
                  use_pallas_fine: bool | None = None,
                  use_pallas_coarse: bool | None = None,
+                 coarse_kind: str | None = None,
                  coarse_tile: int = 128,
                  pallas_interpret: bool = False):
         self.db = db
         cfg = db.cfg
         self.stride = stride if stride is not None else cfg.db_downsample
+        self.coarse_kind = (coarse_kind if coarse_kind is not None
+                            else getattr(cfg, "coarse_kind", "sign"))
         self.mesh = mesh
         self.pallas_interpret = pallas_interpret
         if use_pallas_fine is None:
@@ -172,7 +175,8 @@ class TwoStageDB:
         # chunks: the unpack intermediate is ~256x the packed size, so a
         # whole-catalog unpack would blow HBM at 100k+ tracks.
         coarse_fn = jax.jit(
-            functools.partial(coarse_ops.coarse_pm1, stride=self.stride)
+            functools.partial(coarse_ops.coarse_pm1, stride=self.stride,
+                              kind=self.coarse_kind)
         )
         prints_dev = jnp.asarray(prints)
         chunk = max(1, min(t, 134_217_728 // max(prints.shape[1] * 64, 1)))
@@ -233,6 +237,11 @@ class TwoStageDB:
         api.match path implements the oracle's truncated-overlap semantics
         if that's really wanted)."""
         lc = self.lc_true
+        if self.coarse_kind == "sum" and n * 64 * self.stride >= 2 ** 24:
+            raise ValueError(
+                "query too long for exact f32 accumulation of sum-coarse "
+                f"correlations (n*64*stride = {n * 64 * self.stride} >= 2^24); "
+                "use coarse_kind='sign' or a shorter query")
         if n // self.stride > lc:
             raise ValueError(
                 f"query ({n} prints, {n // self.stride} coarse) is longer than "
@@ -256,22 +265,24 @@ class TwoStageDB:
                 query_dev, self.d0, self.d1, self.lengths, self.db_c,
                 stride=self.stride, pool=pool, fine_window=fw,
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
-                coarse_tile=self.coarse_tile,
+                coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 interpret=self.pallas_interpret)
         if self.mesh is None:
             return _two_stage_jit(
                 query_dev, self.prints, self.lengths, self.db_c,
-                stride=self.stride, pool=pool, fine_window=fw)
+                stride=self.stride, pool=pool, fine_window=fw,
+                coarse_kind=self.coarse_kind)
         if self.use_pallas_fine:
             return _two_stage_sharded_pallas(
                 query_dev, self.d0, self.d1, self.lengths, self.db_c,
                 mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
-                coarse_tile=self.coarse_tile,
+                coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 interpret=self.pallas_interpret)
         return _two_stage_sharded(
             query_dev, self.prints, self.lengths, self.db_c,
-            mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw)
+            mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
+            coarse_kind=self.coarse_kind)
 
     def match(self, query_prints: np.ndarray, *, top_k: int | None = None,
               pool: int | None = None, fine_window: int | None = None):
@@ -302,12 +313,14 @@ class TwoStageDB:
                 queries_dev, self.d0, self.d1, self.lengths, self.db_c,
                 mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
-                coarse_tile=self.coarse_tile, interpret=self.pallas_interpret)
+                coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
+                interpret=self.pallas_interpret)
         return _two_stage_pallas_batch_jit(
             queries_dev, self.d0, self.d1, self.lengths, self.db_c,
             stride=self.stride, pool=pool, fine_window=fw,
             l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
-            coarse_tile=self.coarse_tile, interpret=self.pallas_interpret)
+            coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
+            interpret=self.pallas_interpret)
 
     def match_batch(self, query_batch: np.ndarray, *, top_k: int | None = None,
                     pool: int | None = None, fine_window: int | None = None):
@@ -353,17 +366,19 @@ def _coarse_best_batch(qc, db_c, *, lc_true, coarse_tile, interpret):
 
 @functools.partial(
     jax.jit, static_argnames=("stride", "pool", "fine_window", "l_true",
-                              "lpad", "lc_true", "coarse_tile", "interpret")
+                              "lpad", "lc_true", "coarse_tile", "coarse_kind",
+                              "interpret")
 )
 def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
                                 *, stride, pool, fine_window, l_true, lpad,
                                 lc_true=None, coarse_tile=128,
-                                interpret=False):
+                                coarse_kind="sign", interpret=False):
     """Batched two-stage match: one coarse DB sweep serves all B queries."""
     from ..ops.pallas_fine import pallas_fine_rescan_batch
 
     b = queries.shape[0]
-    qc = jax.vmap(lambda q: coarse_ops.coarse_pm1(q, stride))(queries)
+    qc = jax.vmap(lambda q: coarse_ops.coarse_pm1(q, stride,
+                                                  kind=coarse_kind))(queries)
     best_corr, best_a = _coarse_best_batch(qc, db_c, lc_true=lc_true,
                                            coarse_tile=coarse_tile,
                                            interpret=interpret)
@@ -382,19 +397,21 @@ def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
-                     "lpad", "lc_true", "coarse_tile", "interpret"),
+                     "lpad", "lc_true", "coarse_tile", "coarse_kind",
+                     "interpret"),
 )
 def _two_stage_sharded_batch(queries, d0, d1, lengths, db_c,
                              *, mesh, stride, pool, fine_window, l_true,
                              lpad, lc_true=None, coarse_tile=128,
-                             interpret=False):
+                             coarse_kind="sign", interpret=False):
     """Sharded batched serving: per shard, one coarse sweep serves all B
     queries and the per-shard batched fine rescan runs on local DMAs; the
     fixed-size (B, 3, K) candidate blocks merge with one all-gather along K.
     """
     from ..ops.pallas_fine import pallas_fine_rescan_batch
 
-    qcs = jax.vmap(lambda q: coarse_ops.coarse_pm1(q, stride))(queries)
+    qcs = jax.vmap(lambda q: coarse_ops.coarse_pm1(q, stride,
+                                                   kind=coarse_kind))(queries)
     n = queries.shape[1]
     n_fine = 2 * fine_window + 1
     span = n + n_fine - 1
@@ -439,15 +456,16 @@ def _coarse_best(query_c, db_c, *, lc_true, coarse_tile, interpret):
 @functools.partial(
     jax.jit,
     static_argnames=("stride", "pool", "fine_window", "l_true", "lpad",
-                     "lc_true", "coarse_tile", "interpret"),
+                     "lc_true", "coarse_tile", "coarse_kind", "interpret"),
 )
 def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
                           *, stride, pool, fine_window, l_true, lpad,
-                          lc_true=None, coarse_tile=128, interpret=False):
+                          lc_true=None, coarse_tile=128, coarse_kind="sign",
+                          interpret=False):
     """Two-stage match with the Pallas kernels (TPU path)."""
     from ..ops.pallas_fine import pallas_fine_rescan
 
-    query_c = coarse_ops.coarse_pm1(query, stride)
+    query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind)
     best_corr, best_a = _coarse_best(query_c, db_c, lc_true=lc_true,
                                      coarse_tile=coarse_tile,
                                      interpret=interpret)
@@ -462,9 +480,11 @@ def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
     return jnp.stack([s, cand, o])
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "pool", "fine_window"))
-def _two_stage_jit(query, prints, lengths, db_c, *, stride, pool, fine_window):
-    query_c = coarse_ops.coarse_pm1(query, stride)
+@functools.partial(jax.jit, static_argnames=("stride", "pool", "fine_window",
+                                              "coarse_kind"))
+def _two_stage_jit(query, prints, lengths, db_c, *, stride, pool, fine_window,
+                   coarse_kind="sign"):
+    query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind)
     s, i, o = _two_stage_local(query, query_c, prints, lengths, db_c,
                                stride=stride, pool=pool, fine_window=fine_window)
     return jnp.stack([s, i, o])
@@ -473,12 +493,13 @@ def _two_stage_jit(query, prints, lengths, db_c, *, stride, pool, fine_window):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
-                     "lpad", "lc_true", "coarse_tile", "interpret"),
+                     "lpad", "lc_true", "coarse_tile", "coarse_kind",
+                     "interpret"),
 )
 def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
                               *, mesh, stride, pool, fine_window,
                               l_true, lpad, lc_true=None, coarse_tile=128,
-                              interpret=False):
+                              coarse_kind="sign", interpret=False):
     """Sharded two-stage with the Pallas kernels per shard.
 
     Each chip scans its coarse shard on the MXU, rescans its own candidate
@@ -488,7 +509,7 @@ def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
     """
     from ..ops.pallas_fine import pallas_fine_rescan
 
-    query_c = coarse_ops.coarse_pm1(query, stride)
+    query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind)
     n = query.shape[0]
     n_fine = 2 * fine_window + 1
     span = n + n_fine - 1
@@ -518,11 +539,12 @@ def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "stride", "pool", "fine_window")
+    jax.jit, static_argnames=("mesh", "stride", "pool", "fine_window",
+                              "coarse_kind")
 )
 def _two_stage_sharded(query, prints, lengths, db_c,
-                       *, mesh, stride, pool, fine_window):
-    query_c = coarse_ops.coarse_pm1(query, stride)
+                       *, mesh, stride, pool, fine_window, coarse_kind="sign"):
+    query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind)
 
     def shard_fn(q, qc, p, ln, dc):
         s, i, o = _two_stage_local(q, qc, p, ln, dc, stride=stride,

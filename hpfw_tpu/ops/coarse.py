@@ -34,13 +34,20 @@ def unpack_bits_pm1(packed: jnp.ndarray, dtype=jnp.int8) -> jnp.ndarray:
     return (bits.astype(jnp.int32) * 2 - 1).astype(dtype)
 
 
-def coarse_pm1(packed: jnp.ndarray, stride: int, *, dtype=jnp.int8) -> jnp.ndarray:
-    """Majority-vote coarse prints as +/-1 vectors.
+def coarse_pm1(packed: jnp.ndarray, stride: int, *, dtype=jnp.int8,
+               kind: str = "sign") -> jnp.ndarray:
+    """Coarse summary prints per stride-window of full-res prints.
 
     packed: (L, 2) or (T, L, 2) uint32. Returns (Lc, 64) or (T, Lc, 64)
     with Lc = L // stride (tail prints beyond the last full window drop).
-    Majority of s +/-1 bits = sign of their sum; ties (even s) break to -1
-    (sum == 0 -> -1), fixed and identical everywhere.
+
+    kind="sign": majority vote — sign of the per-bit +/-1 sum; ties (even s)
+    break to -1, fixed and identical everywhere.
+    kind="sum":  the per-bit +/-1 window SUM itself (range +/-stride) — the
+    same int8 bytes carrying log2(stride)+1 extra bits of evidence per
+    channel; at 10k real-audio tracks this closes the recall gap majority
+    vote shows at stride 32 (benchmarks/recall_study.py). Requires
+    stride <= 127 to fit int8.
     """
     squeeze = packed.ndim == 2
     if squeeze:
@@ -49,7 +56,11 @@ def coarse_pm1(packed: jnp.ndarray, stride: int, *, dtype=jnp.int8) -> jnp.ndarr
     lc = l // stride
     pm1 = unpack_bits_pm1(packed[:, : lc * stride], jnp.int32)
     sums = pm1.reshape(t, lc, stride, 64).sum(axis=2)
-    out = jnp.where(sums > 0, 1, -1).astype(dtype)
+    if kind == "sum":
+        assert stride <= 127, "sum coarse prints need stride <= 127 (int8)"
+        out = sums.astype(dtype)
+    else:
+        out = jnp.where(sums > 0, 1, -1).astype(dtype)
     return out[0] if squeeze else out
 
 

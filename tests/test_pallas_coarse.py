@@ -92,3 +92,27 @@ def test_pallas_coarse_batch_equals_single():
                                            tt=tt, lc_true=lc, interpret=True)
         np.testing.assert_array_equal(np.asarray(best_b[k]), np.asarray(best_1))
         np.testing.assert_array_equal(np.asarray(idx_b[k]), np.asarray(idx_1))
+
+
+def test_pallas_coarse_sum_valued_prints():
+    """Kernel exactness for sum-kind coarse prints (values beyond +/-1)."""
+    rng = np.random.default_rng(5)
+    t, lc, nc, s, tt = 32, 30, 6, 8, 16
+    q = rng.integers(-16, 17, (nc, 64)).astype(np.int8)
+    d = rng.integers(-16, 17, (t, lc, 64)).astype(np.int8)
+    want_best, want_idx = _xla_best(q, d)
+    best, idx = pallas_coarse_scan(jnp.asarray(q),
+                                   flatten_coarse(jnp.asarray(d)),
+                                   s=s, tt=tt, lc_true=lc, interpret=True)
+    np.testing.assert_array_equal(np.asarray(best), want_best)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+def test_coarse_sum_kind_definition(cfg):
+    rng = np.random.default_rng(6)
+    bits = rng.integers(0, 2, (40, 64)).astype(bool)
+    from hpfw_tpu import oracle
+    packed = oracle.pack_bits(bits, cfg)
+    c = np.asarray(coarse_ops.coarse_pm1(jnp.asarray(packed), 8, kind="sum"))
+    pm1 = bits.astype(np.int32) * 2 - 1
+    np.testing.assert_array_equal(c, pm1.reshape(5, 8, 64).sum(1))
