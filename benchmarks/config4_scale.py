@@ -43,7 +43,7 @@ def noisy_excerpt(rng, track_prints, start, n, flip_rate=0.15):
 
 
 def main(n_tracks=100_000, track_seconds=60, query_seconds=10, n_queries=20,
-         stride=None):
+         stride=None, pool=None):
     import jax
 
     cfg = HpfwConfig()
@@ -72,16 +72,16 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, n_queries=20,
         truths.append(tid)
         true_offs.append(off)
 
-    log("warmup/compile...")
+    log(f"warmup/compile... (pool={pool or cfg.fine_candidates})")
     t0 = time.time()
-    ids, scores, offs = ts.match(queries[0], top_k=10)
+    ids, scores, offs = ts.match(queries[0], top_k=10, pool=pool)
     log(f"first query {time.time() - t0:.1f}s -> top1 {ids[0]} (truth {truths[0]})")
 
     lat = []
     hits = 0
     for i in range(n_queries):
         t0 = time.perf_counter()
-        ids, scores, offs = ts.match(queries[i], top_k=10)
+        ids, scores, offs = ts.match(queries[i], top_k=10, pool=pool)
         lat.append((time.perf_counter() - t0) * 1e3)
         if ids[0] == str(truths[i]) and int(offs[0]) == true_offs[i]:
             hits += 1
@@ -103,11 +103,12 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, n_queries=20,
     for q in qs_dev:
         q.block_until_ready()
     t0 = time.perf_counter()
-    outs = [ts.dispatch(q) for q in qs_dev]
+    outs = [ts.dispatch(q, pool=pool) for q in qs_dev]
     np.asarray(outs[-1])
     per_ms = (time.perf_counter() - t0) / len(qs_dev) * 1e3
     emit("config4_device_ms_per_query", round(per_ms, 2), "ms",
-         qps_device=round(1000.0 / per_ms, 1), n_tracks=n_tracks)
+         qps_device=round(1000.0 / per_ms, 1), n_tracks=n_tracks,
+         pool=pool or cfg.fine_candidates, stride=ts.stride)
     log(f"config4 device-side: {per_ms:.2f} ms/query")
 
     # Batched serving: B queries share one coarse-DB sweep (the batched
@@ -115,14 +116,14 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, n_queries=20,
     if ts.use_pallas_fine:
         b = min(16, len(queries))
         batch = np.stack(queries[:b])
-        res = ts.match_batch(batch, top_k=10)   # correctness + compile
+        res = ts.match_batch(batch, top_k=10, pool=pool)  # correctness + compile
         hits_b = sum(res[i][0][0] == str(truths[i])
                      and int(res[i][2][0]) == true_offs[i] for i in range(b))
         qb_dev = jnp.asarray(batch)
         qb_dev.block_until_ready()
         iters = 8
         t0 = time.perf_counter()
-        outs = [ts.dispatch_batch(qb_dev) for _ in range(iters)]
+        outs = [ts.dispatch_batch(qb_dev, pool=pool) for _ in range(iters)]
         np.asarray(outs[-1])
         per_q = (time.perf_counter() - t0) / (iters * b) * 1e3
         emit("config4_batched_ms_per_query", round(per_q, 2), "ms",

@@ -52,9 +52,11 @@ class HpfwConfig:
 
     # ---- matcher / database ----
     db_downsample: int = 16       # coarse-stage temporal downsample factor
-    coarse_kind: str = "sum"      # coarse print statistic: per-bit window
-                                  # "sum" (richer, same bytes) or majority
-                                  # "sign" (recall study: RESULTS.md)
+    coarse_kind: str = "sign"     # coarse print statistic per bit-window:
+                                  # majority "sign" or raw "sum". sign wins
+                                  # the 10k-track recall study at every
+                                  # stride x pool point (the sum's magnitude
+                                  # variance pollutes ranking) — RESULTS.md
     top_k: int = 10               # ranked candidates returned by match()
     fine_candidates: int = 256    # coarse->fine rescan pool size
 

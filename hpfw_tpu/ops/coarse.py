@@ -44,10 +44,11 @@ def coarse_pm1(packed: jnp.ndarray, stride: int, *, dtype=jnp.int8,
     kind="sign": majority vote — sign of the per-bit +/-1 sum; ties (even s)
     break to -1, fixed and identical everywhere.
     kind="sum":  the per-bit +/-1 window SUM itself (range +/-stride) — the
-    same int8 bytes carrying log2(stride)+1 extra bits of evidence per
-    channel; at 10k real-audio tracks this closes the recall gap majority
-    vote shows at stride 32 (benchmarks/recall_study.py). Requires
-    stride <= 127 to fit int8.
+    same int8 bytes carrying log2(stride)+1 extra nominal bits per channel.
+    Measured WORSE than "sign" at 10k real-audio tracks at every stride x
+    pool point (benchmarks/recall_study.py; the sum's magnitude variance
+    pollutes coarse ranking), so "sign" is the default — this stays as the
+    measured alternative. Requires stride <= 127 to fit int8.
     """
     squeeze = packed.ndim == 2
     if squeeze:
