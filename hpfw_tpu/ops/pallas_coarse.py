@@ -64,17 +64,17 @@ def _phase_matrix(query_c: jnp.ndarray, s: int, k_pad: int) -> jnp.ndarray:
     return jnp.pad(w, ((0, k_pad - rows * 64), (0, 0))).astype(jnp.bfloat16)
 
 
-def _coarse_kernel(w_ref, db_ref, best_ref, idx_ref, *,
-                   lcw: int, k_pad: int, s: int, m_blocks: int, n_off: int):
-    """One track tile: phase GEMM per offset block, fused max/first-argmax.
+def _tile_best(w_ref, db_ref, *, lcw: int, k_pad: int, s: int,
+               m_blocks: int, n_off: int):
+    """One track tile's (best corr, first best offset), each (tt, 1) int32.
 
     The GEMM runs in bf16 with f32 accumulation — EXACT for this data
-    (+/-1/0 values, partial sums < 2^24) and ~6x faster than integer
-    dot_general, which Mosaic lowers to multi-pass emulation on this stack
-    (measured 33 TOPS int8 vs native-rate bf16). Storage stays int8 (HBM
-    bytes are the budget); the cast happens in registers.
+    (int8 values, products <= 127^2 representable, partial sums < 2^24) and
+    ~6x faster than integer dot_general, which Mosaic lowers to multi-pass
+    emulation on this stack (measured 33 TOPS int8 vs native-rate bf16).
+    Storage stays int8 (HBM bytes are the budget); the cast happens in
+    registers.
     """
-    tt = db_ref.shape[0]
     parts = []
     for m in range(m_blocks):
         col0 = m * s * 64
@@ -91,8 +91,25 @@ def _coarse_kernel(w_ref, db_ref, best_ref, idx_ref, *,
     # (first best offset, same as the XLA twin's argmax).
     idx = jnp.min(jnp.where(corr == best, lane, jnp.int32(2 ** 30)),
                   axis=1, keepdims=True)
+    return best, idx
+
+
+def _coarse_kernel(w_ref, db_ref, best_ref, idx_ref, **statics):
+    best, idx = _tile_best(w_ref, db_ref, **statics)
     best_ref[:] = best
     idx_ref[:] = idx
+
+
+def _coarse_kernel_batch(w_ref, db_ref, best_ref, idx_ref, *, b: int,
+                         **statics):
+    """Query j of the batch fills column j of the revisited (tt, B) output
+    block (Mosaic forbids (tt, 1) blocks of a (T, B) array; the block is
+    written back to HBM once per track tile, after its last query)."""
+    j = pl.program_id(1)
+    best, idx = _tile_best(w_ref, db_ref, **statics)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (best.shape[0], b), 1)
+    best_ref[:] = jnp.where(lane_b == j, best, best_ref[:])
+    idx_ref[:] = jnp.where(lane_b == j, idx, idx_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("s", "tt", "lc_true", "interpret"))
@@ -173,8 +190,9 @@ def pallas_coarse_scan_batch(
     # One phase kernel per query, stacked along rows: (B*k_pad, S).
     w = jax.vmap(lambda q: _phase_matrix(q, s, k_pad))(
         query_cs).reshape(b * k_pad, s)
-    kernel = functools.partial(_coarse_kernel, lcw=lcw, k_pad=k_pad, s=s,
-                               m_blocks=m_blocks, n_off=n_off)
+    kernel = functools.partial(_coarse_kernel_batch, b=b, lcw=lcw,
+                               k_pad=k_pad, s=s, m_blocks=m_blocks,
+                               n_off=n_off)
     best, idx = pl.pallas_call(
         kernel,
         grid=(t // tt, b),
@@ -185,9 +203,9 @@ def pallas_coarse_scan_batch(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tt, 1), lambda i, j: (i, j),
+            pl.BlockSpec((tt, b), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tt, 1), lambda i, j: (i, j),
+            pl.BlockSpec((tt, b), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

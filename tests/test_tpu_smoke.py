@@ -122,3 +122,26 @@ def test_fused_extraction_margin_audited_on_hardware():
     diff = int(np.unpackbits(np.ascontiguousarray(
         np.bitwise_xor(xla, want)).view(np.uint8)).sum())
     assert diff == 0, f"XLA path: {diff} bits differ from the float64 oracle"
+
+
+def test_batched_coarse_kernel_exact_on_hardware():
+    """The batched kernel's (tt, B) revisited output block is a Mosaic-level
+    construct interpret mode can't validate — compile + exactness on HW."""
+    from hpfw_tpu.ops import coarse as coarse_ops
+    from hpfw_tpu.ops.pallas_coarse import (flatten_coarse,
+                                            pallas_coarse_scan_batch)
+
+    rng = np.random.default_rng(4)
+    t, lc, nc, b = 256, 40, 7, 5
+    qs = rng.choice([-1, 1], (b, nc, 64)).astype(np.int8)
+    d = rng.choice([-1, 1], (t, lc, 64)).astype(np.int8)
+    for i, ln in enumerate(rng.integers(nc, lc + 1, size=t)):
+        d[i, ln:] = 0
+    best, idx = pallas_coarse_scan_batch(jnp.asarray(qs),
+                                         flatten_coarse(jnp.asarray(d)),
+                                         lc_true=lc)
+    for k in range(b):
+        corr = np.asarray(coarse_ops.coarse_correlation(
+            jnp.asarray(qs[k]), jnp.asarray(d)))
+        np.testing.assert_array_equal(np.asarray(best[k]), corr.max(axis=1))
+        np.testing.assert_array_equal(np.asarray(idx[k]), corr.argmax(axis=1))
