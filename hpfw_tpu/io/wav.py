@@ -7,10 +7,11 @@ io/native.py) with this pure-NumPy path as the always-available fallback and
 correctness oracle for it.
 
 Supports WAV (PCM 8/16/24/32, float32/64, mu-law, A-law, and the
-WAVE_FORMAT_EXTENSIBLE wrapper) and AIFF/AIFF-C (big-endian PCM), any
-channel count (downmixed to mono), with linear resampling to the config
-sample rate. Compressed codecs (mp3/ogg/flac) are out of scope in this
-offline environment — convert upstream.
+WAVE_FORMAT_EXTENSIBLE wrapper), AIFF/AIFF-C (big-endian PCM), and FLAC
+(full bitstream decode, io/flac.py + the C++ twin), any channel count
+(downmixed to mono), with linear resampling to the config sample rate.
+Lossy codecs (mp3/ogg) are out of scope in this offline environment —
+convert upstream.
 """
 
 from __future__ import annotations
@@ -35,7 +36,14 @@ def load_wav(path: str, cfg: HpfwConfig | None = None) -> tuple[np.ndarray, int]
         data = f.read()
     from . import native
 
-    if native.available():
+    if data[:4] == b"fLaC":
+        if native.available():
+            pcm, sr = native.decode_flac(data)
+        else:
+            from .flac import decode_flac
+
+            pcm, sr = decode_flac(data)
+    elif native.available():
         try:
             pcm, sr = native.decode_wav(data)
         except ValueError:
@@ -130,6 +138,10 @@ def _decode_aiff_bytes(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    if data[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(data)
     if data[:4] == b"FORM":
         return _decode_aiff_bytes(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":

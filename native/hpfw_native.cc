@@ -218,6 +218,300 @@ int hpfw_wav_decode(const uint8_t* data, int64_t size,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// FLAC decode. Mirrors hpfw_tpu/io/flac.py (the NumPy twin is the oracle;
+// tests/test_flac.py asserts bit-identical float output): STREAMINFO, frame
+// headers with CRC-8, CONSTANT/VERBATIM/FIXED/LPC subframes, Rice + Rice2
+// partitions with escapes, wasted bits, all four channel assignments, frame
+// CRC-16. Same two-call protocol as hpfw_wav_decode.
+// ---------------------------------------------------------------------------
+namespace flac {
+
+struct BitR {
+  const uint8_t* d;
+  int64_t nbits;
+  int64_t pos;
+};
+
+static inline int rd(BitR* b, int n, uint32_t* out) {
+  if (b->pos + n > b->nbits) return -1;
+  uint32_t v = 0;
+  int64_t p = b->pos;
+  for (int i = 0; i < n; ++i, ++p)
+    v = (v << 1) | ((b->d[p >> 3] >> (7 - (p & 7))) & 1u);
+  b->pos = p;
+  *out = v;
+  return 0;
+}
+
+static inline int rds(BitR* b, int n, int64_t* out) {  // signed, n >= 1
+  uint32_t v;
+  if (rd(b, n, &v)) return -1;
+  int64_t s = v;
+  if (n < 64 && (s & (1ll << (n - 1)))) s -= (1ll << n);
+  *out = s;
+  return 0;
+}
+
+static inline int rd_unary(BitR* b, uint32_t* q) {
+  int64_t p = b->pos;
+  while (p < b->nbits && !((b->d[p >> 3] >> (7 - (p & 7))) & 1u)) ++p;
+  if (p >= b->nbits) return -1;
+  *q = (uint32_t)(p - b->pos);
+  b->pos = p + 1;
+  return 0;
+}
+
+static uint8_t crc8(const uint8_t* d, int64_t n) {
+  uint8_t c = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    c ^= d[i];
+    for (int k = 0; k < 8; ++k) c = (c & 0x80) ? (uint8_t)((c << 1) ^ 0x07) : (uint8_t)(c << 1);
+  }
+  return c;
+}
+
+static uint16_t crc16(const uint8_t* d, int64_t n) {
+  uint16_t c = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    c ^= (uint16_t)(d[i] << 8);
+    for (int k = 0; k < 8; ++k)
+      c = (c & 0x8000) ? (uint16_t)((c << 1) ^ 0x8005) : (uint16_t)(c << 1);
+  }
+  return c;
+}
+
+static int utf8_num(BitR* b, uint64_t* out) {
+  uint32_t b0;
+  if (rd(b, 8, &b0)) return -1;
+  if (b0 < 0x80) { *out = b0; return 0; }
+  int n_extra = 0;
+  for (uint32_t mask = 0x40; b0 & mask; mask >>= 1) ++n_extra;
+  if (n_extra == 0 || n_extra > 6) return -1;
+  uint64_t v = b0 & ((0x40u >> n_extra) - 1);
+  for (int i = 0; i < n_extra; ++i) {
+    uint32_t bb;
+    if (rd(b, 8, &bb) || (bb & 0xC0) != 0x80) return -1;
+    v = (v << 6) | (bb & 0x3F);
+  }
+  *out = v;
+  return 0;
+}
+
+static int residual(BitR* b, int blocksize, int order, int64_t* res) {
+  uint32_t method, porder;
+  if (rd(b, 2, &method) || method > 1) return -1;
+  int pbits = method == 0 ? 4 : 5;
+  uint32_t escape = (1u << pbits) - 1;
+  if (rd(b, 4, &porder)) return -1;
+  int n_part = 1 << porder;
+  if (blocksize % n_part) return -1;
+  int64_t filled = 0;
+  for (int p = 0; p < n_part; ++p) {
+    int count = blocksize >> porder;
+    if (p == 0) count -= order;
+    if (count < 0) return -1;
+    uint32_t param;
+    if (rd(b, pbits, &param)) return -1;
+    if (param == escape) {
+      uint32_t raw_bits;
+      if (rd(b, 5, &raw_bits)) return -1;
+      for (int k = 0; k < count; ++k) {
+        int64_t v = 0;
+        if (raw_bits && rds(b, (int)raw_bits, &v)) return -1;
+        res[filled++] = v;
+      }
+    } else {
+      for (int k = 0; k < count; ++k) {
+        uint32_t q, r = 0;
+        if (rd_unary(b, &q)) return -1;
+        if (param && rd(b, (int)param, &r)) return -1;
+        uint64_t u = ((uint64_t)q << param) | r;
+        res[filled++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+      }
+    }
+  }
+  return 0;
+}
+
+static const int kFixedCoef[5][4] = {
+    {}, {1}, {2, -1}, {3, -3, 1}, {4, -6, 4, -1}};
+
+static int subframe(BitR* b, int blocksize, int bps, int64_t* out) {
+  uint32_t pad, ftype, wflag;
+  if (rd(b, 1, &pad) || pad) return -1;
+  if (rd(b, 6, &ftype)) return -1;
+  if (rd(b, 1, &wflag)) return -1;
+  int wasted = 0;
+  if (wflag) {
+    uint32_t q;
+    if (rd_unary(b, &q)) return -1;
+    wasted = (int)q + 1;
+  }
+  int eff = bps - wasted;
+  if (eff <= 0) return -1;
+  std::vector<int64_t> res(blocksize);
+  if (ftype == 0) {  // CONSTANT
+    int64_t v;
+    if (rds(b, eff, &v)) return -1;
+    for (int i = 0; i < blocksize; ++i) out[i] = v;
+  } else if (ftype == 1) {  // VERBATIM
+    for (int i = 0; i < blocksize; ++i)
+      if (rds(b, eff, &out[i])) return -1;
+  } else if (ftype >= 8 && ftype <= 12) {  // FIXED
+    int order = (int)ftype - 8;
+    for (int i = 0; i < order; ++i)
+      if (rds(b, eff, &out[i])) return -1;
+    if (residual(b, blocksize, order, res.data())) return -1;
+    for (int i = order; i < blocksize; ++i) {
+      int64_t p = 0;
+      for (int j = 0; j < order; ++j) p += kFixedCoef[order][j] * out[i - 1 - j];
+      out[i] = res[i - order] + p;
+    }
+  } else if (ftype >= 32) {  // LPC
+    int order = (int)(ftype & 31) + 1;
+    for (int i = 0; i < order; ++i)
+      if (rds(b, eff, &out[i])) return -1;
+    uint32_t prec4;
+    if (rd(b, 4, &prec4) || prec4 == 15) return -1;
+    int prec = (int)prec4 + 1;
+    int64_t shift;
+    if (rds(b, 5, &shift) || shift < 0) return -1;
+    int64_t coef[32];
+    for (int i = 0; i < order; ++i)
+      if (rds(b, prec, &coef[i])) return -1;
+    if (residual(b, blocksize, order, res.data())) return -1;
+    for (int i = order; i < blocksize; ++i) {
+      int64_t p = 0;
+      for (int j = 0; j < order; ++j) p += coef[j] * out[i - 1 - j];
+      out[i] = res[i - order] + (p >> shift);
+    }
+  } else {
+    return -1;
+  }
+  if (wasted)
+    for (int i = 0; i < blocksize; ++i) out[i] <<= wasted;
+  return 0;
+}
+
+}  // namespace flac
+
+int hpfw_flac_decode(const uint8_t* data, int64_t size,
+                     float* out, int64_t* out_n, int32_t* out_rate) {
+  using namespace flac;
+  if (size < 42 || memcmp(data, "fLaC", 4) != 0) return -1;
+  int64_t pos = 4;
+  int32_t sr = 0;
+  int n_ch = 0, bps = 0;
+  int64_t total = -1;
+  while (pos + 4 <= size) {
+    uint8_t hdr = data[pos];
+    uint32_t bsize = ((uint32_t)data[pos + 1] << 16) |
+                     ((uint32_t)data[pos + 2] << 8) | data[pos + 3];
+    const uint8_t* body = data + pos + 4;
+    if (pos + 4 + bsize > size) return -2;
+    if ((hdr & 0x7F) == 0 && bsize >= 34) {  // STREAMINFO
+      sr = ((int32_t)body[10] << 12) | ((int32_t)body[11] << 4) | (body[12] >> 4);
+      n_ch = ((body[12] >> 1) & 7) + 1;
+      bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1;
+      total = ((int64_t)(body[13] & 0xF) << 32) | rd_be32(body + 14);
+    }
+    pos += 4 + bsize;
+    if (hdr & 0x80) break;
+  }
+  if (sr <= 0 || n_ch <= 0 || n_ch > 8 || bps <= 0) return -3;
+
+  static const int kBsCode[16] = {0, 192, 576, 1152, 2304, 4608, -1, -2,
+                                  256, 512, 1024, 2048, 4096, 8192, 16384, 32768};
+  static const int kSsCode[8] = {0, 8, 12, -1, 16, 20, 24, 32};
+  BitR br{data, size * 8, pos * 8};
+  int64_t count = 0;
+  std::vector<std::vector<int64_t>> ch(n_ch);
+  double scale = (double)(1ll << (bps - 1));
+  while (br.pos + 40 <= br.nbits && (total < 0 || count < total)) {
+    int64_t frame_start = br.pos >> 3;
+    uint32_t sync, resv, bs_code, sr_code, ch_code, ss_code;
+    if (rd(&br, 14, &sync) || sync != 0x3FFE) return -10;
+    if (rd(&br, 2, &resv)) return -10;  // reserved + blocking strategy
+    if (rd(&br, 4, &bs_code) || rd(&br, 4, &sr_code) ||
+        rd(&br, 4, &ch_code) || rd(&br, 3, &ss_code) || rd(&br, 1, &resv))
+      return -10;
+    uint64_t fnum;
+    if (utf8_num(&br, &fnum)) return -10;
+    int blocksize;
+    if (bs_code == 6) {
+      uint32_t v; if (rd(&br, 8, &v)) return -10;
+      blocksize = (int)v + 1;
+    } else if (bs_code == 7) {
+      uint32_t v; if (rd(&br, 16, &v)) return -10;
+      blocksize = (int)v + 1;
+    } else {
+      blocksize = kBsCode[bs_code];
+      if (blocksize <= 0) return -10;
+    }
+    if (sr_code == 12) { uint32_t v; if (rd(&br, 8, &v)) return -10; }
+    else if (sr_code == 13 || sr_code == 14) { uint32_t v; if (rd(&br, 16, &v)) return -10; }
+    else if (sr_code == 15) return -10;
+    int frame_bps = ss_code ? kSsCode[ss_code] : bps;
+    if (frame_bps <= 0) return -10;
+    int64_t crc8_pos = br.pos >> 3;
+    uint32_t hcrc;
+    if (rd(&br, 8, &hcrc)) return -10;
+    if (crc8(data + frame_start, crc8_pos - frame_start) != (uint8_t)hcrc)
+      return -11;
+
+    std::vector<std::vector<int64_t>> sub;
+    if (ch_code < 8) {
+      if ((int)ch_code + 1 != n_ch) return -12;
+      sub.assign(n_ch, std::vector<int64_t>(blocksize));
+      for (int c = 0; c < n_ch; ++c)
+        if (subframe(&br, blocksize, frame_bps, sub[c].data())) return -13;
+    } else if (ch_code <= 10) {
+      if (n_ch != 2) return -12;
+      int lb = frame_bps + (ch_code == 9 ? 1 : 0);
+      int rb = frame_bps + (ch_code != 9 ? 1 : 0);
+      std::vector<int64_t> a(blocksize), bch(blocksize);
+      if (subframe(&br, blocksize, lb, a.data())) return -13;
+      if (subframe(&br, blocksize, rb, bch.data())) return -13;
+      sub.assign(2, std::vector<int64_t>(blocksize));
+      for (int i = 0; i < blocksize; ++i) {
+        if (ch_code == 8) {        // left/side
+          sub[0][i] = a[i];
+          sub[1][i] = a[i] - bch[i];
+        } else if (ch_code == 9) { // right/side
+          sub[0][i] = bch[i] + a[i];
+          sub[1][i] = bch[i];
+        } else {                   // mid/side
+          int64_t mid = (a[i] << 1) | (bch[i] & 1);
+          sub[0][i] = (mid + bch[i]) >> 1;
+          sub[1][i] = (mid - bch[i]) >> 1;
+        }
+      }
+    } else {
+      return -12;
+    }
+    br.pos = (br.pos + 7) & ~7ll;
+    int64_t crc16_pos = br.pos >> 3;
+    uint32_t fcrc;
+    if (rd(&br, 16, &fcrc)) return -10;
+    if (crc16(data + frame_start, crc16_pos - frame_start) != (uint16_t)fcrc)
+      return -14;
+    for (int c = 0; c < n_ch; ++c)
+      ch[c].insert(ch[c].end(), sub[c].begin(), sub[c].end());
+    count += blocksize;
+  }
+  if (total >= 0 && count > total) count = total;
+  *out_n = count;
+  *out_rate = sr;
+  if (!out) return 0;
+  for (int64_t i = 0; i < count; ++i) {
+    double acc = 0.0;
+    for (int c = 0; c < n_ch; ++c) acc += (double)ch[c][i];
+    out[i] = (float)(acc / n_ch / scale);
+  }
+  return 0;
+}
+
 // Linear resampler — arithmetic identical to io/wav.py resample_linear.
 int64_t hpfw_resample_len(int64_t n_in, int32_t sr_in, int32_t sr_out) {
   return (int64_t)((double)n_in * sr_out / sr_in);
