@@ -63,21 +63,37 @@ def _fine_rescan(query, cand_prints, cand_lengths, o_centers, *, fine_window):
     return jax.vmap(one)(cand_prints, cand_lengths, o_lo)
 
 
+_POOL_ROWS = 64
+
+
 def _pool_candidates(best_corr, pool: int):
     """EXACT top-`pool` track indices, padded to a multiple of 8 (the Pallas
     candidate tile) by repeating the first candidate; duplicates are
     deduplicated in the host-side ranking.
 
-    lax.top_k (not approx_max_k): exact pooling is what the module
+    Exact lax.top_k (not approx_max_k): exact pooling is what the module
     docstring's exact-on-pool guarantee rests on, and it measures FASTER on
-    the v5e at catalog scale (1.5 ms vs 2.0 ms over 100k int32 scores —
-    benchmarks/profile_stages.py)."""
+    the v5e at catalog scale (benchmarks/profile_stages.py). At catalog
+    sizes the selection runs TWO-LEVEL — per-row top-k over a (64, T/64)
+    reshape, then top-k of the 64k survivors — which is ~1.5x faster than
+    one flat top_k at 100k+ scores (benchmarks/tune_matcher.py) and returns
+    the identical candidate list: any global top-k element is a top-k
+    element of its row, rows partition the index space in ascending order,
+    and lax.top_k breaks ties toward lower indices at both levels."""
     t = best_corr.shape[0]
     k0 = max(1, min(pool, t))
     k = -(-k0 // 8) * 8
     kk = min(k, t)
-    _, cand = jax.lax.top_k(best_corr, kk)
-    cand = cand.astype(jnp.int32)
+    if t % _POOL_ROWS == 0 and t // _POOL_ROWS >= kk and t >= 2 * _POOL_ROWS * kk:
+        cols = t // _POOL_ROWS
+        vals, idx = jax.lax.top_k(best_corr.reshape(_POOL_ROWS, cols), kk)
+        gidx = idx.astype(jnp.int32) + (
+            jnp.arange(_POOL_ROWS, dtype=jnp.int32) * cols)[:, None]
+        _, i2 = jax.lax.top_k(vals.reshape(-1), kk)
+        cand = jnp.take(gidx.reshape(-1), i2)
+    else:
+        _, cand = jax.lax.top_k(best_corr, kk)
+        cand = cand.astype(jnp.int32)
     if k > kk:
         cand = jnp.concatenate([cand, jnp.broadcast_to(cand[:1], (k - kk,))])
     return cand
@@ -138,7 +154,7 @@ class TwoStageDB:
                  use_pallas_fine: bool | None = None,
                  use_pallas_coarse: bool | None = None,
                  coarse_kind: str | None = None,
-                 coarse_tile: int = 128,
+                 coarse_tile: int | None = None,
                  pallas_interpret: bool = False):
         self.db = db
         cfg = db.cfg
@@ -156,10 +172,17 @@ class TwoStageDB:
         # Pallas match paths consume.
         use_pallas_coarse = use_pallas_coarse and use_pallas_fine
         self.use_pallas_coarse = use_pallas_coarse
-        self.coarse_tile = coarse_tile
         prints = db.prints
         lengths = db.lengths
         t = prints.shape[0]
+        if coarse_tile is None:
+            # Largest vmem-safe tile: HBM reads dominate the coarse scan and
+            # bigger blocks DMA faster (ops/pallas_coarse.auto_track_tile).
+            from ..ops.pallas_coarse import auto_track_tile
+
+            lc_even = -(-(prints.shape[1] // self.stride) // 2) * 2
+            coarse_tile = auto_track_tile(lc_even * 64) if t >= 4096 else 128
+        self.coarse_tile = coarse_tile
         # Track-count padding: whole tracks per mesh shard, and whole track
         # tiles per shard for the fused coarse kernel (zero tracks score 0
         # and fall to the n_real cut).

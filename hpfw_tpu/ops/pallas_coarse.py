@@ -42,6 +42,21 @@ from jax.experimental.pallas import tpu as pltpu
 TRACK_TILE = 128     # tracks per program (grid rows)
 PHASES = 128         # query phase shifts = GEMM output lanes (MXU width)
 
+# Pallas pipeline buffers live in a ~16 MB scoped-vmem arena; the track tile
+# is double-buffered, so cap 2*tt*lcw (plus ~3 MB of W/corr/temps) under it.
+_VMEM_TILE_BUDGET = 11 * 2 ** 20
+
+
+def auto_track_tile(lcw: int, cap: int = 1024) -> int:
+    """Largest power-of-two track tile whose double-buffered int8 block fits
+    scoped vmem. Bigger tiles DMA measurably faster on this chip (253 vs
+    214 GB/s at tt=1024 vs 128, benchmarks/tune_matcher.py) — HBM reads are
+    the whole cost of the coarse scan, so take the largest safe tile."""
+    tt = 8
+    while tt * 2 <= cap and 2 * (tt * 2) * lcw <= _VMEM_TILE_BUDGET:
+        tt *= 2
+    return tt
+
 
 def _phase_matrix(query_c: jnp.ndarray, s: int, k_pad: int) -> jnp.ndarray:
     """((Nc+S-1)*64 -> k_pad, S) bf16 phase-shift kernel: column r is the

@@ -184,3 +184,25 @@ def test_two_stage_pallas_coarse_equals_xla_coarse(cfg):
         assert ids_a == ids_b
         np.testing.assert_array_equal(s_a, s_b)
         np.testing.assert_array_equal(o_a, o_b)
+
+
+def test_pool_candidates_two_level_exact(cfg):
+    """The two-level top-k pool returns the identical candidate list (values,
+    order, tie-breaks) as one flat lax.top_k — heavy ties included."""
+    from hpfw_tpu.match.scaled import _POOL_ROWS, _pool_candidates
+
+    rng = np.random.default_rng(7)
+    pool = 16
+    t = 4 * _POOL_ROWS * pool          # large enough for the two-level path
+    scores = jnp.asarray(rng.integers(-5, 5, t, dtype=np.int32))  # many ties
+    got = np.asarray(_pool_candidates(scores, pool))
+    _, want = jax.lax.top_k(scores, pool)
+    np.testing.assert_array_equal(got, np.asarray(want))
+    # Small inputs fall back to the flat path and pad to the 8-tile by
+    # repeating the first candidate once the catalog is exhausted.
+    small = jnp.asarray(rng.integers(-5, 5, 5, dtype=np.int32))
+    got_s = np.asarray(_pool_candidates(small, 3))
+    _, want_s = jax.lax.top_k(small, 5)
+    assert got_s.shape == (8,)
+    np.testing.assert_array_equal(got_s[:5], np.asarray(want_s))
+    np.testing.assert_array_equal(got_s[5:], np.repeat(got_s[0], 3))
