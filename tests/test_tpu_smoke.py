@@ -125,11 +125,12 @@ def test_fused_extraction_margin_audited_on_hardware():
 
 
 def test_batched_coarse_kernel_exact_on_hardware():
-    """The batched kernel's (tt, B) revisited output block is a Mosaic-level
-    construct interpret mode can't validate — compile + exactness on HW."""
+    """The stacked batch kernel's in-group shift-reduce tree and one-hot
+    selection GEMMs are Mosaic-level constructs interpret mode can't fully
+    validate — compile + exactness on HW, odd B (lane padding) included."""
     from hpfw_tpu.ops import coarse as coarse_ops
     from hpfw_tpu.ops.pallas_coarse import (flatten_coarse,
-                                            pallas_coarse_scan_batch)
+                                            pallas_coarse_scan_batch_stacked)
 
     rng = np.random.default_rng(4)
     t, lc, nc, b = 256, 40, 7, 5
@@ -137,9 +138,8 @@ def test_batched_coarse_kernel_exact_on_hardware():
     d = rng.choice([-1, 1], (t, lc, 64)).astype(np.int8)
     for i, ln in enumerate(rng.integers(nc, lc + 1, size=t)):
         d[i, ln:] = 0
-    best, idx = pallas_coarse_scan_batch(jnp.asarray(qs),
-                                         flatten_coarse(jnp.asarray(d)),
-                                         lc_true=lc)
+    best, idx = pallas_coarse_scan_batch_stacked(
+        jnp.asarray(qs), flatten_coarse(jnp.asarray(d)), lc_true=lc)
     for k in range(b):
         corr = np.asarray(coarse_ops.coarse_correlation(
             jnp.asarray(qs[k]), jnp.asarray(d)))
