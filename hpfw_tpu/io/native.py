@@ -41,6 +41,15 @@ def load_library():
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+        lib.hpfw_fingerprint.restype = ctypes.c_int
+        lib.hpfw_fingerprint.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64)]
         lib.hpfw_resample_len.restype = ctypes.c_int64
         lib.hpfw_resample_len.argtypes = [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
         lib.hpfw_resample_linear.restype = None
@@ -103,6 +112,43 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     if rc != 0:
         raise ValueError(f"native flac decode failed (code {rc})")
     return out, int(rate.value)
+
+
+def fingerprint_cpu(pcm: np.ndarray, filters: np.ndarray, cfg,
+                    n_threads: int = 0) -> np.ndarray:
+    """Full native extraction: PCM -> packed hashprints (N, 2) uint32.
+
+    The reference's C++ fingerprint() surface (SURVEY.md §1.2) — CQT,
+    projection, delta, sign, pack entirely in hpfw_native.cc, threaded over
+    frames. Float64 like the oracle; equal to oracle.fingerprint except at
+    ~zero delta margins (margin-audited in tests/test_native.py).
+    """
+    from ..oracle.pipeline import uint64_to_packed
+
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    x = np.ascontiguousarray(pcm, dtype=np.float32)
+    f = np.ascontiguousarray(filters, dtype=np.float32)
+    assert f.shape == (cfg.context_dim, 64)
+    n = ctypes.c_int64(0)
+    args = (x.shape[0], _fptr(f, ctypes.c_float),
+            cfg.sample_rate, cfg.frame_len, cfg.hop, cfg.n_bins,
+            cfg.fmin, cfg.bins_per_octave,
+            1 if cfg.window == "hamming" else 0, cfg.log_eps,
+            cfg.context_w, cfg.delta_lag,
+            1 if cfg.bit_order == "msb0" else 0,
+            1 if cfg.tie_break == "ge" else 0, n_threads)
+    rc = lib.hpfw_fingerprint(_fptr(x, ctypes.c_float), *args,
+                              None, ctypes.byref(n))
+    if rc != 0:
+        raise ValueError(f"native fingerprint failed (code {rc})")
+    out = np.empty(max(n.value, 1), dtype=np.uint64)
+    rc = lib.hpfw_fingerprint(_fptr(x, ctypes.c_float), *args,
+                              _fptr(out, ctypes.c_uint64), ctypes.byref(n))
+    if rc != 0:
+        raise ValueError(f"native fingerprint failed (code {rc})")
+    return uint64_to_packed(out[: n.value])
 
 
 def resample_linear(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:

@@ -19,6 +19,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <thread>
 #include <vector>
 
@@ -558,6 +559,128 @@ void hpfw_resample_linear(const float* in, int64_t n_in, int32_t sr_in,
     float frac = (float)(src - (double)i0);
     out[i] = (1.0f - frac) * in[i0] + frac * in[i1];
   }
+}
+
+// ---------------------------------------------------------------------------
+// Hashprint extraction (the reference's C++ fingerprint() surface,
+// SURVEY.md §1.2): framed NDFT CQT -> log magnitude -> context-window
+// projection -> delta -> sign -> packed 64-bit hashprints. Mirrors
+// hpfw_tpu/oracle/pipeline.py in float64; the sign threshold makes the
+// result equal to the oracle except at ~zero delta margins
+// (tests/test_native.py margin-audits it). Frames parallelize across a
+// std::thread pool — the reference's CPU batch-driver style.
+// Two-call protocol like the decoders; out holds uint64 hashprints.
+// ---------------------------------------------------------------------------
+static void parallel_for(int64_t n, int32_t n_threads,
+                         const std::function<void(int64_t)>& fn) {
+  if (n_threads <= 0)
+    n_threads = (int32_t)std::max(1u, std::thread::hardware_concurrency());
+  n_threads = (int32_t)std::min<int64_t>(n_threads, n);
+  if (n_threads <= 1) {
+    for (int64_t i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      fn(i);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int32_t i = 0; i < n_threads; ++i) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+int hpfw_fingerprint(
+    const float* pcm, int64_t n_samples, const float* filters,
+    int32_t sample_rate, int32_t frame_len, int32_t hop, int32_t n_bins,
+    double fmin, int32_t bins_per_octave, int32_t window_hamming,
+    double log_eps, int32_t context_w, int32_t delta_lag,
+    int32_t bit_order_msb0, int32_t tie_ge, int32_t n_threads,
+    uint64_t* out, int64_t* out_n) {
+  if (sample_rate <= 0 || frame_len <= 0 || hop <= 0 || n_bins <= 0 ||
+      context_w <= 0 || delta_lag <= 0)
+    return -1;
+  int64_t n_frames =
+      n_samples < frame_len ? 0 : 1 + (n_samples - frame_len) / hop;
+  int64_t n_ctx = n_frames - context_w + 1;
+  int64_t n_prints = n_ctx - delta_lag;
+  if (n_prints < 0) n_prints = 0;
+  *out_n = n_prints;
+  if (!out) return 0;
+  if (n_prints == 0) return 0;
+
+  // Per-bin CQT kernels (window-weighted complex exponentials / n_k).
+  double q = 1.0 / (pow(2.0, 1.0 / bins_per_octave) - 1.0);
+  std::vector<int32_t> koff(n_bins), klen(n_bins);
+  std::vector<std::vector<double>> kre(n_bins), kim(n_bins);
+  for (int32_t k = 0; k < n_bins; ++k) {
+    double f_k = fmin * pow(2.0, (double)k / bins_per_octave);
+    int32_t n_k = (int32_t)ceil(q * sample_rate / f_k);
+    if (n_k > frame_len) return -2;
+    klen[k] = n_k;
+    koff[k] = (frame_len - n_k) / 2;
+    kre[k].resize(n_k);
+    kim[k].resize(n_k);
+    for (int32_t n = 0; n < n_k; ++n) {
+      double win =
+          window_hamming
+              ? 0.54 - 0.46 * cos(2.0 * M_PI * (n + 0.5) / n_k)
+              : 0.5 - 0.5 * cos(2.0 * M_PI * (n + 0.5) / n_k);
+      double ph = -2.0 * M_PI * f_k * n / sample_rate;
+      kre[k][n] = win * cos(ph) / n_k;
+      kim[k][n] = win * sin(ph) / n_k;
+    }
+  }
+
+  // Log-magnitude CQT, frames across the thread pool.
+  std::vector<double> spec((size_t)n_frames * n_bins);
+  parallel_for(n_frames, n_threads, [&](int64_t t) {
+    const float* fr = pcm + t * hop;
+    for (int32_t k = 0; k < n_bins; ++k) {
+      const double* re = kre[k].data();
+      const double* im = kim[k].data();
+      const float* x = fr + koff[k];
+      double sr_ = 0.0, si = 0.0;
+      for (int32_t n = 0; n < klen[k]; ++n) {
+        double v = (double)x[n];
+        sr_ += v * re[n];
+        si += v * im[n];
+      }
+      spec[t * n_bins + k] = log(log_eps + sqrt(sr_ * sr_ + si * si));
+    }
+  });
+
+  // Context projection y(n) = F^T x(n), then delta/sign/pack per print.
+  std::vector<double> y((size_t)n_ctx * 64);
+  parallel_for(n_ctx, n_threads, [&](int64_t n) {
+    double acc[64] = {0.0};
+    for (int32_t j = 0; j < context_w; ++j) {
+      const double* s = &spec[(n + j) * n_bins];
+      const float* frow = filters + (size_t)j * n_bins * 64;
+      for (int32_t b = 0; b < n_bins; ++b) {
+        double v = s[b];
+        const float* fcol = frow + (size_t)b * 64;
+        for (int32_t f = 0; f < 64; ++f) acc[f] += v * (double)fcol[f];
+      }
+    }
+    for (int32_t f = 0; f < 64; ++f) y[n * 64 + f] = acc[f];
+  });
+
+  parallel_for(n_prints, n_threads, [&](int64_t n) {
+    uint64_t h = 0;
+    for (int32_t f = 0; f < 64; ++f) {
+      double d = y[n * 64 + f] - y[(n + delta_lag) * 64 + f];
+      bool bit = tie_ge ? (d >= 0.0) : (d > 0.0);
+      int32_t pos = bit_order_msb0 ? 63 - f : f;
+      if (bit) h |= (uint64_t)1 << pos;
+    }
+    out[n] = h;
+  });
+  return 0;
 }
 
 // ---------------------------------------------------------------------------

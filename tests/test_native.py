@@ -53,3 +53,40 @@ def test_native_match_single_thread_deterministic():
     s8, o8 = native.match_db(q, tracks, n_threads=8)
     np.testing.assert_array_equal(s1, s8)
     np.testing.assert_array_equal(o1, o8)
+
+
+def test_native_fingerprint_matches_oracle(cfg):
+    """Full C++ extraction (CQT + projection + delta + sign + pack) equals
+    the float64 oracle, margin-audited: the two float64 pipelines may only
+    disagree where |delta| ~ 0 (different GEMM accumulation orders)."""
+    from tests.test_tpu_pipeline import assert_bits_match_with_margin_audit
+
+    rng = np.random.default_rng(11)
+    filters = (rng.standard_normal((cfg.context_dim, 64))
+               / np.sqrt(cfg.context_dim))
+    filters = oracle.fix_eigenvector_signs(filters).astype(np.float32)
+    pcm = synth.synth_track(3, 7.0, cfg)
+    got = native.fingerprint_cpu(pcm, filters, cfg)
+    want = oracle.fingerprint(pcm, filters, cfg)
+    assert got.shape == want.shape and got.shape[0] > 0
+    margins = oracle.delta_margins(pcm, filters, cfg)
+    assert_bits_match_with_margin_audit(got, want, margins, rel_tol=1e-6)
+
+
+def test_native_fingerprint_msb0_and_short_input(cfg):
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, bit_order="msb0", tie_break="ge")
+    rng = np.random.default_rng(12)
+    filters = (rng.standard_normal((cfg2.context_dim, 64))
+               / np.sqrt(cfg2.context_dim)).astype(np.float32)
+    pcm = synth.synth_track(4, 6.5, cfg2)
+    got = native.fingerprint_cpu(pcm, filters, cfg2)
+    want = oracle.fingerprint(pcm, filters, cfg2)
+    margins = oracle.delta_margins(pcm, filters, cfg2)
+    from tests.test_tpu_pipeline import assert_bits_match_with_margin_audit
+
+    assert_bits_match_with_margin_audit(got, want, margins, rel_tol=1e-6)
+    # Too-short input yields zero prints, not an error (cfg.min_samples).
+    short = native.fingerprint_cpu(pcm[: cfg2.min_samples() - 1], filters, cfg2)
+    assert short.shape == (0, 2)
