@@ -98,7 +98,12 @@ def cmd_fingerprint(args):
     cfg = HpfwConfig.from_json(open(args.config).read()) if args.config else HpfwConfig()
     filters = _load_filters(args.filters)
     pcm, _ = load_wav(args.audio, cfg)
-    fp = api.fingerprint(pcm, filters, cfg)
+    if args.cpu:
+        from .io import native
+
+        fp = native.fingerprint_cpu(pcm, filters, cfg)
+    else:
+        fp = api.fingerprint(pcm, filters, cfg)
     if args.output:
         np.savez_compressed(args.output, prints=fp)
         print(f"wrote {args.output}: {fp.shape[0]} hashprints")
@@ -252,6 +257,8 @@ def main(argv=None):
     f.add_argument("--filters", required=True)
     f.add_argument("--config")
     f.add_argument("-o", "--output")
+    f.add_argument("--cpu", action="store_true",
+                   help="native C++ extraction (no TPU/JAX)")
     f.add_argument("--head", type=int, default=16)
     f.set_defaults(fn=cmd_fingerprint)
 

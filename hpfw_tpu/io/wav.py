@@ -199,6 +199,11 @@ def _decode_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
     return np.ascontiguousarray(x, dtype=np.float32), sr
 
 
+# The decode entry handles every supported container (WAV/AIFF/FLAC) by
+# magic — "load_audio" is the honest name; "load_wav" stays for history.
+load_audio = load_wav
+
+
 def save_wav(path: str, pcm: np.ndarray, sample_rate: int) -> None:
     """Write mono float PCM as 16-bit WAV (fixture generation / debugging)."""
     x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
