@@ -52,7 +52,8 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, *loads):
 
     results = {}
     with MatchServer(ts, n_q, max_batch=16, max_wait_ms=4.0) as srv:
-        srv.match(queries[0])                       # compile + warm
+        log("warming batch buckets...")
+        srv.warmup(queries[0])
         for lam in loads:
             lat = [None] * n_queries
             hits = [0]

@@ -72,6 +72,25 @@ class MatchServer:
         """Blocking convenience wrapper."""
         return self.submit(query_prints).result()
 
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 4
+        return min(b, self.max_batch) if b <= self.max_batch else self.max_batch
+
+    def warmup(self, example_query: np.ndarray) -> None:
+        """Compile every batch bucket up front (serving should never pay a
+        first-compile inside a latency SLO)."""
+        b = 1
+        while True:
+            qs = self._jnp.asarray(
+                np.broadcast_to(example_query, (min(b, self.max_batch),
+                                                self.n_q, 2)))
+            np.asarray(self.ts.dispatch_batch(qs, pool=self.pool))
+            if b >= self.max_batch:
+                break
+            b *= 4
+
     def close(self) -> None:
         self._stop.set()
         self._q.put(None)                  # wake the dispatcher
@@ -119,7 +138,15 @@ class MatchServer:
             batch = self._collect()
             if not batch:
                 break
-            qs = self._jnp.asarray(np.stack([q for q, _ in batch]))
+            # Bucketed batch shapes: a jit program exists per (B, N)
+            # signature, so variable-size batches would recompile constantly
+            # under Poisson arrivals. Batches pad (replicating the last
+            # query; padded rows are dropped before ranking) to the next
+            # power-of-4 bucket — a handful of programs, compiled up front
+            # by warmup(), with at most 4x padding waste at low fill.
+            rows = [q for q, _ in batch]
+            rows += [rows[-1]] * (self._bucket(len(rows)) - len(rows))
+            qs = self._jnp.asarray(np.stack(rows))
             out_dev = self.ts.dispatch_batch(qs, pool=self.pool)
             inflight.append((out_dev, [f for _, f in batch]))
             # Keep `depth` batches in flight while more work is queued, but
