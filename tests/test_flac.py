@@ -109,3 +109,27 @@ def test_flac_rejects_garbage():
         decode_flac(b"fLaX" + b"\x00" * 100)
     with pytest.raises(ValueError):
         wav._decode_wav_bytes(b"\x00" * 64)
+
+
+def test_flac_fuzz_no_crash():
+    """Random corruptions of a valid stream must raise ValueError (or decode
+    if the corruption is benign) — never crash or hang, in both decoders."""
+    rng = np.random.default_rng(8)
+    blob = bytearray(encode_flac(_sig(6000, seed=9), 22050, blocksize=1024))
+    for _ in range(40):
+        b = bytearray(blob)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(4, len(b)))] ^= int(rng.integers(1, 256))
+        try:
+            decode_flac(bytes(b))
+        except ValueError:
+            pass
+        if native.available():
+            try:
+                native.decode_flac(bytes(b))
+            except ValueError:
+                pass
+    # Pure garbage with a valid magic must also fail cleanly.
+    junk = b"fLaC" + bytes(rng.integers(0, 256, 300, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_flac(junk)

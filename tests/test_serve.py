@@ -55,3 +55,27 @@ def test_server_rejects_wrong_length_and_closes(served):
     late = srv.submit(np.zeros((40, 2), np.uint32))
     with pytest.raises(RuntimeError):
         late.result(timeout=10)
+
+
+def test_server_on_mesh(cfg):
+    """MatchServer over a mesh-sharded TwoStageDB (8-device CPU sim)."""
+    import jax
+
+    from hpfw_tpu.parallel import mesh as meshlib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU sim")
+    tracks = synth.synth_catalog(16, 4.0, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    mesh = meshlib.db_mesh(8)
+    ts = TwoStageDB(db, stride=4, mesh=mesh, use_pallas_fine=True,
+                    coarse_tile=8, pallas_interpret=True)
+    q = synth.make_query(tracks[6], 0.5, 2.0, cfg, noise_db=-15.0, seed=1)
+    qfp = api.fingerprint(q, filters, cfg)
+    with MatchServer(ts, qfp.shape[0], max_batch=4, max_wait_ms=10.0,
+                     pool=16) as srv:
+        ids, scores, offs = srv.match(qfp)
+    w_ids, w_scores, w_offs = ts.match(qfp, pool=16)
+    assert ids == w_ids
+    np.testing.assert_array_equal(scores, w_scores)
