@@ -59,6 +59,11 @@ class HpfwConfig:
                                   # variance pollutes ranking) — RESULTS.md
     top_k: int = 10               # ranked candidates returned by match()
     fine_candidates: int = 256    # coarse->fine rescan pool size
+    coarse_channels: int = 64     # coarse-print channels per window (<=64):
+                                  # hashprint channels are PCA-ordered, so
+                                  # the first C are the most informative —
+                                  # C<64 shrinks coarse bytes by C/64
+                                  # (recall cost: benchmarks/channel_study)
 
     # ---- derived ----
     @property
@@ -106,6 +111,9 @@ class HpfwConfig:
         assert self.bit_order in ("lsb0", "msb0")
         assert self.tie_break in ("gt", "ge")
         assert self.coarse_kind in ("sign", "sum")
+        assert (8 <= self.coarse_channels <= 64
+                and self.coarse_channels % 8 == 0), \
+            "coarse_channels must be a multiple of 8 in [8, 64]"
         if self.coarse_kind == "sum":
             assert self.db_downsample <= 127, "sum coarse prints are int8"
         assert self.window in ("hann", "hamming")

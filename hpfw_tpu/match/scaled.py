@@ -154,6 +154,7 @@ class TwoStageDB:
                  use_pallas_fine: bool | None = None,
                  use_pallas_coarse: bool | None = None,
                  coarse_kind: str | None = None,
+                 coarse_channels: int | None = None,
                  coarse_tile: int | None = None,
                  pallas_interpret: bool = False):
         self.db = db
@@ -161,6 +162,8 @@ class TwoStageDB:
         self.stride = stride if stride is not None else cfg.db_downsample
         self.coarse_kind = (coarse_kind if coarse_kind is not None
                             else getattr(cfg, "coarse_kind", "sign"))
+        self.coarse_channels = (coarse_channels if coarse_channels is not None
+                                else getattr(cfg, "coarse_channels", 64))
         self.mesh = mesh
         self.pallas_interpret = pallas_interpret
         if use_pallas_fine is None:
@@ -180,8 +183,10 @@ class TwoStageDB:
             # bigger blocks DMA faster (ops/pallas_coarse.auto_track_tile).
             from ..ops.pallas_coarse import auto_track_tile
 
-            lc_even = -(-(prints.shape[1] // self.stride) // 2) * 2
-            coarse_tile = auto_track_tile(lc_even * 64) if t >= 4096 else 128
+            c = self.coarse_channels
+            unit_lc = 128 // int(np.gcd(c, 128))
+            lc_pad = -(-(prints.shape[1] // self.stride) // unit_lc) * unit_lc
+            coarse_tile = auto_track_tile(lc_pad * c) if t >= 4096 else 128
         self.coarse_tile = coarse_tile
         # Track-count padding: whole tracks per mesh shard, and whole track
         # tiles per shard for the fused coarse kernel (zero tracks score 0
@@ -199,7 +204,8 @@ class TwoStageDB:
         # whole-catalog unpack would blow HBM at 100k+ tracks.
         coarse_fn = jax.jit(
             functools.partial(coarse_ops.coarse_pm1, stride=self.stride,
-                              kind=self.coarse_kind)
+                              kind=self.coarse_kind,
+                              channels=self.coarse_channels)
         )
         prints_dev = jnp.asarray(prints)
         chunk = max(1, min(t, 134_217_728 // max(prints.shape[1] * 64, 1)))
@@ -289,23 +295,27 @@ class TwoStageDB:
                 stride=self.stride, pool=pool, fine_window=fw,
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
+                coarse_channels=self.coarse_channels,
                 interpret=self.pallas_interpret)
         if self.mesh is None:
             return _two_stage_jit(
                 query_dev, self.prints, self.lengths, self.db_c,
                 stride=self.stride, pool=pool, fine_window=fw,
-                coarse_kind=self.coarse_kind)
+                coarse_kind=self.coarse_kind,
+                coarse_channels=self.coarse_channels)
         if self.use_pallas_fine:
             return _two_stage_sharded_pallas(
                 query_dev, self.d0, self.d1, self.lengths, self.db_c,
                 mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
+                coarse_channels=self.coarse_channels,
                 interpret=self.pallas_interpret)
         return _two_stage_sharded(
             query_dev, self.prints, self.lengths, self.db_c,
             mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
-            coarse_kind=self.coarse_kind)
+            coarse_kind=self.coarse_kind,
+            coarse_channels=self.coarse_channels)
 
     def match(self, query_prints: np.ndarray, *, top_k: int | None = None,
               pool: int | None = None, fine_window: int | None = None):
@@ -337,12 +347,14 @@ class TwoStageDB:
                 mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
+                coarse_channels=self.coarse_channels,
                 interpret=self.pallas_interpret)
         return _two_stage_pallas_batch_jit(
             queries_dev, self.d0, self.d1, self.lengths, self.db_c,
             stride=self.stride, pool=pool, fine_window=fw,
             l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
             coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
+            coarse_channels=self.coarse_channels,
             interpret=self.pallas_interpret)
 
     def match_batch(self, query_batch: np.ndarray, *, top_k: int | None = None,
@@ -394,18 +406,19 @@ def _coarse_best_batch(qc, db_c, *, lc_true, coarse_tile, interpret):
 @functools.partial(
     jax.jit, static_argnames=("stride", "pool", "fine_window", "l_true",
                               "lpad", "lc_true", "coarse_tile", "coarse_kind",
-                              "interpret")
+                              "coarse_channels", "interpret")
 )
 def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
                                 *, stride, pool, fine_window, l_true, lpad,
                                 lc_true=None, coarse_tile=128,
-                                coarse_kind="sign", interpret=False):
+                                coarse_kind="sign", coarse_channels=64,
+                                interpret=False):
     """Batched two-stage match: one coarse DB sweep serves all B queries."""
     from ..ops.pallas_fine import pallas_fine_rescan_batch
 
     b = queries.shape[0]
-    qc = jax.vmap(lambda q: coarse_ops.coarse_pm1(q, stride,
-                                                  kind=coarse_kind))(queries)
+    qc = jax.vmap(lambda q: coarse_ops.coarse_pm1(
+        q, stride, kind=coarse_kind, channels=coarse_channels))(queries)
     best_corr, best_a = _coarse_best_batch(qc, db_c, lc_true=lc_true,
                                            coarse_tile=coarse_tile,
                                            interpret=interpret)
@@ -425,20 +438,21 @@ def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
     jax.jit,
     static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
                      "lpad", "lc_true", "coarse_tile", "coarse_kind",
-                     "interpret"),
+                     "coarse_channels", "interpret"),
 )
 def _two_stage_sharded_batch(queries, d0, d1, lengths, db_c,
                              *, mesh, stride, pool, fine_window, l_true,
                              lpad, lc_true=None, coarse_tile=128,
-                             coarse_kind="sign", interpret=False):
+                             coarse_kind="sign", coarse_channels=64,
+                             interpret=False):
     """Sharded batched serving: per shard, one coarse sweep serves all B
     queries and the per-shard batched fine rescan runs on local DMAs; the
     fixed-size (B, 3, K) candidate blocks merge with one all-gather along K.
     """
     from ..ops.pallas_fine import pallas_fine_rescan_batch
 
-    qcs = jax.vmap(lambda q: coarse_ops.coarse_pm1(q, stride,
-                                                   kind=coarse_kind))(queries)
+    qcs = jax.vmap(lambda q: coarse_ops.coarse_pm1(
+        q, stride, kind=coarse_kind, channels=coarse_channels))(queries)
     n = queries.shape[1]
     n_fine = 2 * fine_window + 1
     span = n + n_fine - 1
@@ -483,16 +497,18 @@ def _coarse_best(query_c, db_c, *, lc_true, coarse_tile, interpret):
 @functools.partial(
     jax.jit,
     static_argnames=("stride", "pool", "fine_window", "l_true", "lpad",
-                     "lc_true", "coarse_tile", "coarse_kind", "interpret"),
+                     "lc_true", "coarse_tile", "coarse_kind",
+                     "coarse_channels", "interpret"),
 )
 def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
                           *, stride, pool, fine_window, l_true, lpad,
                           lc_true=None, coarse_tile=128, coarse_kind="sign",
-                          interpret=False):
+                          coarse_channels=64, interpret=False):
     """Two-stage match with the Pallas kernels (TPU path)."""
     from ..ops.pallas_fine import pallas_fine_rescan
 
-    query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind)
+    query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind,
+                                    channels=coarse_channels)
     best_corr, best_a = _coarse_best(query_c, db_c, lc_true=lc_true,
                                      coarse_tile=coarse_tile,
                                      interpret=interpret)
@@ -508,10 +524,12 @@ def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "pool", "fine_window",
-                                              "coarse_kind"))
+                                              "coarse_kind",
+                                              "coarse_channels"))
 def _two_stage_jit(query, prints, lengths, db_c, *, stride, pool, fine_window,
-                   coarse_kind="sign"):
-    query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind)
+                   coarse_kind="sign", coarse_channels=64):
+    query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind,
+                                    channels=coarse_channels)
     s, i, o = _two_stage_local(query, query_c, prints, lengths, db_c,
                                stride=stride, pool=pool, fine_window=fine_window)
     return jnp.stack([s, i, o])
@@ -521,12 +539,13 @@ def _two_stage_jit(query, prints, lengths, db_c, *, stride, pool, fine_window,
     jax.jit,
     static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
                      "lpad", "lc_true", "coarse_tile", "coarse_kind",
-                     "interpret"),
+                     "coarse_channels", "interpret"),
 )
 def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
                               *, mesh, stride, pool, fine_window,
                               l_true, lpad, lc_true=None, coarse_tile=128,
-                              coarse_kind="sign", interpret=False):
+                              coarse_kind="sign", coarse_channels=64,
+                              interpret=False):
     """Sharded two-stage with the Pallas kernels per shard.
 
     Each chip scans its coarse shard on the MXU, rescans its own candidate
@@ -536,7 +555,8 @@ def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
     """
     from ..ops.pallas_fine import pallas_fine_rescan
 
-    query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind)
+    query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind,
+                                    channels=coarse_channels)
     n = query.shape[0]
     n_fine = 2 * fine_window + 1
     span = n + n_fine - 1
@@ -567,11 +587,13 @@ def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
 
 @functools.partial(
     jax.jit, static_argnames=("mesh", "stride", "pool", "fine_window",
-                              "coarse_kind")
+                              "coarse_kind", "coarse_channels")
 )
 def _two_stage_sharded(query, prints, lengths, db_c,
-                       *, mesh, stride, pool, fine_window, coarse_kind="sign"):
-    query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind)
+                       *, mesh, stride, pool, fine_window, coarse_kind="sign",
+                       coarse_channels=64):
+    query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind,
+                                    channels=coarse_channels)
 
     def shard_fn(q, qc, p, ln, dc):
         s, i, o = _two_stage_local(q, qc, p, ln, dc, stride=stride,

@@ -35,11 +35,15 @@ def unpack_bits_pm1(packed: jnp.ndarray, dtype=jnp.int8) -> jnp.ndarray:
 
 
 def coarse_pm1(packed: jnp.ndarray, stride: int, *, dtype=jnp.int8,
-               kind: str = "sign") -> jnp.ndarray:
+               kind: str = "sign", channels: int = 64) -> jnp.ndarray:
     """Coarse summary prints per stride-window of full-res prints.
 
-    packed: (L, 2) or (T, L, 2) uint32. Returns (Lc, 64) or (T, Lc, 64)
-    with Lc = L // stride (tail prints beyond the last full window drop).
+    packed: (L, 2) or (T, L, 2) uint32. Returns (Lc, C) or (T, Lc, C)
+    with Lc = L // stride (tail prints beyond the last full window drop)
+    and C = `channels` <= 64: hashprint channels are PCA-ordered (filter 0
+    = top eigenvector), so the first C are each print's most informative
+    bits — C < 64 shrinks coarse bytes by C/64 at the same stride
+    (benchmarks/channel_study.py measures the recall cost).
 
     kind="sign": majority vote — sign of the per-bit +/-1 sum; ties (even s)
     break to -1, fixed and identical everywhere.
@@ -62,6 +66,8 @@ def coarse_pm1(packed: jnp.ndarray, stride: int, *, dtype=jnp.int8,
         out = sums.astype(dtype)
     else:
         out = jnp.where(sums > 0, 1, -1).astype(dtype)
+    if channels < 64:
+        out = out[:, :, :channels]
     return out[0] if squeeze else out
 
 

@@ -66,7 +66,7 @@ def _phase_matrix(query_c: jnp.ndarray, s: int, k_pad: int) -> jnp.ndarray:
     trace-time constant — because the naive jnp.stack of S padded copies
     costs ~2 ms of launch-latency-bound XLA ops per query on this stack.
     """
-    nc = query_c.shape[0]
+    nc, c = query_c.shape
     rows = nc + s - 1
     j = np.arange(rows)[:, None, None]
     r = np.arange(s)[None, :, None]
@@ -74,13 +74,13 @@ def _phase_matrix(query_c: jnp.ndarray, s: int, k_pad: int) -> jnp.ndarray:
     sel = jnp.asarray((j - r == t).reshape(rows * s, nc), dtype=jnp.bfloat16)
     w3 = jax.lax.dot_general(
         sel, query_c.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (rows*S, 64)
-    w = w3.reshape(rows, s, 64).transpose(0, 2, 1).reshape(rows * 64, s)
-    return jnp.pad(w, ((0, k_pad - rows * 64), (0, 0))).astype(jnp.bfloat16)
+        preferred_element_type=jnp.float32)            # (rows*S, C)
+    w = w3.reshape(rows, s, c).transpose(0, 2, 1).reshape(rows * c, s)
+    return jnp.pad(w, ((0, k_pad - rows * c), (0, 0))).astype(jnp.bfloat16)
 
 
 def _tile_best(w_ref, db_ref, *, lcw: int, k_pad: int, s: int,
-               m_blocks: int, n_off: int):
+               m_blocks: int, n_off: int, c: int = 64):
     """One track tile's (best corr, first best offset), each (tt, 1) int32.
 
     The GEMM runs in bf16 with f32 accumulation — EXACT for this data
@@ -92,7 +92,7 @@ def _tile_best(w_ref, db_ref, *, lcw: int, k_pad: int, s: int,
     """
     parts = []
     for m in range(m_blocks):
-        col0 = m * s * 64
+        col0 = m * s * c
         k_m = min(k_pad, lcw - col0)
         x = db_ref[:, col0:col0 + k_m].astype(jnp.bfloat16)
         parts.append(jax.lax.dot_general(
@@ -127,20 +127,20 @@ def pallas_coarse_scan(
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-track (best corr, first best coarse offset). ((T,), (T,)) int32."""
-    nc = query_c.shape[0]
+    nc, c = query_c.shape
     t, lcw = db_c_flat.shape
     assert lcw % 128 == 0, "flat coarse rows must be 128-lane aligned"
     assert t % tt == 0, "pad tracks to the track tile"
-    lc = lcw // 64
+    lc = lcw // c
     n_off = (lc_true if lc_true is not None else lc) - nc + 1
     assert n_off >= 1, "query longer than the coarse DB (caller checks)"
     m_blocks = -(-n_off // s)
     # Phase-shift kernel, rows padded to a 128-lane-sliceable K.
-    k_full = (nc + s - 1) * 64
+    k_full = (nc + s - 1) * c
     k_pad = -(-k_full // 128) * 128
     w = _phase_matrix(query_c, s, k_pad)
     kernel = functools.partial(_coarse_kernel, lcw=lcw, k_pad=k_pad, s=s,
-                               m_blocks=m_blocks, n_off=n_off)
+                               m_blocks=m_blocks, n_off=n_off, c=c)
     best, idx = pl.pallas_call(
         kernel,
         grid=(t // tt,),
@@ -187,7 +187,8 @@ def auto_stacked_tile(lcw: int, k_pad: int, bs: int, cap: int = 1024) -> int:
 
 
 def _stacked_kernel(w_ref, db_ref, best_ref, idx_ref, *, b: int, s: int,
-                    lcw: int, k_pad: int, m_blocks: int, n_off: int):
+                    lcw: int, k_pad: int, m_blocks: int, n_off: int,
+                    c: int = 64):
     """Query-stacked batched coarse scan: all B queries' s-phase kernels sit
     side by side on the GEMM's N axis, so a SINGLE program per track tile
     serves the whole batch at full MXU width with s = 32 instead of 128 —
@@ -207,7 +208,7 @@ def _stacked_kernel(w_ref, db_ref, best_ref, idx_ref, *, b: int, s: int,
     best = jnp.full((tt, bs), neg, jnp.int32)
     idxv = jnp.zeros((tt, bs), jnp.int32)
     for m in range(m_blocks):
-        col0 = m * s * 64
+        col0 = m * s * c
         k_m = min(k_pad, lcw - col0)
         x = db_ref[:, col0:col0 + k_m].astype(jnp.bfloat16)
         corr = jax.lax.dot_general(
@@ -268,14 +269,15 @@ def pallas_coarse_scan_batch_stacked(
     b = -(-b0 // unit) * unit
     if b != b0:
         query_cs = jnp.concatenate(
-            [query_cs, jnp.broadcast_to(query_cs[:1], (b - b0, nc, 64))])
+            [query_cs, jnp.broadcast_to(query_cs[:1], (b - b0,) + query_cs.shape[1:])])
+    c = query_cs.shape[2]
     t, lcw = db_c_flat.shape
     assert lcw % 128 == 0
-    lc = lcw // 64
+    lc = lcw // c
     n_off = (lc_true if lc_true is not None else lc) - nc + 1
     assert n_off >= 1
     m_blocks = -(-n_off // s)
-    k_full = (nc + s - 1) * 64
+    k_full = (nc + s - 1) * c
     k_pad = -(-k_full // 128) * 128
     if tt is None:
         tt = auto_stacked_tile(lcw, k_pad, b * s)
@@ -286,7 +288,8 @@ def pallas_coarse_scan_batch_stacked(
     w = jax.vmap(lambda q: _phase_matrix(q, s, k_pad))(
         query_cs).transpose(1, 0, 2).reshape(k_pad, b * s)
     kernel = functools.partial(_stacked_kernel, b=b, s=s, lcw=lcw,
-                               k_pad=k_pad, m_blocks=m_blocks, n_off=n_off)
+                               k_pad=k_pad, m_blocks=m_blocks, n_off=n_off,
+                               c=c)
     best, idx = pl.pallas_call(
         kernel,
         grid=(t // tt,),
@@ -310,10 +313,11 @@ def pallas_coarse_scan_batch_stacked(
 
 
 def flatten_coarse(db_c: jnp.ndarray) -> jnp.ndarray:
-    """(T, Lc, 64) int8 -> (T, Lc_even*64) flat, Lc padded to an even count
-    so rows are 128-lane aligned. One-time XLA reshape at DB load."""
-    t, lc, _ = db_c.shape
-    if lc % 2:
-        db_c = jnp.pad(db_c, ((0, 0), (0, 1), (0, 0)))
-        lc += 1
-    return db_c.reshape(t, lc * 64)
+    """(T, Lc, C) int8 -> (T, Lc_pad*C) flat, Lc padded so rows are
+    128-lane aligned (Lc*C % 128 == 0). One-time XLA reshape at DB load."""
+    t, lc, c = db_c.shape
+    unit = 128 // int(np.gcd(c, 128))
+    if lc % unit:
+        db_c = jnp.pad(db_c, ((0, 0), (0, unit - lc % unit), (0, 0)))
+        lc += unit - lc % unit
+    return db_c.reshape(t, lc * c)

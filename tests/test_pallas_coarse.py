@@ -124,3 +124,31 @@ def test_pallas_coarse_stacked_equals_single():
                                           np.asarray(best_1))
             np.testing.assert_array_equal(np.asarray(idx_b[k]),
                                           np.asarray(idx_1))
+
+
+def test_pallas_coarse_reduced_channels():
+    """C<64 coarse prints (top-PCA-channel slices): kernels stay exact."""
+    from hpfw_tpu.ops.pallas_coarse import pallas_coarse_scan_batch_stacked
+
+    rng = np.random.default_rng(9)
+    t, tt, lc, nc, c = 32, 8, 36, 5, 32
+    d = rng.choice([-1, 1], (t, lc, c)).astype(np.int8)
+    lens = rng.integers(nc, lc + 1, size=t)
+    for i, ln in enumerate(lens):
+        d[i, ln:] = 0
+    qs = rng.choice([-1, 1], (3, nc, c)).astype(np.int8)
+    flat = flatten_coarse(jnp.asarray(d))
+    assert flat.shape[1] % 128 == 0
+    for k in range(3):
+        want_best, want_idx = _xla_best(qs[k], d)
+        best, idx = pallas_coarse_scan(jnp.asarray(qs[k]), flat, s=8, tt=tt,
+                                       lc_true=lc, interpret=True)
+        np.testing.assert_array_equal(np.asarray(best), want_best)
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    bb, ii = pallas_coarse_scan_batch_stacked(jnp.asarray(qs), flat, s=8,
+                                              tt=tt, lc_true=lc,
+                                              interpret=True)
+    for k in range(3):
+        want_best, want_idx = _xla_best(qs[k], d)
+        np.testing.assert_array_equal(np.asarray(bb[k]), want_best)
+        np.testing.assert_array_equal(np.asarray(ii[k]), want_idx)

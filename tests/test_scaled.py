@@ -206,3 +206,32 @@ def test_pool_candidates_two_level_exact(cfg):
     assert got_s.shape == (8,)
     np.testing.assert_array_equal(got_s[:5], np.asarray(want_s))
     np.testing.assert_array_equal(got_s[5:], np.repeat(got_s[0], 3))
+
+
+def test_two_stage_reduced_channels_matches_full_on_pool(cfg):
+    """coarse_channels=32 halves coarse bytes; the two-stage result stays
+    exact-on-pool (scores/offsets equal the exhaustive matcher when the
+    true track pools), across the XLA and Pallas paths."""
+    import dataclasses
+
+    tracks = synth.synth_catalog(24, 4.0, cfg)
+    filters = _filters(cfg)
+    cfg32 = dataclasses.replace(cfg, coarse_channels=32)
+    db = api.build_db(tracks, filters, cfg32)
+    xla = TwoStageDB(db, stride=4)
+    pal = TwoStageDB(db, stride=4, use_pallas_fine=True,
+                     coarse_tile=8, pallas_interpret=True)
+    assert xla.coarse_channels == pal.coarse_channels == 32
+    for seed in (0, 1):
+        q = synth.make_query(tracks[seed + 11], 0.8, 2.0, cfg,
+                             noise_db=-15.0, seed=seed)
+        qfp = api.fingerprint(q, filters, cfg)
+        ia, sa, oa = xla.match(qfp, top_k=3, pool=16)
+        ip, sp, op = pal.match(qfp, top_k=3, pool=16)
+        assert ia == ip
+        np.testing.assert_array_equal(sa, sp)
+        np.testing.assert_array_equal(oa, op)
+        assert ia[0] == str(seed + 11)
+        w_ids, w_s, w_o = api.match(qfp, db, top_k=1)
+        assert (ia[0], int(sa[0]), int(oa[0])) == \
+            (w_ids[0], int(w_s[0]), int(w_o[0]))
