@@ -76,7 +76,7 @@ class MatchServer:
         b = 1
         while b < n:
             b *= 4
-        return min(b, self.max_batch) if b <= self.max_batch else self.max_batch
+        return min(b, self.max_batch)
 
     def warmup(self, example_query: np.ndarray) -> None:
         """Compile every batch bucket up front (serving should never pay a
