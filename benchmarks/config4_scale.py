@@ -43,10 +43,10 @@ def noisy_excerpt(rng, track_prints, start, n, flip_rate=0.15):
 
 
 def main(n_tracks=100_000, track_seconds=60, query_seconds=10, n_queries=20,
-         stride=None, pool=None):
+         stride=None, pool=None, channels=64):
     import jax
 
-    cfg = HpfwConfig()
+    cfg = HpfwConfig(coarse_channels=channels)
     fps = cfg.frames_per_second
     n_prints = int(track_seconds * fps)
     n_q = int(query_seconds * fps)
