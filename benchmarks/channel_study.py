@@ -15,6 +15,11 @@ pitch-shifted covers, same construction (and print cache) as
 recall_study.py.
 
     python benchmarks/channel_study.py [n_tracks] [track_seconds] [n_queries]
+                                        [--e2e]
+
+--e2e additionally runs END-TO-END two-stage matching (coarse + exact fine
+rescan + ranking) at the chosen operating points against the exhaustive
+dense baseline — confirming that pool recall is the recall-limiting event.
 """
 
 import os
@@ -36,7 +41,14 @@ STRIDES = (16, 32)
 POOLS = (64, 128, 256, 512, 1024, 2048)
 
 
-def main(n_tracks=10_000, track_seconds=15, n_queries=300):
+E2E_POINTS = (   # (stride, channels, pool)
+    (16, 64, 256),   # config default
+    (32, 64, 1024),  # prior catalog flagship
+    (32, 32, 2048),  # new half-byte recommendation
+)
+
+
+def main(n_tracks=10_000, track_seconds=15, n_queries=300, e2e=False):
     import jax
     import jax.numpy as jnp
 
@@ -70,6 +82,41 @@ def main(n_tracks=10_000, track_seconds=15, n_queries=300):
     truths = np.array(truths)
     nq = min(q.shape[0] for q in queries)
     qs = np.stack([q[:nq] for q in queries])
+
+    if e2e:
+        lengths = np.full(n_tracks, prints.shape[1], np.int32)
+        db = api.FingerprintDB(cfg, filters,
+                               [str(i) for i in range(n_tracks)],
+                               prints, lengths)
+        log("exhaustive dense baseline...")
+        dense_top = []
+        for i in range(n_queries):
+            ids, s, o = api.match(qs[i], db, top_k=1)
+            dense_top.append((ids[0], int(s[0]), int(o[0])))
+        dense_hit = np.mean([d[0] == str(t)
+                             for d, t in zip(dense_top, truths)])
+        emit("chanstudy_e2e_dense_top1", round(float(dense_hit), 4),
+             "accuracy", n_tracks=n_tracks)
+        from hpfw_tpu.match.scaled import TwoStageDB
+
+        for stride, c, pool in E2E_POINTS:
+            ts = TwoStageDB(db, stride=stride, coarse_channels=c)
+            hit = agree = 0
+            for i in range(n_queries):
+                ids, s, o = ts.match(qs[i], top_k=1, pool=pool)
+                hit += ids[0] == str(truths[i])
+                d_id, d_s, d_o = dense_top[i]
+                agree += (ids[0] == d_id and int(s[0]) == d_s
+                          and int(o[0]) == d_o)
+            emit(f"chanstudy_e2e_s{stride}_c{c}_p{pool}",
+                 round(hit / n_queries, 4), "top1_accuracy",
+                 agreement_with_dense=round(agree / n_queries, 4),
+                 n_tracks=n_tracks)
+            log(f"e2e stride={stride:2d} C={c:2d} pool={pool:4d}: "
+                f"top1 {hit / n_queries:.4f} "
+                f"dense-agreement {agree / n_queries:.4f}")
+            del ts
+        return
 
     prints_dev = jnp.asarray(prints)
     qs_dev = jnp.asarray(qs)
@@ -108,4 +155,5 @@ def main(n_tracks=10_000, track_seconds=15, n_queries=300):
 
 
 if __name__ == "__main__":
-    main(*[int(float(a)) for a in sys.argv[1:]])
+    main(*[int(float(a)) for a in sys.argv[1:] if not a.startswith("--")],
+         e2e="--e2e" in sys.argv)
