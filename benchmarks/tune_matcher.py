@@ -90,7 +90,7 @@ def main(n_tracks=102_400, stride=32, batch=False):
     best_corr = jax.random.randint(key, (n_tracks,), -nc * 64, nc * 64,
                                    dtype=jnp.int32)
 
-    for k in (256, 1024):
+    for k in (256, 1024, 2048):
         @functools.partial(jax.jit, static_argnames=("kk",))
         def pool_flat(bc, kk=k):
             return jax.lax.top_k(bc, kk)[1].astype(jnp.int32)
