@@ -253,6 +253,11 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             n_ch = ((body[12] >> 1) & 7) + 1
             bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
             total = ((body[13] & 0xF) << 32) | int.from_bytes(body[14:18], "big")
+            if total == 0:
+                # STREAMINFO total_samples == 0 means "unknown" per the FLAC
+                # spec (common in streamed/piped encodes) — decode until the
+                # bitstream ends rather than returning an empty stream.
+                total = -1
         pos += 4 + size
         if hdr & 0x80:
             break
@@ -289,7 +294,14 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             br.read(16)
         elif sr_code == 15:
             raise ValueError("invalid FLAC sample rate code")
-        frame_bps = _SAMPLE_SIZE_CODE.get(ss_code, bps) if ss_code else bps
+        if ss_code == 0:
+            frame_bps = bps
+        elif ss_code not in _SAMPLE_SIZE_CODE:
+            # code 3 is reserved; reject like the C++ twin instead of
+            # silently falling back to the STREAMINFO bps.
+            raise ValueError(f"reserved FLAC sample size code {ss_code}")
+        else:
+            frame_bps = _SAMPLE_SIZE_CODE[ss_code]
         crc8_pos = br.byte_pos()
         br.read(8)                       # header CRC-8 (covered by CRC-16)
         if _crc8(data[frame_start:crc8_pos]) != data[crc8_pos]:

@@ -265,6 +265,8 @@ def pallas_coarse_scan_batch_stacked(
     """
     b0, nc, _ = query_cs.shape
     # B*s lanes must be 128-aligned: pad the batch so b*s % 128 == 0.
+    # The unit below only achieves that when s divides 128.
+    assert 128 % s == 0, f"phase count s={s} must divide 128"
     unit = max(1, 128 // s)
     b = -(-b0 // unit) * unit
     if b != b0:

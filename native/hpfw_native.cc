@@ -261,11 +261,22 @@ static inline int rd(BitR* b, int n, uint32_t* out) {  // n <= 32
   return 0;
 }
 
-static inline int rds(BitR* b, int n, int64_t* out) {  // signed, n >= 1
-  uint32_t v;
-  if (rd(b, n, &v)) return -1;
-  int64_t s = v;
-  if (n < 64 && (s & (1ll << (n - 1)))) s -= (1ll << n);
+static inline int rd64(BitR* b, int n, uint64_t* out) {  // n <= 57
+  if (n == 0) { *out = 0; return 0; }
+  if (fill(b, n)) return -1;
+  b->nbits_c -= n;
+  *out = (b->cache >> b->nbits_c) & ((1ull << n) - 1);
+  return 0;
+}
+
+// Signed reads must handle n up to bps+1 = 33 bits: stereo-decorrelated
+// side channels of 32-bit streams carry 33-bit warmup/CONSTANT/VERBATIM
+// samples, which a uint32-truncating read would corrupt.
+static inline int rds(BitR* b, int n, int64_t* out) {  // signed, 1 <= n <= 57
+  uint64_t v;
+  if (rd64(b, n, &v)) return -1;
+  int64_t s = (int64_t)v;
+  if (v & (1ull << (n - 1))) s -= (1ll << n);
   *out = s;
   return 0;
 }
@@ -451,6 +462,9 @@ int hpfw_flac_decode(const uint8_t* data, int64_t size,
     if (hdr & 0x80) break;
   }
   if (sr <= 0 || n_ch <= 0 || n_ch > 8 || bps <= 0) return -3;
+  // total_samples == 0 in STREAMINFO means "unknown" (streamed encodes):
+  // decode until the bitstream ends, mirroring the NumPy twin.
+  if (total == 0) total = -1;
 
   static const int kBsCode[16] = {0, 192, 576, 1152, 2304, 4608, -1, -2,
                                   256, 512, 1024, 2048, 4096, 8192, 16384, 32768};

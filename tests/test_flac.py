@@ -43,6 +43,11 @@ CASES = [
     ("stereo_left_side", dict(channel_mode="left_side"), True),
     ("stereo_right_side", dict(channel_mode="right_side"), True),
     ("stereo_mid_side", dict(channel_mode="mid_side"), True),
+    # 32-bit stereo decorrelation: side channels carry 33-bit samples, which
+    # exercises the >32-bit signed reads in both decoders (ADVICE r2).
+    ("stereo32_left_side", dict(channel_mode="left_side", bps=32,
+                                mode="verbatim"), True),
+    ("stereo32_mid_side", dict(channel_mode="mid_side", bps=32), True),
 ]
 
 
@@ -53,12 +58,16 @@ def test_flac_roundtrip_exact(name, kw, stereo):
     blob = encode_flac(x, 22050, blocksize=2048, **kw)
     pcm, sr = decode_flac(blob)
     assert sr == 22050
-    xi = _ints(x)
+    bps = kw.get("bps", 16)
+    scale = float(1 << (bps - 1))
+    xi = _ints(x, bps)
     if kw.get("wasted"):
         xi = (xi >> kw["wasted"]) << kw["wasted"]
     want = xi.mean(axis=1) if xi.ndim == 2 else xi.astype(np.float64)
-    np.testing.assert_allclose(pcm.astype(np.float64) * 32768.0, want,
-                               atol=1e-9)
+    # float32 output carries a 24-bit mantissa, so 32-bit samples round:
+    # exact at sample resolution means within float32 rounding of the scale.
+    np.testing.assert_allclose(pcm.astype(np.float64) * scale, want,
+                               atol=scale * 3e-7)
 
 
 @pytest.mark.parametrize("name,kw,stereo", CASES, ids=[c[0] for c in CASES])
@@ -72,6 +81,25 @@ def test_flac_native_equals_numpy(name, kw, stereo):
     cc, r2 = native.decode_flac(blob)
     assert r1 == r2 == 22050
     np.testing.assert_array_equal(py, cc)
+
+
+def test_flac_total_zero_means_unknown():
+    """STREAMINFO total_samples == 0 is 'unknown' (streamed encodes): both
+    decoders must decode to the end of the bitstream, not return empty."""
+    x = _sig(5000, seed=7)
+    blob = bytearray(encode_flac(x, 22050, blocksize=1024))
+    # STREAMINFO body starts at offset 8; zero the 36-bit total_samples
+    # field (low nibble of body[13] + body[14:18]).
+    blob[8 + 13] &= 0xF0
+    blob[8 + 14:8 + 18] = b"\x00" * 4
+    pcm, sr = decode_flac(bytes(blob))
+    assert sr == 22050 and pcm.shape[0] == 5000
+    np.testing.assert_allclose(pcm.astype(np.float64) * 32768.0,
+                               _ints(x).astype(np.float64), atol=1e-2)
+    if native.available():
+        cc, r2 = native.decode_flac(bytes(blob))
+        assert r2 == 22050
+        np.testing.assert_array_equal(pcm, cc)
 
 
 def test_flac_constant_subframe():
