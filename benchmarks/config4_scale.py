@@ -25,7 +25,11 @@ from hpfw_tpu.match.scaled import TwoStageDB
 
 
 def synth_print_db(rng, n_tracks, n_prints):
-    """Random packed prints: statistically like real hashprints (iid bits)."""
+    """Random packed prints (iid bits). NOTE: iid prints are EASIER than
+    real-audio prints — the 10k-track recall study (RESULTS.md) shows real
+    catalogs have correlated prints that need a larger fine pool. This
+    benchmark measures matcher PERFLOOR; real-audio-statistics recall at
+    catalog scale is measured by benchmarks/real_catalog.py."""
     return rng.integers(0, 2 ** 32, (n_tracks, n_prints, 2), dtype=np.uint32)
 
 
