@@ -1,14 +1,14 @@
 """Serving benchmark: MatchServer under Poisson load at catalog scale.
 
-Submits queries with exponential inter-arrival times at several offered
+Submits queries with exponential inter-arrival times at increasing offered
 loads and reports per-load p50/p99 end-to-end latency (submit -> ranked
-result, including host ranking and the relay) plus achieved QPS — the
-config-4 QPS story measured as an actual service, not just a queued-kernel
-number. Micro-batching is what holds the curve up: at high load the server
-coalesces arrivals into one coarse-DB sweep per batch.
+result, including host ranking and the relay), achieved QPS, and shed rate
+(the bounded submit queue rejects when saturated). The KNEE — the highest
+offered load whose achieved QPS still tracks it within 5% with zero
+shedding — is the max-sustained-QPS headline (VERDICT r2 weak #4).
 
 Usage: python benchmarks/config4_serve.py [n_tracks] [track_s] [query_s]
-                                           [loads_qps...]
+                                           [max_batch] [loads_qps...]
 """
 
 import sys
@@ -27,8 +27,53 @@ from hpfw_tpu.match.scaled import TwoStageDB
 from hpfw_tpu.serve import MatchServer
 
 
-def main(n_tracks=100_000, track_seconds=60, query_seconds=10, *loads):
-    loads = [float(x) for x in loads] or [50.0, 100.0, 200.0, 300.0]
+def run_load(srv, queries, truths, lam, rng, n_queries):
+    lat, ok, rejected = [], [0], [0]
+    lock = threading.Lock()
+    pending = [0]
+
+    def cb(i, t_sub):
+        def done(fut):
+            exc = fut.exception()
+            with lock:
+                if exc is not None:
+                    rejected[0] += 1
+                else:
+                    ids, _, _ = fut.result()
+                    lat.append(time.perf_counter() - t_sub)
+                    ok[0] += ids[0] == truths[i % len(queries)]
+                pending[0] -= 1
+        return done
+
+    gaps = rng.exponential(1.0 / lam, n_queries)
+    t_start = time.perf_counter()
+    for i in range(n_queries):
+        with lock:
+            pending[0] += 1
+        t_sub = time.perf_counter()
+        srv.submit(queries[i % len(queries)]).add_done_callback(cb(i, t_sub))
+        time.sleep(max(0.0, gaps[i]))
+    while True:
+        with lock:
+            if pending[0] == 0:
+                break
+        time.sleep(0.005)
+    wall = time.perf_counter() - t_start
+    served = n_queries - rejected[0]
+    ms = np.array(lat) * 1e3 if lat else np.array([float("nan")])
+    return {
+        "p50": float(np.percentile(ms, 50)),
+        "p99": float(np.percentile(ms, 99)),
+        "achieved": served / wall,
+        "shed": rejected[0] / n_queries,
+        "recall": ok[0] / max(served, 1),
+    }
+
+
+def main(n_tracks=100_000, track_seconds=60, query_seconds=10, max_batch=16,
+         *loads):
+    loads = [float(x) for x in loads] or [100.0, 200.0, 300.0, 400.0,
+                                          500.0, 700.0]
     cfg = HpfwConfig()
     fps = cfg.frames_per_second
     n_prints = int(track_seconds * fps)
@@ -42,54 +87,44 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, *loads):
     ts = TwoStageDB(db, stride=32)
     log(f"db ready in {time.time() - t0:.1f}s ({n_tracks} tracks)")
 
-    n_queries = 64
+    n_distinct = 64
     queries, truths = [], []
-    for _ in range(n_queries):
+    for _ in range(n_distinct):
         tid = int(rng.integers(0, n_tracks))
         off = int(rng.integers(0, n_prints - n_q))
         queries.append(noisy_excerpt(rng, prints[tid], off, n_q))
         truths.append(str(tid))
 
     results = {}
-    with MatchServer(ts, n_q, max_batch=16, max_wait_ms=4.0) as srv:
-        log("warming batch buckets...")
+    with MatchServer(ts, n_q, max_batch=int(max_batch), max_wait_ms=4.0,
+                     max_queue=4 * int(max_batch), depth=2) as srv:
+        log(f"warming batch buckets (max_batch={max_batch})...")
         srv.warmup(queries[0])
         for lam in loads:
-            lat = [None] * n_queries
-            hits = [0]
-            lock = threading.Lock()
+            n_queries = int(min(600, max(96, 2.5 * lam)))
+            r = run_load(srv, queries, truths, lam, rng, n_queries)
+            results[lam] = r
+            emit("config4_serving_load", round(r["achieved"], 1), "qps",
+                 offered=lam, p50_ms=round(r["p50"], 1),
+                 p99_ms=round(r["p99"], 1), shed=round(r["shed"], 3),
+                 recall=round(r["recall"], 3), n_tracks=n_tracks,
+                 max_batch=int(max_batch))
+            log(f"offered {lam:6.0f} QPS: p50 {r['p50']:7.1f} ms  "
+                f"p99 {r['p99']:7.1f} ms  achieved {r['achieved']:6.0f} QPS  "
+                f"shed {r['shed']:.1%}  recall {r['recall']:.3f}")
 
-            def cb(i, t_sub):
-                def done(fut):
-                    ids, _, _ = fut.result()
-                    with lock:
-                        lat[i] = time.perf_counter() - t_sub
-                        hits[0] += ids[0] == truths[i]
-                return done
-
-            gaps = rng.exponential(1.0 / lam, n_queries)
-            t_start = time.perf_counter()
-            for i, q in enumerate(queries):
-                t_sub = time.perf_counter()
-                srv.submit(q).add_done_callback(cb(i, t_sub))
-                time.sleep(max(0.0, gaps[i]))
-            while any(v is None for v in lat):
-                time.sleep(0.005)
-            wall = time.perf_counter() - t_start
-            ms = np.array(lat) * 1e3
-            results[lam] = (np.percentile(ms, 50), np.percentile(ms, 99),
-                            n_queries / wall, hits[0])
-            log(f"offered {lam:6.0f} QPS: p50 {results[lam][0]:7.1f} ms  "
-                f"p99 {results[lam][1]:7.1f} ms  achieved "
-                f"{results[lam][2]:6.0f} QPS  recall {hits[0]}/{n_queries}")
-    best = max(loads, key=lambda l: results[l][2])
-    emit("config4_serving_qps", round(results[best][2], 1), "qps",
-         p50_ms=round(float(results[best][0]), 1),
-         p99_ms=round(float(results[best][1]), 1),
-         recall=results[best][3] / n_queries, n_tracks=n_tracks,
-         offered=best,
-         note="MatchServer micro-batching, Poisson arrivals, e2e incl. "
-              "relay + host ranking")
+    # Knee: highest offered load served within 5% with zero shedding.
+    sustained = [l for l in loads
+                 if results[l]["shed"] == 0 and results[l]["achieved"] >= 0.95 * l]
+    knee = max(sustained) if sustained else max(
+        loads, key=lambda l: results[l]["achieved"])
+    r = results[knee]
+    emit("config4_serving_qps", round(r["achieved"], 1), "qps",
+         p50_ms=round(r["p50"], 1), p99_ms=round(r["p99"], 1),
+         recall=round(r["recall"], 3), n_tracks=n_tracks, offered=knee,
+         max_batch=int(max_batch), shed=round(r["shed"], 3),
+         note="max sustained (knee): achieved within 5% of offered, zero "
+              "shed; e2e incl. relay + host ranking")
 
 
 if __name__ == "__main__":

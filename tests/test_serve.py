@@ -57,6 +57,33 @@ def test_server_rejects_wrong_length_and_closes(served):
         late.result(timeout=10)
 
 
+def test_server_bounded_queue_sheds_load(served):
+    """When the submit queue is full the server rejects with ServerSaturated
+    instead of queueing unboundedly; accepted queries still resolve
+    correctly."""
+    from hpfw_tpu.serve import ServerSaturated
+
+    cfg, tracks, filters, ts = served
+    q = synth.make_query(tracks[5], 0.5, 2.0, cfg, noise_db=-15.0, seed=9)
+    qfp = api.fingerprint(q, filters, cfg)
+    with MatchServer(ts, qfp.shape[0], max_batch=1, max_wait_ms=0.1,
+                     depth=1, max_queue=2, pool=16) as srv:
+        futs = [srv.submit(qfp) for _ in range(40)]
+        done = [f.result(timeout=300) if not f.exception(timeout=300)
+                else None for f in futs]
+    rejected = sum(d is None for d in done)
+    accepted = [d for d in done if d is not None]
+    assert rejected > 0, "a 2-deep queue must shed some of 40 instant submits"
+    assert accepted, "some submissions must still be served"
+    for f, d in zip(futs, done):
+        if d is None:
+            assert isinstance(f.exception(), ServerSaturated)
+    w_ids, w_scores, _ = ts.match(qfp, pool=16)
+    for ids, scores, _ in accepted:
+        assert ids == w_ids
+        np.testing.assert_array_equal(scores, w_scores)
+
+
 def test_server_on_mesh(cfg):
     """MatchServer over a mesh-sharded TwoStageDB (8-device CPU sim)."""
     import jax
