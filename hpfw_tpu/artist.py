@@ -26,14 +26,38 @@ class ArtistDB:
     """Per-artist fingerprint databases sharing one config.
 
     banks: artist name -> FingerprintDB (each carries its own filters).
+
+    scaled=True backs each artist with a TwoStageDB (coarse MXU scan + fine
+    rescan) so known-artist matching hits two-stage latency at 10k+ tracks
+    per artist — the paper's known-artist setting at catalog scale. Banks
+    derive lazily (first match per artist) and share the device: every
+    artist's coarse planes and word planes live in the same HBM arena,
+    `stride`/`mesh`/Pallas options apply to all banks.
     """
 
-    def __init__(self, cfg: HpfwConfig, banks: dict):
+    def __init__(self, cfg: HpfwConfig, banks: dict, *, scaled: bool = False,
+                 stride: int | None = None, mesh=None,
+                 use_pallas_fine: bool | None = None,
+                 pallas_interpret: bool = False):
         self.cfg = cfg
         self.banks = dict(banks)
+        self.scaled = scaled
+        self._ts_kw = dict(stride=stride, mesh=mesh,
+                           use_pallas_fine=use_pallas_fine,
+                           pallas_interpret=pallas_interpret)
+        self._ts_banks: dict = {}
         for name, db in self.banks.items():
             if db.cfg != cfg:
                 raise ValueError(f"artist {name!r} DB config differs")
+
+    def two_stage(self, artist: str):
+        """The artist's TwoStageDB (derived on first use, then resident)."""
+        if artist not in self._ts_banks:
+            from .match.scaled import TwoStageDB
+
+            self._ts_banks[artist] = TwoStageDB(self.banks[artist],
+                                                **self._ts_kw)
+        return self._ts_banks[artist]
 
     @property
     def artists(self) -> list[str]:
@@ -42,7 +66,7 @@ class ArtistDB:
     @classmethod
     def build(cls, catalog_by_artist: dict, cfg: HpfwConfig = DEFAULT_CONFIG,
               *, corpus_by_artist: dict | None = None,
-              use_pallas: bool = False) -> "ArtistDB":
+              use_pallas: bool = False, **db_kw) -> "ArtistDB":
         """Learn one filter bank per artist and fingerprint their catalog.
 
         catalog_by_artist: artist -> {track_id: pcm} or [pcm, ...].
@@ -59,7 +83,7 @@ class ArtistDB:
             filters = pca.learn_filters(corpus, cfg)
             banks[artist] = api.build_db(catalog, filters, cfg,
                                          use_pallas=use_pallas)
-        return cls(cfg, banks)
+        return cls(cfg, banks, **db_kw)
 
     def fingerprint(self, pcm: np.ndarray, artist: str) -> np.ndarray:
         """Query prints under one artist's bank."""
@@ -68,7 +92,7 @@ class ArtistDB:
         return api.fingerprint(pcm, self.banks[artist].filters, self.cfg)
 
     def match(self, query_pcm: np.ndarray, *, artist: str | None = None,
-              top_k: int | None = None):
+              top_k: int | None = None, pool: int | None = None):
         """Identify a query clip.
 
         Known artist: match within that artist's catalog; returns
@@ -76,20 +100,28 @@ class ArtistDB:
         Unknown artist: extract under every bank (one shared-CQT multi-bank
         GEMM), match each catalog, and rank globally; returns
         (artist_track_pairs, scores, offsets) with pairs (artist, track_id).
+        With scaled=True both modes go through the per-artist TwoStageDB
+        (exact-on-pool semantics; `pool` forwards to it).
         """
         from . import api
 
         top_k = top_k if top_k is not None else self.cfg.top_k
         if artist is not None:
             q = self.fingerprint(query_pcm, artist)
+            if self.scaled:
+                return self.two_stage(artist).match(q, top_k=top_k, pool=pool)
             return api.match(q, self.banks[artist], top_k=top_k)
         names = self.artists
         filter_stack = np.stack([self.banks[a].filters for a in names])
         prints = api.fingerprint_multi(query_pcm, filter_stack, self.cfg)
         rows = []
         for a, q in zip(names, prints):
-            ids, scores, offs = api.match(q, self.banks[a],
-                                          top_k=min(top_k, self.banks[a].n_tracks))
+            kk = min(top_k, self.banks[a].n_tracks)
+            if self.scaled:
+                ids, scores, offs = self.two_stage(a).match(q, top_k=kk,
+                                                            pool=pool)
+            else:
+                ids, scores, offs = api.match(q, self.banks[a], top_k=kk)
             rows += [((a, i), int(s), int(o)) for i, s, o in zip(ids, scores, offs)]
         rows.sort(key=lambda r: (-r[1], r[0]))
         rows = rows[:top_k]

@@ -114,6 +114,84 @@ def synth_batch(track_ids, duration_s: float, cfg: HpfwConfig,
     return out[:b0]
 
 
+def artist_style(artist_seed: int) -> dict:
+    """A persistent per-artist musical style (known-artist fixtures).
+
+    Like io/synth.py's synth_artist_track: the artist seed fixes a scale
+    (pitch-class subset), register, voice count, vibrato depth and chirp
+    level shared by all of that artist's tracks, so per-artist
+    context-window covariances genuinely differ and per-artist filter
+    learning has signal to exploit (SURVEY.md §2.3 step 4). Style params
+    are host-side (they become static jit args); rendering is on device.
+    """
+    arng = np.random.default_rng(100003 * artist_seed + 17)
+    return {
+        "scale": tuple(int(x) for x in
+                       np.sort(arng.choice(12, size=arng.integers(5, 8),
+                                           replace=False))),
+        "octave_lo": int(arng.integers(0, 3)),
+        "n_octaves": int(arng.integers(2, 4)),
+        "n_partials": int(arng.integers(4, 10)),
+        "vib_depth": float(arng.uniform(0.0005, 0.004)),
+        "chirp_amp": float(arng.uniform(0.05, 0.3)),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "duration_s", "sr", "fmin", "base_seed", "scale", "octave_lo",
+    "n_octaves", "n_partials", "vib_depth", "chirp_amp"))
+def _artist_batch_jit(track_ids, *, duration_s, sr, fmin, base_seed, scale,
+                      octave_lo, n_octaves, n_partials, vib_depth, chirp_amp):
+    n = int(round(duration_s * sr))
+    t = jnp.arange(n, dtype=jnp.float32) / sr
+    base = jax.random.PRNGKey(base_seed)
+    scale_arr = jnp.asarray(scale, dtype=jnp.float32)
+
+    def one(tid):
+        key = jax.random.fold_in(base, tid)
+        out = jnp.zeros_like(t)
+        for p in range(n_partials):
+            kp = jax.random.fold_in(key, p)
+            u = jax.random.uniform(kp, (7,), dtype=jnp.float32)
+            pc = scale_arr[jnp.floor(u[0] * len(scale)).astype(jnp.int32)]
+            octave = octave_lo + jnp.floor(u[1] * n_octaves)
+            pitch = fmin * 2.0 ** (octave + pc / 12.0)
+            vib = 1.0 + vib_depth * jnp.sin(
+                2 * jnp.pi * (3.0 + 4.0 * u[2]) * t + 2 * jnp.pi * u[3])
+            onset = 0.5 * u[4] * duration_s
+            length = (0.3 + 0.7 * u[5]) * duration_s
+            env = (jnp.clip((t - onset) / 0.05, 0.0, 1.0)
+                   * jnp.clip((onset + length - t) / 0.2, 0.0, 1.0))
+            amp = 0.1 + 0.4 * jax.random.uniform(
+                jax.random.fold_in(kp, 1), dtype=jnp.float32)
+            out = out + amp * env * jnp.sin(
+                2 * jnp.pi * pitch * vib * t + 2 * jnp.pi * u[6])
+        kc = jax.random.fold_in(key, 1009)
+        uc = jax.random.uniform(kc, (2,), dtype=jnp.float32)
+        f0 = fmin * 2.0 ** (octave_lo + uc[0])
+        f1 = f0 * 2.0 ** (1.0 + uc[1])
+        sweep = f0 * (f1 / f0) ** (t / duration_s)
+        out = out + chirp_amp * jnp.sin(2 * jnp.pi * jnp.cumsum(sweep) / sr)
+        return _finish(out, jax.random.fold_in(key, 2_000_003), n)
+
+    return jax.lax.map(one, track_ids)
+
+
+def synth_artist_batch(artist_seed: int, track_ids, duration_s: float,
+                       cfg: HpfwConfig, *, base_seed: int = 0) -> jnp.ndarray:
+    """(B,) track ids -> (B, N) PCM in one artist's persistent style."""
+    ids = np.asarray(track_ids, dtype=np.int32).reshape(-1)
+    b0 = ids.shape[0]
+    if b0 == 1:  # see synth_batch: single-iteration lax.map fuses differently
+        ids = np.concatenate([ids, ids])
+    style = artist_style(artist_seed)
+    out = _artist_batch_jit(
+        jnp.asarray(ids), duration_s=float(duration_s), sr=cfg.sample_rate,
+        fmin=cfg.fmin, base_seed=1_000_000_007 * artist_seed + base_seed,
+        **style)
+    return out[:b0]
+
+
 @functools.partial(jax.jit, static_argnames=("q_samples", "noise_db"))
 def _excerpt_jit(full, starts, noise_seeds, *, q_samples, noise_db):
     def one(pcm, start, nseed):
