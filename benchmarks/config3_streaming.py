@@ -81,11 +81,13 @@ def main(n_tracks=100, track_seconds=60.0, stream_seconds=30.0,
     live = synth.make_query(live_track, 5.0, stream_seconds, cfg,
                             noise_db=-12.0, seed=4)
     chunk = cfg.sample_rate // 10  # 100 ms
-    first_correct_s = None
+    first_correct_s = first_guess_s = None
     fed = 0
     for pos in range(0, len(live), chunk):
         best = sess.feed(live[pos:pos + chunk])
         fed += chunk
+        if best and first_guess_s is None:
+            first_guess_s = fed / cfg.sample_rate
         if best and best[0] == truth and first_correct_s is None:
             first_correct_s = fed / cfg.sample_rate
     stats = sess.latency_stats()
@@ -93,6 +95,10 @@ def main(n_tracks=100, track_seconds=60.0, stream_seconds=30.0,
     emit("config3_stream_match_p50_ms", round(stats["match_p50_ms"], 2), "ms",
          p99=round(stats["match_p99_ms"], 2), n_matches=stats["n_matches"],
          identified=bool(ok), time_to_id_s=first_correct_s,
+         time_to_first_hypothesis_s=first_guess_s,
+         final_confidence=(round(float(sess.current_best.confidence), 3)
+                           if sess.current_best else None),
+         query_buckets=list(sess.query_buckets),
          n_tracks=n_tracks)
     emit("config3_stream_step_p50_ms", round(stats["step_p50_ms"], 2), "ms",
          p99=round(stats["step_p99_ms"], 2),

@@ -55,9 +55,34 @@ def test_streaming_session_identifies_track(cfg):
         best = sess.feed(live[pos:pos + step])
     assert best is not None
     assert best[0] == "4"
+    assert 0.0 <= best.confidence <= 1.0
     stats = sess.latency_stats()
     assert stats["n_matches"] > 0
     assert np.isfinite(stats["match_p50_ms"])
+
+
+def test_streaming_progressive_buckets_lock_early(cfg):
+    """With progressive query buckets the session must produce a (correct)
+    hypothesis before the full ring could possibly have filled."""
+    tracks = synth.synth_catalog(6, 5.0, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    sess = StreamingSession(db, filters, cfg, query_prints=64,
+                            chunk_prints=16)
+    assert sess.query_buckets == (16, 32, 64)
+    live = synth.make_query(tracks[2], 0.5, 4.0, cfg, noise_db=-20.0, seed=3)
+    full_ring_samples = (64 * cfg.hop + sess.extractor.window_samples)
+    step = cfg.sample_rate // 4
+    first_lock = None
+    fed = 0
+    for pos in range(0, len(live), step):
+        best = sess.feed(live[pos:pos + step])
+        fed += step
+        if best is not None and first_lock is None:
+            first_lock = fed
+    assert first_lock is not None and first_lock < full_ring_samples
+    assert sess.current_best.track_id == "2"
+    assert sess.current_best.confidence > 0.5
 
 
 def test_streaming_session_with_two_stage_db(cfg):
