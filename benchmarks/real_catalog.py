@@ -155,23 +155,31 @@ def dense(n_tracks, secs, n_dense=100):
     n_dense = min(n_dense, qprints.shape[0])
     prints = np.load(os.path.join(d, "prints.npy"), mmap_mode="r")
     filters = np.load(os.path.join(d, "filters.npy"))
-    lengths = np.full(n_tracks, prints.shape[1], np.int32)
-    db = api.FingerprintDB(cfg, filters, [str(i) for i in range(n_tracks)],
-                           prints, lengths)
-    log(f"dense scan of {n_dense} queries vs {n_tracks} tracks "
-        f"(~{prints.size * 4 / 1e9:.1f} GB on device)...")
-    ids = np.empty(n_dense, np.int64)
-    scores = np.empty(n_dense, np.int64)
-    offs = np.empty(n_dense, np.int64)
+    # The exhaustive scan's offset-block intermediate is O(T * block * N)
+    # words — at 250k tracks that alone is ~50 GB, so the catalog is scanned
+    # in track chunks (upload chunk once, run every query, merge best on
+    # host with the dense tie-break: desc score, asc global index).
+    chunk_t = 25_000
+    ids = np.full(n_dense, -1, np.int64)
+    scores = np.full(n_dense, -1, np.int64)
+    offs = np.zeros(n_dense, np.int64)
     t0 = time.time()
-    for i in range(n_dense):
-        tid, s, o = api.match(qprints[i], db, top_k=1)
-        ids[i], scores[i], offs[i] = int(tid[0]), int(s[0]), int(o[0])
-        if i == 0:
-            log(f"  first dense query {time.time() - t0:.0f}s (incl. "
-                "upload+compile)")
-        elif i % 20 == 0:
-            log(f"  {i}/{n_dense} ({(time.time() - t0) / i:.1f}s/query)")
+    log(f"dense scan of {n_dense} queries vs {n_tracks} tracks "
+        f"in {-(-n_tracks // chunk_t)} chunks...")
+    qdev = [np.asarray(qprints[i]) for i in range(n_dense)]
+    for c0 in range(0, n_tracks, chunk_t):
+        c1 = min(c0 + chunk_t, n_tracks)
+        sub = api.FingerprintDB(
+            cfg, filters, [str(i) for i in range(c0, c1)],
+            np.asarray(prints[c0:c1]),
+            np.full(c1 - c0, prints.shape[1], np.int32))
+        for i in range(n_dense):
+            tid, s, o = api.match(qdev[i], sub, top_k=1)
+            s0, i0, o0 = int(s[0]), int(tid[0]), int(o[0])
+            if s0 > scores[i] or (s0 == scores[i] and i0 < ids[i]):
+                scores[i], ids[i], offs[i] = s0, i0, o0
+        log(f"  chunk {c0}-{c1} done ({time.time() - t0:.0f}s)")
+        del sub
     np.savez(dpath, ids=ids, scores=scores, offsets=offs, n_dense=n_dense)
     top1 = float(np.mean(ids == truths[:n_dense]))
     emit("real_dense_top1", round(top1, 4), "accuracy", n_tracks=n_tracks,

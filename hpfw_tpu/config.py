@@ -33,6 +33,9 @@ class HpfwConfig:
 
     # ---- input ----
     sample_rate: int = 22050
+    resample: str = "sinc"        # ingestion resampler: "sinc" (polyphase
+                                  # Kaiser, reference-grade) or "linear"
+                                  # (fast, aliases above ~sr/4)
 
     # ---- CQT front end (SURVEY.md §2.3 step 2) ----
     fmin: float = _C3_HZ          # lowest CQT bin center

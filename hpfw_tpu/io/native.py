@@ -56,6 +56,13 @@ def load_library():
         lib.hpfw_resample_linear.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.hpfw_resample_sinc_len.restype = ctypes.c_int64
+        lib.hpfw_resample_sinc_len.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+        lib.hpfw_resample_sinc.restype = None
+        lib.hpfw_resample_sinc.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
         lib.hpfw_match_db.restype = None
         lib.hpfw_match_db.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
@@ -162,6 +169,22 @@ def resample_linear(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     out = np.empty(n_out, dtype=np.float32)
     lib.hpfw_resample_linear(_fptr(x, ctypes.c_float), x.shape[0], sr_in,
                              sr_out, _fptr(out, ctypes.c_float), n_out)
+    return out
+
+
+def resample_sinc(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase Kaiser-sinc resampler (C++; NumPy twin io/wav.resample_sinc,
+    equal to ~1 float32 ulp — see tests/test_resample.py)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if sr_in == sr_out:
+        return np.asarray(pcm, dtype=np.float32)
+    x = np.ascontiguousarray(pcm, dtype=np.float32)
+    n_out = lib.hpfw_resample_sinc_len(x.shape[0], sr_in, sr_out)
+    out = np.empty(n_out, dtype=np.float32)
+    lib.hpfw_resample_sinc(_fptr(x, ctypes.c_float), x.shape[0], sr_in,
+                           sr_out, _fptr(out, ctypes.c_float), n_out)
     return out
 
 

@@ -9,7 +9,9 @@ correctness oracle for it.
 Supports WAV (PCM 8/16/24/32, float32/64, mu-law, A-law, and the
 WAVE_FORMAT_EXTENSIBLE wrapper), AIFF/AIFF-C (big-endian PCM), and FLAC
 (full bitstream decode, io/flac.py + the C++ twin), any channel count
-(downmixed to mono), with linear resampling to the config sample rate.
+(downmixed to mono), resampled to the config rate with a polyphase
+windowed-sinc resampler (Kaiser, scipy.resample_poly-equivalent; linear is
+the opt-in fast path via cfg.resample="linear").
 Lossy codecs (mp3/ogg) are out of scope in this offline environment —
 convert upstream.
 """
@@ -51,7 +53,8 @@ def load_wav(path: str, cfg: HpfwConfig | None = None) -> tuple[np.ndarray, int]
     else:
         pcm, sr = _decode_wav_bytes(data)
     if cfg is not None and sr != cfg.sample_rate:
-        pcm = resample_linear(pcm, sr, cfg.sample_rate)
+        pcm = resample(pcm, sr, cfg.sample_rate,
+                       kind=getattr(cfg, "resample", "sinc"))
         sr = cfg.sample_rate
     return pcm, sr
 
@@ -216,7 +219,11 @@ def save_wav(path: str, pcm: np.ndarray, sample_rate: int) -> None:
 
 
 def resample_linear(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Linear-interpolation resampler (matches the native C++ one exactly)."""
+    """Linear-interpolation resampler (matches the native C++ one exactly).
+
+    Fast but aliasing above ~sr/4 — the opt-in path (cfg.resample="linear");
+    the default pipeline path is resample_sinc.
+    """
     if sr_in == sr_out:
         return np.asarray(pcm, dtype=np.float32)
     n_in = pcm.shape[0]
@@ -227,3 +234,82 @@ def resample_linear(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     frac = (src - i0).astype(np.float32)
     x = np.asarray(pcm, dtype=np.float32)
     return ((1.0 - frac) * x[i0] + frac * x[i1]).astype(np.float32)
+
+
+_KAISER_BETA = 5.0      # scipy.signal.resample_poly's default window
+_HALF_LEN_FACTOR = 10   # taps = 2*10*max(L,M) + 1, scipy's default length
+
+
+def _design_kaiser_sinc(l: int, m: int) -> np.ndarray:
+    """Polyphase anti-aliasing lowpass: Kaiser(5.0)-windowed sinc at the
+    L-upsampled rate, cutoff at the tighter of the two Nyquists
+    (1/max(L,M)), DC-normalized, scaled by L. Identical (to float64
+    rounding) to scipy.signal.resample_poly's default design — the
+    validation anchor (tests/test_resample.py)."""
+    mx = max(l, m)
+    half_len = _HALF_LEN_FACTOR * mx
+    t = np.arange(2 * half_len + 1, dtype=np.float64) - half_len
+    h = (1.0 / mx) * np.sinc(t / mx) * np.kaiser(2 * half_len + 1,
+                                                 _KAISER_BETA)
+    h /= h.sum()
+    return h * l
+
+
+def resample_sinc(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase windowed-sinc rational resampler (the reference-grade
+    default; SURVEY.md §2.1 row 1).
+
+    Output equals scipy.signal.resample_poly(x, L, M, window=("kaiser",
+    5.0)) to ~1e-15 (measured across up/down ratios), with float64
+    accumulation and float32 output. The C++ twin (hpfw_resample_sinc)
+    computes the same polyphase sums; its sequential accumulation order can
+    differ from this vectorized path by float64 rounding, i.e. at most ~1
+    float32 ulp — margin-tested rather than bit-asserted, unlike the
+    integer decoders.
+    """
+    import math
+
+    g = math.gcd(int(sr_in), int(sr_out))
+    l, m = sr_out // g, sr_in // g
+    if l == m:
+        return np.asarray(pcm, dtype=np.float32)
+    x = np.asarray(pcm, dtype=np.float64)
+    n_in = x.shape[0]
+    h = _design_kaiser_sinc(l, m)
+    taps = h.shape[0]
+    d = (taps - 1) // 2                       # center-tap group delay
+    n_out = -(-n_in * l // m)
+    k = -(-taps // l)                         # taps per output sample
+    w = np.zeros((l, k))
+    for p in range(l):
+        hp = h[p::l]
+        w[p, : hp.shape[0]] = hp
+    out = np.empty(n_out, dtype=np.float64)
+    block = 1 << 16
+    for s in range(0, n_out, block):
+        mm = np.arange(s, min(s + block, n_out))
+        u = d + mm * m                        # position on the upsampled grid
+        phase = u % l
+        ih = u // l
+        idx = ih[:, None] - np.arange(k)[None, :]
+        valid = (idx >= 0) & (idx < n_in)
+        xs = np.where(valid, x[np.clip(idx, 0, n_in - 1)], 0.0)
+        out[s: s + mm.shape[0]] = np.einsum("mk,mk->m", w[phase], xs)
+    return out.astype(np.float32)
+
+
+def resample(pcm: np.ndarray, sr_in: int, sr_out: int,
+             kind: str = "sinc") -> np.ndarray:
+    """Resample dispatch: "sinc" (polyphase Kaiser, default) or "linear"
+    (fast opt-in). Prefers the native C++ sinc when available."""
+    if sr_in == sr_out:
+        return np.asarray(pcm, dtype=np.float32)
+    if kind == "linear":
+        return resample_linear(pcm, sr_in, sr_out)
+    if kind != "sinc":
+        raise ValueError(f"unknown resample kind {kind!r}")
+    from . import native
+
+    if native.available():
+        return native.resample_sinc(pcm, sr_in, sr_out)
+    return resample_sinc(pcm, sr_in, sr_out)

@@ -576,6 +576,77 @@ void hpfw_resample_linear(const float* in, int64_t n_in, int32_t sr_in,
 }
 
 // ---------------------------------------------------------------------------
+// Polyphase windowed-sinc (Kaiser) resampler — the reference-grade default.
+// Mirrors io/wav.py resample_sinc (scipy.resample_poly-equivalent design);
+// float64 accumulation, so the NumPy twin matches to ~1 float32 ulp
+// (tests/test_resample.py margin-tests rather than bit-asserts — the only
+// twin pair that is float, not integer).
+// ---------------------------------------------------------------------------
+static double bessel_i0(double x) {
+  // Power series; converges fast for the beta*sqrt(...) <= 5 range used.
+  double sum = 1.0, term = 1.0, hx = x / 2.0;
+  for (int k = 1; k < 256; ++k) {
+    double f = hx / k;
+    term *= f * f;
+    sum += term;
+    if (term < sum * 1e-18) break;
+  }
+  return sum;
+}
+
+static int64_t gcd64(int64_t a, int64_t b) {
+  while (b) { int64_t t = a % b; a = b; b = t; }
+  return a;
+}
+
+int64_t hpfw_resample_sinc_len(int64_t n_in, int32_t sr_in, int32_t sr_out) {
+  int64_t g = gcd64(sr_in, sr_out);
+  int64_t l = sr_out / g, m = sr_in / g;
+  if (l == m) return n_in;
+  return (n_in * l + m - 1) / m;
+}
+
+void hpfw_resample_sinc(const float* in, int64_t n_in, int32_t sr_in,
+                        int32_t sr_out, float* out, int64_t n_out) {
+  int64_t g = gcd64(sr_in, sr_out);
+  int64_t l = sr_out / g, m = sr_in / g;
+  if (l == m) {
+    for (int64_t i = 0; i < n_out && i < n_in; ++i) out[i] = in[i];
+    return;
+  }
+  const double beta = 5.0;                   // scipy resample_poly default
+  int64_t mx = l > m ? l : m;
+  int64_t half = 10 * mx;
+  int64_t taps = 2 * half + 1;
+  std::vector<double> h(taps);
+  double denom = bessel_i0(beta);
+  double alpha = (double)(taps - 1) / 2.0;
+  double sum = 0.0;
+  for (int64_t i = 0; i < taps; ++i) {
+    double t = (double)(i - half);
+    double a = M_PI * t / (double)mx;
+    double snc = t == 0.0 ? 1.0 : sin(a) / a;
+    double r = ((double)i - alpha) / alpha;
+    double w = bessel_i0(beta * sqrt(std::max(0.0, 1.0 - r * r))) / denom;
+    h[i] = (1.0 / (double)mx) * snc * w;
+    sum += h[i];
+  }
+  for (int64_t i = 0; i < taps; ++i) h[i] = h[i] / sum * (double)l;
+  int64_t d = half;                          // center-tap group delay
+  for (int64_t o = 0; o < n_out; ++o) {
+    int64_t u = d + o * m;                   // position on upsampled grid
+    int64_t ihi = u / l;
+    double acc = 0.0;
+    for (int64_t i = ihi; i >= 0; --i) {     // tap index ascending, like the twin
+      int64_t k = u - l * i;
+      if (k >= taps) break;
+      if (i < n_in) acc += h[k] * (double)in[i];
+    }
+    out[o] = (float)acc;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Hashprint extraction (the reference's C++ fingerprint() surface,
 // SURVEY.md §1.2): framed NDFT CQT -> log magnitude -> context-window
 // projection -> delta -> sign -> packed 64-bit hashprints. Mirrors
