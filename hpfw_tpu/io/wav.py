@@ -7,13 +7,12 @@ io/native.py) with this pure-NumPy path as the always-available fallback and
 correctness oracle for it.
 
 Supports WAV (PCM 8/16/24/32, float32/64, mu-law, A-law, and the
-WAVE_FORMAT_EXTENSIBLE wrapper), AIFF/AIFF-C (big-endian PCM), and FLAC
-(full bitstream decode, io/flac.py + the C++ twin), any channel count
-(downmixed to mono), resampled to the config rate with a polyphase
-windowed-sinc resampler (Kaiser, scipy.resample_poly-equivalent; linear is
-the opt-in fast path via cfg.resample="linear").
-Lossy codecs (mp3/ogg) are out of scope in this offline environment —
-convert upstream.
+WAVE_FORMAT_EXTENSIBLE wrapper), AIFF/AIFF-C (big-endian PCM), FLAC
+(full bitstream decode, io/flac.py + the C++ twin), and Ogg Vorbis
+(io/vorbis.py + the C++ twin — floors, residues, coupling, IMDCT), any
+channel count (downmixed to mono), resampled to the config rate with a
+polyphase windowed-sinc resampler (Kaiser, scipy.resample_poly-equivalent;
+linear is the opt-in fast path via cfg.resample="linear").
 """
 
 from __future__ import annotations
@@ -45,6 +44,13 @@ def load_wav(path: str, cfg: HpfwConfig | None = None) -> tuple[np.ndarray, int]
             from .flac import decode_flac
 
             pcm, sr = decode_flac(data)
+    elif data[:4] == b"OggS":
+        if native.available():
+            pcm, sr = native.decode_vorbis(data)
+        else:
+            from .vorbis import decode_vorbis
+
+            pcm, sr = decode_vorbis(data)
     elif native.available():
         try:
             pcm, sr = native.decode_wav(data)

@@ -557,6 +557,838 @@ int hpfw_flac_decode(const uint8_t* data, int64_t size,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Ogg Vorbis decode. Mirrors hpfw_tpu/io/{ogg,vorbis}.py (the NumPy twin;
+// tests/test_vorbis.py asserts float32-rounding-level equality): Ogg pages
+// with CRC verification, LSB-first bit unpacking, codebooks (ordered/sparse
+// lengths, lookup 0/1/2), first-fit canonical Huffman, floor 1, residues
+// 0/1/2, coupling inversion, direct IMDCT (double; O(n^2) per block — fine
+// for fingerprint ingestion), window slopes for long/short transitions,
+// overlap-add with granule trim, mono downmix. Floor type 0 is rejected
+// like the twin. Same two-call protocol as the other decoders.
+// ---------------------------------------------------------------------------
+namespace vorbis {
+
+struct OggBitR {         // LSB-first within bytes
+  const std::vector<uint8_t>* d;
+  int64_t pos;           // bit position
+};
+
+static inline int vrd(OggBitR* b, int n, uint32_t* out) {  // n <= 32
+  const std::vector<uint8_t>& d = *b->d;
+  if (b->pos + n > (int64_t)d.size() * 8) return -1;
+  uint32_t v = 0;
+  for (int i = 0; i < n; ++i) {
+    int64_t p = b->pos + i;
+    v |= (uint32_t)((d[p >> 3] >> (p & 7)) & 1) << i;
+  }
+  b->pos += n;
+  *out = v;
+  return 0;
+}
+
+static inline int vbit(OggBitR* b, int* out) {
+  const std::vector<uint8_t>& d = *b->d;
+  if (b->pos >= (int64_t)d.size() * 8) return -1;
+  *out = (d[b->pos >> 3] >> (b->pos & 7)) & 1;
+  b->pos += 1;
+  return 0;
+}
+
+static int vilog(int64_t x) {
+  int n = 0;
+  while (x > 0) { ++n; x >>= 1; }
+  return n;
+}
+
+static double vfloat32_unpack(uint32_t x) {
+  double mant = (double)(x & 0x1FFFFF);
+  int exp = (int)((x & 0x7FE00000u) >> 21);
+  if (x & 0x80000000u) mant = -mant;
+  return mant * pow(2.0, exp - 788);
+}
+
+static int64_t lookup1_values(int64_t entries, int dim) {
+  int64_t v = 1;
+  for (;;) {
+    double p = pow((double)(v + 1), (double)dim);
+    if (p > (double)entries + 0.5) break;
+    ++v;
+  }
+  return v;
+}
+
+// Huffman tree as a node pool: children >= 0 are node ids, < -1 encodes
+// leaf entry -(e+2), -1 means empty.
+struct Tree {
+  std::vector<int64_t> kid;  // 2 per node
+  int64_t alloc_node() { kid.push_back(-1); kid.push_back(-1); return kid.size() / 2 - 1; }
+};
+
+static int tree_alloc(Tree* t, int64_t node, int length, std::vector<int>* path) {
+  for (int b = 0; b < 2; ++b) {
+    int64_t child = t->kid[node * 2 + b];
+    if (length == 1) {
+      if (child == -1) { path->push_back(b); return 0; }
+      continue;
+    }
+    if (child <= -2) continue;       // assigned leaf shadows prefix
+    if (child == -1) {
+      path->push_back(b);
+      for (int i = 1; i < length; ++i) path->push_back(0);
+      return 0;
+    }
+    path->push_back(b);
+    if (tree_alloc(t, child, length - 1, path) == 0) return 0;
+    path->pop_back();
+  }
+  return -1;
+}
+
+struct Codebook {
+  int dim = 0;
+  int64_t entries = 0;
+  std::vector<int> lengths;
+  Tree tree;
+  int64_t root = -1;
+  int64_t single = -1;       // single-used-entry book
+  int lookup = 0;
+  std::vector<double> vec;   // entries * dim VQ values
+};
+
+static int parse_codebook(OggBitR* br, Codebook* cb) {
+  uint32_t sync, v;
+  if (vrd(br, 24, &sync) || sync != 0x564342) return -1;
+  if (vrd(br, 16, &v)) return -1;
+  cb->dim = (int)v;
+  if (vrd(br, 24, &v)) return -1;
+  cb->entries = v;
+  if (cb->entries <= 0 || cb->dim <= 0) return -1;
+  cb->lengths.assign(cb->entries, 0);
+  int bit;
+  if (vbit(br, &bit)) return -1;
+  if (bit) {                          // ordered
+    uint32_t cl;
+    if (vrd(br, 5, &cl)) return -1;
+    int cur_len = (int)cl + 1;
+    int64_t cur = 0;
+    while (cur < cb->entries) {
+      uint32_t num;
+      if (vrd(br, vilog(cb->entries - cur), &num)) return -1;
+      if (cur + (int64_t)num > cb->entries) return -1;
+      for (int64_t i = cur; i < cur + (int64_t)num; ++i)
+        cb->lengths[i] = cur_len;
+      cur += num;
+      ++cur_len;
+      if (cur_len > 32) return -1;
+    }
+  } else {
+    int sparse;
+    if (vbit(br, &sparse)) return -1;
+    for (int64_t i = 0; i < cb->entries; ++i) {
+      if (sparse) {
+        int used;
+        if (vbit(br, &used)) return -1;
+        if (!used) continue;
+      }
+      uint32_t l;
+      if (vrd(br, 5, &l)) return -1;
+      cb->lengths[i] = (int)l + 1;
+    }
+  }
+  int64_t n_used = 0, only = -1;
+  for (int64_t i = 0; i < cb->entries; ++i)
+    if (cb->lengths[i]) { ++n_used; only = i; }
+  if (n_used == 1) {
+    cb->single = only;
+  } else if (n_used > 1) {
+    cb->root = cb->tree.alloc_node();
+    std::vector<int> path;
+    for (int64_t i = 0; i < cb->entries; ++i) {
+      if (!cb->lengths[i]) continue;
+      path.clear();
+      if (tree_alloc(&cb->tree, cb->root, cb->lengths[i], &path)) return -2;
+      int64_t node = cb->root;
+      for (size_t j = 0; j + 1 < path.size(); ++j) {
+        int64_t* slot = &cb->tree.kid[node * 2 + path[j]];
+        if (*slot == -1) {
+          int64_t fresh = cb->tree.alloc_node();
+          // alloc_node may reallocate the vector; recompute the slot.
+          cb->tree.kid[node * 2 + path[j]] = fresh;
+          node = fresh;
+        } else {
+          node = *slot;
+        }
+      }
+      cb->tree.kid[node * 2 + path.back()] = -(i + 2);
+    }
+  }
+  uint32_t lt;
+  if (vrd(br, 4, &lt)) return -1;
+  cb->lookup = (int)lt;
+  if (cb->lookup == 1 || cb->lookup == 2) {
+    uint32_t mn, dl, vb;
+    int seq;
+    if (vrd(br, 32, &mn) || vrd(br, 32, &dl) || vrd(br, 4, &vb) ||
+        vbit(br, &seq))
+      return -1;
+    double minv = vfloat32_unpack(mn), delta = vfloat32_unpack(dl);
+    int value_bits = (int)vb + 1;
+    int64_t count = cb->lookup == 1 ? lookup1_values(cb->entries, cb->dim)
+                                    : cb->entries * cb->dim;
+    std::vector<uint32_t> mult(count);
+    for (int64_t i = 0; i < count; ++i)
+      if (vrd(br, value_bits, &mult[i])) return -1;
+    cb->vec.assign(cb->entries * cb->dim, 0.0);
+    if (cb->lookup == 1) {
+      int64_t lv = lookup1_values(cb->entries, cb->dim);
+      for (int64_t e = 0; e < cb->entries; ++e) {
+        double last = 0.0;
+        int64_t idx_div = 1;
+        for (int d = 0; d < cb->dim; ++d) {
+          int64_t off = (e / idx_div) % lv;
+          double val = mult[off] * delta + minv + last;
+          if (seq) last = val;
+          cb->vec[e * cb->dim + d] = val;
+          idx_div *= lv;
+        }
+      }
+    } else {
+      for (int64_t e = 0; e < cb->entries; ++e) {
+        double last = 0.0;
+        for (int d = 0; d < cb->dim; ++d) {
+          double val = mult[e * cb->dim + d] * delta + minv + last;
+          if (seq) last = val;
+          cb->vec[e * cb->dim + d] = val;
+        }
+      }
+    }
+  } else if (cb->lookup != 0) {
+    return -1;
+  }
+  return 0;
+}
+
+static int cb_decode(const Codebook* cb, OggBitR* br, int64_t* entry) {
+  if (cb->single >= 0) {
+    uint32_t dummy;
+    if (vrd(br, cb->lengths[cb->single], &dummy)) return -1;
+    *entry = cb->single;
+    return 0;
+  }
+  if (cb->root < 0) return -1;
+  int64_t node = cb->root;
+  for (;;) {
+    int b;
+    if (vbit(br, &b)) return -1;
+    int64_t child = cb->tree.kid[node * 2 + b];
+    if (child == -1) return -1;
+    if (child <= -2) { *entry = -(child)-2; return 0; }
+    node = child;
+  }
+}
+
+struct Floor1 {
+  int partitions = 0;
+  std::vector<int> class_list, class_dims, class_subs, masterbooks;
+  std::vector<std::vector<int>> subclass_books;
+  int multiplier = 1;
+  int rangebits = 0;
+  std::vector<int> x_list;
+};
+
+static int parse_floor1(OggBitR* br, Floor1* fl) {
+  uint32_t v;
+  if (vrd(br, 5, &v)) return -1;
+  fl->partitions = (int)v;
+  int n_classes = 0;
+  for (int p = 0; p < fl->partitions; ++p) {
+    if (vrd(br, 4, &v)) return -1;
+    fl->class_list.push_back((int)v);
+    n_classes = std::max(n_classes, (int)v + 1);
+  }
+  for (int c = 0; c < n_classes; ++c) {
+    if (vrd(br, 3, &v)) return -1;
+    fl->class_dims.push_back((int)v + 1);
+    uint32_t subs;
+    if (vrd(br, 2, &subs)) return -1;
+    fl->class_subs.push_back((int)subs);
+    if (subs) {
+      if (vrd(br, 8, &v)) return -1;
+      fl->masterbooks.push_back((int)v);
+    } else {
+      fl->masterbooks.push_back(-1);
+    }
+    std::vector<int> row;
+    for (int s = 0; s < (1 << subs); ++s) {
+      if (vrd(br, 8, &v)) return -1;
+      row.push_back((int)v - 1);
+    }
+    fl->subclass_books.push_back(row);
+  }
+  if (vrd(br, 2, &v)) return -1;
+  fl->multiplier = (int)v + 1;
+  if (vrd(br, 4, &v)) return -1;
+  fl->rangebits = (int)v;
+  fl->x_list = {0, 1 << fl->rangebits};
+  for (int p = 0; p < fl->partitions; ++p)
+    for (int d = 0; d < fl->class_dims[fl->class_list[p]]; ++d) {
+      if (vrd(br, fl->rangebits, &v)) return -1;
+      fl->x_list.push_back((int)v);
+    }
+  for (size_t i = 0; i < fl->x_list.size(); ++i)
+    for (size_t j = i + 1; j < fl->x_list.size(); ++j)
+      if (fl->x_list[i] == fl->x_list[j]) return -1;
+  return 0;
+}
+
+static int render_point(int x0, int y0, int x1, int y1, int x) {
+  int dy = y1 - y0, adx = x1 - x0;
+  int err = abs(dy) * (x - x0);
+  int off = err / adx;
+  return dy < 0 ? y0 - off : y0 + off;
+}
+
+static void render_line(int x0, int y0, int x1, int y1, int64_t* v, int n2) {
+  int dy = y1 - y0, adx = x1 - x0, ady = abs(dy);
+  int base = adx ? dy / adx : 0;        // C truncation, like the twin
+  int sy = dy < 0 ? base - 1 : base + 1;
+  ady -= abs(base) * adx;
+  int x = x0, y = y0, err = 0;
+  if (x >= 0 && x < n2) v[x] = y;
+  for (x = x0 + 1; x < x1 && x < n2; ++x) {
+    err += ady;
+    if (err >= adx) { err -= adx; y += sy; } else { y += base; }
+    v[x] = y;
+  }
+}
+
+static const double kInvDbLo = 1.0649863e-07;
+
+// floor decode: returns 1 with curve filled, 0 for unused channel, <0 error
+static int floor1_decode(const Floor1* fl, OggBitR* br,
+                         const std::vector<Codebook>& books, int n2,
+                         double* curve) {
+  int nz;
+  if (vbit(br, &nz)) return -1;
+  if (!nz) return 0;
+  static const int kRange[4] = {256, 128, 86, 64};
+  int rng = kRange[fl->multiplier - 1];
+  int ybits = vilog(rng - 1);
+  int count = (int)fl->x_list.size();
+  std::vector<int> y(count, 0);
+  uint32_t v;
+  if (vrd(br, ybits, &v)) return -1;
+  y[0] = (int)v;
+  if (vrd(br, ybits, &v)) return -1;
+  y[1] = (int)v;
+  int offset = 2;
+  for (int p = 0; p < fl->partitions; ++p) {
+    int cls = fl->class_list[p];
+    int cdim = fl->class_dims[cls];
+    int cbits = fl->class_subs[cls];
+    int csub = (1 << cbits) - 1;
+    int64_t cval = 0;
+    if (cbits) {
+      if (fl->masterbooks[cls] < 0 ||
+          fl->masterbooks[cls] >= (int)books.size())
+        return -1;
+      if (cb_decode(&books[fl->masterbooks[cls]], br, &cval)) return -1;
+    }
+    for (int d = 0; d < cdim; ++d) {
+      int book = fl->subclass_books[cls][cval & csub];
+      cval >>= cbits;
+      if (book >= 0) {
+        if (book >= (int)books.size()) return -1;
+        int64_t e;
+        if (cb_decode(&books[book], br, &e)) return -1;
+        y[offset + d] = (int)e;
+      } else {
+        y[offset + d] = 0;
+      }
+    }
+    offset += cdim;
+  }
+  // amplitude synthesis
+  std::vector<int> fin(count, 0);
+  std::vector<char> step2(count, 0);
+  fin[0] = y[0]; fin[1] = y[1];
+  step2[0] = step2[1] = 1;
+  for (int i = 2; i < count; ++i) {
+    int lo = -1, hi = -1;
+    for (int n = 0; n < i; ++n) {
+      if (fl->x_list[n] < fl->x_list[i] &&
+          (lo < 0 || fl->x_list[n] > fl->x_list[lo])) lo = n;
+      if (fl->x_list[n] > fl->x_list[i] &&
+          (hi < 0 || fl->x_list[n] < fl->x_list[hi])) hi = n;
+    }
+    if (lo < 0 || hi < 0) return -1;
+    int pred = render_point(fl->x_list[lo], fin[lo], fl->x_list[hi], fin[hi],
+                            fl->x_list[i]);
+    int val = y[i];
+    int highroom = rng - pred, lowroom = pred;
+    int room = 2 * std::min(highroom, lowroom);
+    if (val) {
+      step2[lo] = step2[hi] = step2[i] = 1;
+      if (val >= room)
+        fin[i] = highroom > lowroom ? val - lowroom + pred
+                                    : pred - (val - highroom) - 1;
+      else if (val & 1)
+        fin[i] = pred - ((val + 1) >> 1);
+      else
+        fin[i] = pred + (val >> 1);
+    } else {
+      step2[i] = 0;
+      fin[i] = pred;
+    }
+  }
+  std::vector<int> order(count);
+  for (int i = 0; i < count; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    return fl->x_list[a] < fl->x_list[b];
+  });
+  std::vector<int64_t> out(n2, 0);
+  int hx = 0, lx = 0;
+  int hy = fin[order[0]] * fl->multiplier;
+  int ly = hy;
+  for (int oi = 0; oi < count; ++oi) {
+    int i = order[oi];
+    if (!step2[i]) continue;
+    hx = std::min(fl->x_list[i], n2);
+    hy = fin[i] * fl->multiplier;
+    if (hx > lx) render_line(lx, ly, fl->x_list[i], hy, out.data(), n2);
+    lx = fl->x_list[i];
+    ly = hy;
+    if (lx >= n2) break;
+  }
+  if (hx < n2)
+    for (int j = hx; j < n2; ++j) out[j] = hy;
+  double lgstep = log(1.0 / kInvDbLo) / 255.0;
+  for (int j = 0; j < n2; ++j) {
+    int64_t idx = out[j] < 0 ? 0 : (out[j] > 255 ? 255 : out[j]);
+    curve[j] = kInvDbLo * exp((double)idx * lgstep);
+  }
+  return 1;
+}
+
+struct ResidueCfg {
+  int rtype = 0;
+  int64_t begin = 0, end = 0, psize = 0;
+  int classifications = 0, classbook = 0;
+  std::vector<int> cascades;
+  std::vector<std::vector<int>> books;
+};
+
+static int parse_residue(OggBitR* br, int rtype, ResidueCfg* rs) {
+  uint32_t v;
+  rs->rtype = rtype;
+  if (vrd(br, 24, &v)) return -1;
+  rs->begin = v;
+  if (vrd(br, 24, &v)) return -1;
+  rs->end = v;
+  if (vrd(br, 24, &v)) return -1;
+  rs->psize = (int64_t)v + 1;
+  if (vrd(br, 6, &v)) return -1;
+  rs->classifications = (int)v + 1;
+  if (vrd(br, 8, &v)) return -1;
+  rs->classbook = (int)v;
+  for (int c = 0; c < rs->classifications; ++c) {
+    uint32_t low;
+    if (vrd(br, 3, &low)) return -1;
+    int flag;
+    if (vbit(br, &flag)) return -1;
+    uint32_t high = 0;
+    if (flag && vrd(br, 5, &high)) return -1;
+    rs->cascades.push_back((int)((high << 3) | low));
+  }
+  for (int c = 0; c < rs->classifications; ++c) {
+    std::vector<int> row;
+    for (int p = 0; p < 8; ++p) {
+      if (rs->cascades[c] & (1 << p)) {
+        if (vrd(br, 8, &v)) return -1;
+        row.push_back((int)v);
+      } else {
+        row.push_back(-1);
+      }
+    }
+    rs->books.push_back(row);
+  }
+  return 0;
+}
+
+static int residue_partition(const ResidueCfg* rs, const Codebook* book,
+                             OggBitR* br, double* v, int64_t offset,
+                             int64_t limit) {
+  int dim = book->dim;
+  if (dim <= 0 || book->vec.empty()) return -1;
+  if (offset + rs->psize > limit) return -1;   // matches the twin's guard
+  if (rs->rtype == 0) {
+    int64_t step = rs->psize / dim;
+    for (int64_t i = 0; i < step; ++i) {
+      int64_t e;
+      if (cb_decode(book, br, &e)) return -1;
+      for (int d = 0; d < dim; ++d)
+        v[offset + i + d * step] += book->vec[e * dim + d];
+    }
+  } else {
+    for (int64_t i = 0; i < rs->psize; i += dim) {
+      int64_t e;
+      if (cb_decode(book, br, &e)) return -1;
+      for (int d = 0; d < dim && offset + i + d < limit; ++d)
+        v[offset + i + d] += book->vec[e * dim + d];
+    }
+  }
+  return 0;
+}
+
+static int residue_core(const ResidueCfg* rs, OggBitR* br,
+                        const std::vector<Codebook>& books,
+                        std::vector<double*>& vecs,
+                        const std::vector<char>& skip, int64_t n) {
+  int ch = (int)vecs.size();
+  int64_t begin = std::min(rs->begin, n), end = std::min(rs->end, n);
+  int64_t n_read = end - begin;
+  if (n_read <= 0) return 0;
+  if (rs->classbook >= (int)books.size()) return -1;
+  const Codebook& classbook = books[rs->classbook];
+  int cw = classbook.dim;
+  if (cw <= 0 || rs->psize <= 0) return -1;
+  int64_t parts = n_read / rs->psize;
+  std::vector<std::vector<int>> classifs(
+      ch, std::vector<int>(parts + cw, 0));
+  for (int pass = 0; pass < 8; ++pass) {
+    int64_t p = 0;
+    while (p < parts) {
+      if (pass == 0) {
+        for (int c = 0; c < ch; ++c) {
+          if (skip[c]) continue;
+          int64_t temp;
+          if (cb_decode(&classbook, br, &temp)) return -1;
+          for (int i = cw - 1; i >= 0; --i) {
+            classifs[c][p + i] = (int)(temp % rs->classifications);
+            temp /= rs->classifications;
+          }
+        }
+      }
+      for (int k = 0; k < cw && p < parts; ++k, ++p) {
+        for (int c = 0; c < ch; ++c) {
+          if (skip[c]) continue;
+          int cls = classifs[c][p];
+          int vq = rs->books[cls][pass];
+          if (vq < 0) continue;
+          if (vq >= (int)books.size()) return -1;
+          if (residue_partition(rs, &books[vq], br, vecs[c],
+                                begin + p * rs->psize, n))
+            return -1;
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+struct MappingCfg {
+  int submaps = 1;
+  std::vector<std::pair<int, int>> coupling;
+  std::vector<int> mux, floor_i, residue_i;
+};
+
+struct ModeCfg {
+  int blockflag = 0;
+  int mapping = 0;
+};
+
+}  // namespace vorbis
+
+int hpfw_vorbis_decode(const uint8_t* data, int64_t size,
+                       float* out, int64_t* out_n, int32_t* out_rate) {
+  using namespace vorbis;
+  // ---- Ogg layer ----
+  if (size < 27 || memcmp(data, "OggS", 4) != 0) return -1;
+  std::vector<std::vector<uint8_t>> packets;
+  std::vector<int64_t> pkt_granule;
+  {
+    std::vector<uint8_t> cur;
+    int64_t pos = 0;
+    while (pos + 27 <= size) {
+      if (memcmp(data + pos, "OggS", 4) != 0) return -20;
+      if (data[pos + 4] != 0) return -21;
+      int64_t granule;
+      memcpy(&granule, data + pos + 6, 8);
+      uint32_t crc;
+      memcpy(&crc, data + pos + 22, 4);
+      int n_segs = data[pos + 26];
+      if (pos + 27 + n_segs > size) return -22;
+      int64_t body_len = 0;
+      for (int i = 0; i < n_segs; ++i) body_len += data[pos + 27 + i];
+      int64_t body_start = pos + 27 + n_segs;
+      if (body_start + body_len > size) return -22;
+      // CRC with the checksum field zeroed (table-free bitwise form).
+      uint32_t c = 0;
+      for (int64_t i = pos; i < body_start + body_len; ++i) {
+        uint8_t byte = (i >= pos + 22 && i < pos + 26) ? 0 : data[i];
+        c ^= (uint32_t)byte << 24;
+        for (int k = 0; k < 8; ++k)
+          c = (c & 0x80000000u) ? (c << 1) ^ 0x04C11DB7u : (c << 1);
+      }
+      if (c != crc) return -23;
+      int64_t off = body_start;
+      for (int i = 0; i < n_segs; ++i) {
+        int lv = data[pos + 27 + i];
+        cur.insert(cur.end(), data + off, data + off + lv);
+        off += lv;
+        if (lv < 255) {
+          packets.push_back(cur);
+          pkt_granule.push_back(granule);
+          cur.clear();
+        }
+      }
+      pos = body_start + body_len;
+    }
+    if (!cur.empty()) return -24;
+  }
+  if (packets.size() < 4) return -25;
+
+  // ---- headers ----
+  const std::vector<uint8_t>& ident = packets[0];
+  if (ident.size() < 30 || memcmp(ident.data(), "\x01vorbis", 7) != 0)
+    return -30;
+  uint32_t version;
+  memcpy(&version, ident.data() + 7, 4);
+  if (version != 0) return -30;
+  int channels = ident[11];
+  int32_t rate;
+  memcpy(&rate, ident.data() + 12, 4);
+  if (channels <= 0 || rate <= 0) return -30;
+  int bs0 = 1 << (ident[28] & 0xF), bs1 = 1 << (ident[28] >> 4);
+  if (bs0 < 64 || bs1 > 8192 || bs0 > bs1) return -30;
+  if (!(ident[29] & 1)) return -30;
+  if (packets[1].size() < 7 || memcmp(packets[1].data(), "\x03vorbis", 7))
+    return -31;
+  if (packets[2].size() < 7 || memcmp(packets[2].data(), "\x05vorbis", 7))
+    return -32;
+  std::vector<uint8_t> setup(packets[2].begin() + 7, packets[2].end());
+  OggBitR br{&setup, 0};
+  uint32_t v;
+  if (vrd(&br, 8, &v)) return -33;
+  std::vector<Codebook> books(v + 1);
+  for (auto& cb : books)
+    if (parse_codebook(&br, &cb)) return -34;
+  if (vrd(&br, 6, &v)) return -33;
+  for (uint32_t i = 0; i <= v; ++i) {
+    uint32_t t;
+    if (vrd(&br, 16, &t) || t != 0) return -35;
+  }
+  if (vrd(&br, 6, &v)) return -33;
+  std::vector<Floor1> floors(v + 1);
+  for (auto& fl : floors) {
+    uint32_t ft;
+    if (vrd(&br, 16, &ft)) return -33;
+    if (ft != 1) return -36;             // floor 0 unsupported, like the twin
+    if (parse_floor1(&br, &fl)) return -36;
+  }
+  if (vrd(&br, 6, &v)) return -33;
+  std::vector<ResidueCfg> residues(v + 1);
+  for (auto& rs : residues) {
+    uint32_t rt;
+    if (vrd(&br, 16, &rt) || rt > 2) return -37;
+    if (parse_residue(&br, (int)rt, &rs)) return -37;
+  }
+  if (vrd(&br, 6, &v)) return -33;
+  std::vector<MappingCfg> mappings(v + 1);
+  for (auto& mp : mappings) {
+    uint32_t mt;
+    if (vrd(&br, 16, &mt) || mt != 0) return -38;
+    int flag;
+    if (vbit(&br, &flag)) return -38;
+    if (flag) {
+      if (vrd(&br, 4, &v)) return -38;
+      mp.submaps = (int)v + 1;
+    }
+    if (vbit(&br, &flag)) return -38;
+    if (flag) {
+      if (vrd(&br, 8, &v)) return -38;
+      int steps = (int)v + 1;
+      int bits = vilog(channels - 1);
+      for (int s = 0; s < steps; ++s) {
+        uint32_t m, a;
+        if (vrd(&br, bits, &m) || vrd(&br, bits, &a)) return -38;
+        if ((int)m >= channels || (int)a >= channels || m == a) return -38;
+        mp.coupling.push_back({(int)m, (int)a});
+      }
+    }
+    if (vrd(&br, 2, &v) || v != 0) return -38;
+    mp.mux.assign(channels, 0);
+    if (mp.submaps > 1)
+      for (int c = 0; c < channels; ++c) {
+        if (vrd(&br, 4, &v)) return -38;
+        if ((int)v >= mp.submaps) return -38;
+        mp.mux[c] = (int)v;
+      }
+    for (int s = 0; s < mp.submaps; ++s) {
+      if (vrd(&br, 8, &v)) return -38;
+      if (vrd(&br, 8, &v)) return -38;
+      if ((int)v >= (int)floors.size()) return -38;
+      mp.floor_i.push_back((int)v);
+      if (vrd(&br, 8, &v)) return -38;
+      if ((int)v >= (int)residues.size()) return -38;
+      mp.residue_i.push_back((int)v);
+    }
+  }
+  if (vrd(&br, 6, &v)) return -33;
+  std::vector<ModeCfg> modes(v + 1);
+  for (auto& md : modes) {
+    int flag;
+    if (vbit(&br, &flag)) return -39;
+    md.blockflag = flag;
+    uint32_t w16;
+    if (vrd(&br, 16, &w16) || w16 != 0) return -39;
+    if (vrd(&br, 16, &w16) || w16 != 0) return -39;
+    if (vrd(&br, 8, &v)) return -39;
+    if ((int)v >= (int)mappings.size()) return -39;
+    md.mapping = (int)v;
+  }
+  int fb;
+  if (vbit(&br, &fb) || !fb) return -33;
+
+  // ---- audio packets ----
+  int mode_bits = vilog((int64_t)modes.size() - 1);
+  std::vector<std::vector<double>> prev_right(channels);
+  int prev_n = 0;
+  std::vector<std::vector<double>> pcm(channels);
+  int64_t granule = -1;
+  for (size_t pi = 3; pi < packets.size(); ++pi) {
+    OggBitR pb{&packets[pi], 0};
+    int bit;
+    if (vbit(&pb, &bit) || bit != 0) return -40;
+    uint32_t mnum = 0;
+    if (mode_bits && vrd(&pb, mode_bits, &mnum)) return -40;
+    if (mnum >= modes.size()) return -40;
+    const ModeCfg& mode = modes[mnum];
+    const MappingCfg& mp = mappings[mode.mapping];
+    int n = mode.blockflag ? bs1 : bs0;
+    int n2 = n / 2;
+    int wf_prev = 1, wf_next = 1;
+    if (mode.blockflag) {
+      if (vbit(&pb, &wf_prev) || vbit(&pb, &wf_next)) return -40;
+    }
+    std::vector<std::vector<double>> curves(channels);
+    std::vector<char> no_res(channels, 0);
+    for (int c = 0; c < channels; ++c) {
+      curves[c].assign(n2, 0.0);
+      int rc = floor1_decode(&floors[mp.floor_i[mp.mux[c]]], &pb, books, n2,
+                             curves[c].data());
+      if (rc < 0) return -41;
+      no_res[c] = rc == 0;
+    }
+    for (auto& cp : mp.coupling)
+      if (!(no_res[cp.first] && no_res[cp.second]))
+        no_res[cp.first] = no_res[cp.second] = 0;
+    std::vector<std::vector<double>> res(channels,
+                                         std::vector<double>(n2, 0.0));
+    for (int sm = 0; sm < mp.submaps; ++sm) {
+      std::vector<int> chans;
+      for (int c = 0; c < channels; ++c)
+        if (mp.mux[c] == sm) chans.push_back(c);
+      const ResidueCfg& rs = residues[mp.residue_i[sm]];
+      if (rs.rtype == 2) {
+        bool all_skip = true;
+        for (int c : chans) all_skip = all_skip && no_res[c];
+        if (!all_skip) {
+          std::vector<double> inter((int64_t)chans.size() * n2, 0.0);
+          std::vector<double*> vecs{inter.data()};
+          std::vector<char> skip{0};
+          if (residue_core(&rs, &pb, books, vecs, skip,
+                           (int64_t)chans.size() * n2))
+            return -42;
+          for (size_t ci = 0; ci < chans.size(); ++ci)
+            for (int j = 0; j < n2; ++j)
+              res[chans[ci]][j] += inter[(int64_t)j * chans.size() + ci];
+        }
+      } else {
+        std::vector<double*> vecs;
+        std::vector<char> skip;
+        for (int c : chans) {
+          vecs.push_back(res[c].data());
+          skip.push_back(no_res[c]);
+        }
+        if (residue_core(&rs, &pb, books, vecs, skip, n2)) return -42;
+      }
+    }
+    for (int s = (int)mp.coupling.size() - 1; s >= 0; --s) {
+      double* m = res[mp.coupling[s].first].data();
+      double* a = res[mp.coupling[s].second].data();
+      for (int j = 0; j < n2; ++j) {
+        double M = m[j], A = a[j], nm, na;
+        if (M > 0) {
+          if (A > 0) { nm = M; na = M - A; }
+          else { na = M; nm = M + A; }
+        } else {
+          if (A > 0) { nm = M; na = M + A; }
+          else { na = M; nm = M - A; }
+        }
+        m[j] = nm; a[j] = na;
+      }
+    }
+    // window geometry
+    int left_n = (mode.blockflag && !wf_prev) ? bs0 : n;
+    int right_n = (mode.blockflag && !wf_next) ? bs0 : n;
+    int left_start = n / 4 - left_n / 4;
+    int right_start = 3 * n / 4 - right_n / 4;
+    std::vector<double> win(n, 0.0);
+    for (int i = 0; i < left_n / 2; ++i) {
+      double s = sin(M_PI / left_n * (i + 0.5));
+      win[left_start + i] = sin(0.5 * M_PI * s * s);
+    }
+    for (int i = left_start + left_n / 2; i < right_start; ++i) win[i] = 1.0;
+    for (int i = 0; i < right_n / 2; ++i) {
+      double s = sin(M_PI / right_n * (right_n / 2 + i + 0.5));
+      win[right_start + i] = sin(0.5 * M_PI * s * s);
+    }
+    for (int c = 0; c < channels; ++c) {
+      std::vector<double> blk(n, 0.0);
+      if (!no_res[c]) {
+        // spectrum = floor * residue; direct IMDCT
+        std::vector<double> spec(n2);
+        for (int j = 0; j < n2; ++j) spec[j] = curves[c][j] * res[c][j];
+        for (int j = 0; j < n; ++j) {
+          double acc = 0.0;
+          for (int k = 0; k < n2; ++k)
+            acc += spec[k] * cos(2.0 * M_PI / n * (j + 0.5 + n2 / 2.0) *
+                                 (k + 0.5));
+          blk[j] = acc;
+        }
+      }
+      for (int j = 0; j < n; ++j) blk[j] *= win[j];
+      if (!prev_right[c].empty() || prev_n) {
+        int span = prev_n / 4 + n / 4;
+        std::vector<double> buf(span, 0.0);
+        int m = std::min((int)prev_right[c].size(), span);
+        for (int j = 0; j < m; ++j) buf[j] += prev_right[c][j];
+        int shift = span - n2;
+        int j0 = shift < 0 ? -shift : 0;
+        for (int j = j0; j < n2; ++j) buf[shift + j] += blk[j];
+        pcm[c].insert(pcm[c].end(), buf.begin(), buf.end());
+      }
+      prev_right[c].assign(blk.begin() + n2, blk.end());
+    }
+    prev_n = n;
+    if (pkt_granule[pi] >= 0) granule = pkt_granule[pi];
+  }
+  if (pcm[0].empty()) return -43;
+  int64_t total = (int64_t)pcm[0].size();
+  if (granule >= 0 && granule < total) total = granule;
+  *out_n = total;
+  *out_rate = rate;
+  if (!out) return 0;
+  for (int64_t i = 0; i < total; ++i) {
+    double acc = 0.0;
+    for (int c = 0; c < channels; ++c) acc += pcm[c][i];
+    out[i] = (float)(acc / channels);
+  }
+  return 0;
+}
+
 // Linear resampler — arithmetic identical to io/wav.py resample_linear.
 int64_t hpfw_resample_len(int64_t n_in, int32_t sr_in, int32_t sr_out) {
   return (int64_t)((double)n_in * sr_out / sr_in);
