@@ -6,6 +6,9 @@
     python -m hpfw_tpu.cli build-db SONGS... --filters filters.npz -o db.npz
     python -m hpfw_tpu.cli fingerprint SONG.wav --filters filters.npz
     python -m hpfw_tpu.cli match QUERY.wav --db db.npz [--top-k 5] [--scaled]
+    python -m hpfw_tpu.cli build-cache --db db.npz -o cache/   # derived state
+    python -m hpfw_tpu.cli match QUERY.wav --cache cache/      # warm start
+    python -m hpfw_tpu.cli stream AUDIO.wav --db db.npz        # live-ID sim
     python -m hpfw_tpu.cli build-artist-db DIR... -o adb.npz   # dir per artist
     python -m hpfw_tpu.cli match-artist QUERY.wav --db adb.npz [--artist NAME]
     python -m hpfw_tpu.cli artist-demo             # known-artist end-to-end
@@ -119,11 +122,23 @@ def cmd_match(args):
     from . import api
     from .io.wav import load_wav
 
-    db = api.FingerprintDB.load(args.db)
+    if not args.cache and not args.db:
+        print("error: provide --db or --cache", file=sys.stderr)
+        return 2
+    if args.cache:
+        from .match.scaled import TwoStageDB
+
+        ts = TwoStageDB.load(args.cache)
+        db = ts.db
+    else:
+        db = api.FingerprintDB.load(args.db)
+        ts = None
     pcm, _ = load_wav(args.query, db.cfg)
     qfp = api.fingerprint(pcm, db.filters, db.cfg)
     t0 = time.time()
-    if args.scaled:
+    if ts is not None:
+        ids, scores, offs = ts.match(qfp, top_k=args.top_k)
+    elif args.scaled:
         from .match.scaled import TwoStageDB
 
         ids, scores, offs = TwoStageDB(db).match(qfp, top_k=args.top_k)
@@ -136,6 +151,70 @@ def cmd_match(args):
         print(f"#{i + 1} {tid}  score={int(s)} ({rel:.0%})  "
               f"offset={int(o)} ({int(o) / fps:.2f}s)")
     print(f"[{dt:.1f} ms, {db.n_tracks} tracks]")
+    return 0
+
+
+def cmd_build_cache(args):
+    """Derive + persist the two-stage serving state (mmap-able binaries)."""
+    from . import api
+    from .match.scaled import TwoStageDB
+
+    db = api.FingerprintDB.load(args.db)
+    t0 = time.time()
+    ts = TwoStageDB(db, stride=args.stride, coarse_channels=args.channels,
+                    keep_host=True)
+    print(f"derived two-stage state in {time.time() - t0:.1f}s")
+    ts.save(args.output)
+    print(f"wrote {args.output} ({db.n_tracks} tracks, stride {ts.stride}, "
+          f"C={ts.coarse_channels})")
+    if args.warmup_prints:
+        batches = tuple(int(x) for x in args.warmup_batches.split(",") if x)
+        t0 = time.time()
+        ts.warmup([args.warmup_prints], batch_sizes=batches)
+        print(f"warmed serving compiles for N={args.warmup_prints}, "
+              f"batches {batches or '()'} in {time.time() - t0:.1f}s "
+              "(persistent compile cache seeded)")
+    return 0
+
+
+def cmd_stream(args):
+    """Simulate live-song ID: feed a file in 100 ms chunks, print the
+    running hypothesis with its confidence as it evolves."""
+    from . import api
+    from .io.wav import load_wav
+    from .streaming.session import StreamingSession
+
+    if not args.cache and not args.db:
+        print("error: provide --db or --cache", file=sys.stderr)
+        return 2
+    if args.cache:
+        from .match.scaled import TwoStageDB
+
+        dbobj = TwoStageDB.load(args.cache)
+        cfg, filters = dbobj.db.cfg, dbobj.db.filters
+    else:
+        db = api.FingerprintDB.load(args.db)
+        dbobj, cfg, filters = db, db.cfg, db.filters
+    pcm, _ = load_wav(args.audio, cfg)
+    sess = StreamingSession(dbobj, filters, cfg,
+                            query_prints=args.query_prints)
+    chunk = cfg.sample_rate // 10
+    last = None
+    for pos in range(0, len(pcm), chunk):
+        best = sess.feed(pcm[pos:pos + chunk])
+        if best is not None and (last is None or best.track_id != last):
+            print(f"{pos / cfg.sample_rate:6.1f}s  -> {best.track_id}  "
+                  f"confidence {best.confidence:.2f}")
+            last = best.track_id
+    if sess.current_best is None:
+        print("no hypothesis (stream too short?)")
+        return 1
+    b = sess.current_best
+    stats = sess.latency_stats()
+    print(f"final: {b.track_id}  score={b.score}  offset={b.offset}  "
+          f"confidence {b.confidence:.2f}")
+    print(f"[match p50 {stats['match_p50_ms']:.1f} ms over "
+          f"{stats['n_matches']} windows]")
     return 0
 
 
@@ -264,11 +343,31 @@ def main(argv=None):
 
     m = sub.add_parser("match", help="identify a query against a database")
     m.add_argument("query")
-    m.add_argument("--db", required=True)
+    m.add_argument("--db")
+    m.add_argument("--cache", help="two-stage cache dir from build-cache")
     m.add_argument("--top-k", type=int, default=5)
     m.add_argument("--scaled", action="store_true",
                    help="two-stage coarse->fine matcher")
     m.set_defaults(fn=cmd_match)
+
+    bc = sub.add_parser("build-cache", help="persist derived two-stage state "
+                        "(+ optionally pre-seed serving compiles)")
+    bc.add_argument("--db", required=True)
+    bc.add_argument("-o", "--output", required=True)
+    bc.add_argument("--stride", type=int, default=None)
+    bc.add_argument("--channels", type=int, default=None)
+    bc.add_argument("--warmup-prints", type=int, default=0,
+                    help="query print count to compile serving programs for")
+    bc.add_argument("--warmup-batches", default="",
+                    help="comma-separated batch sizes to also compile")
+    bc.set_defaults(fn=cmd_build_cache)
+
+    st = sub.add_parser("stream", help="live-song-ID simulation over a file")
+    st.add_argument("audio")
+    st.add_argument("--db")
+    st.add_argument("--cache")
+    st.add_argument("--query-prints", type=int, default=128)
+    st.set_defaults(fn=cmd_stream)
 
     ab = sub.add_parser("build-artist-db",
                         help="per-artist filter banks from WAV directories")
