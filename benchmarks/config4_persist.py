@@ -1,0 +1,138 @@
+"""Two-stage persistence + warm start, measured (VERDICT r2 next-round #2).
+
+Two phases, run as SEPARATE processes so the warm numbers are honest:
+
+    python benchmarks/config4_persist.py build [n_tracks] [track_s] [cache]
+        Build the TwoStageDB (from the real-audio catalog prints if
+        benchmarks/real_catalog.py has built them, else iid prints), save
+        the derived state, and warm the serving compiles into the
+        persistent XLA cache. Reports derive/save/warmup times.
+
+    python benchmarks/config4_persist.py query [n_tracks] [track_s] [cache]
+        Fresh process: load the cache (mmap -> device, no derivation) and
+        run queries. Reports process-start -> db-ready and -> first-result,
+        plus steady-state latency — the numbers that were ~222 s and ~474 s
+        without persistence (RESULTS.md round 2).
+"""
+
+import os
+import sys
+import time
+
+_PROC_START = time.perf_counter()
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from benchmarks.common import emit, log
+from hpfw_tpu.config import HpfwConfig
+
+CACHE_DEFAULT = "/tmp/hpfw_ts_cache_250k"
+REAL_DIR = "/tmp/hpfw_real_cat"
+
+
+def _load_prints(n_tracks, track_s):
+    cfg = HpfwConfig()
+    real = os.path.join(REAL_DIR, f"{n_tracks}_{int(track_s)}", "prints.npy")
+    if os.path.exists(real):
+        log(f"using real-audio catalog prints {real}")
+        return np.load(real, mmap_mode="r"), True
+    n_prints = int(track_s * cfg.frames_per_second)
+    rng = np.random.default_rng(0)
+    log("real catalog absent; using iid prints")
+    return rng.integers(0, 2 ** 32, (n_tracks, n_prints, 2),
+                        dtype=np.uint32), False
+
+
+def build(n_tracks, track_s, cache):
+    from hpfw_tpu import api
+    from hpfw_tpu.match.scaled import TwoStageDB
+
+    cfg = HpfwConfig()
+    prints, real = _load_prints(n_tracks, track_s)
+    db = api.FingerprintDB(cfg, np.zeros((cfg.context_dim, 64), np.float32),
+                           [str(i) for i in range(n_tracks)], prints,
+                           np.full(n_tracks, prints.shape[1], np.int32))
+    t0 = time.perf_counter()
+    ts = TwoStageDB(db, stride=32, keep_host=True)
+    t_derive = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ts.save(cache)
+    t_save = time.perf_counter() - t0
+    n_q = int(10 * cfg.frames_per_second)
+    t0 = time.perf_counter()
+    ts.warmup([n_q], batch_sizes=(10,))
+    t_warm = time.perf_counter() - t0
+    emit("persist_build", round(t_derive, 1), "s_derive",
+         save_s=round(t_save, 1), warmup_s=round(t_warm, 1),
+         n_tracks=n_tracks, real_audio=real,
+         cache_gb=round(sum(os.path.getsize(os.path.join(cache, f))
+                            for f in os.listdir(cache)) / 1e9, 2))
+    log(f"derive {t_derive:.0f}s save {t_save:.0f}s warmup {t_warm:.0f}s")
+
+
+def query(n_tracks, track_s, cache):
+    from hpfw_tpu.match.scaled import TwoStageDB
+
+    t0 = _PROC_START
+    ts = TwoStageDB.load(cache)
+    t_ready = time.perf_counter() - t0
+    log(f"db ready (load path) {t_ready:.1f}s after process start")
+    cfg = ts.db.cfg
+    n_q = int(10 * cfg.frames_per_second)
+    # Plant a query from the loaded planes themselves (mmap slice of d0/d1).
+    d0 = np.load(os.path.join(cache, "d0.npy"), mmap_mode="r")
+    d1 = np.load(os.path.join(cache, "d1.npy"), mmap_mode="r")
+    rng = np.random.default_rng(3)
+    lpad = ts.lpad
+    queries, truths = [], []
+    for _ in range(8):
+        tid = int(rng.integers(0, n_tracks))
+        off = int(rng.integers(0, ts.l_true - n_q))
+        base = tid * lpad + off
+        q = np.stack([np.asarray(d0[base:base + n_q]),
+                      np.asarray(d1[base:base + n_q])], axis=1)
+        flip = rng.integers(0, 1 << 32, (n_q, 2), dtype=np.uint32) \
+            & rng.integers(0, 1 << 32, (n_q, 2), dtype=np.uint32) \
+            & rng.integers(0, 1 << 32, (n_q, 2), dtype=np.uint32)  # ~12% bits
+        queries.append(np.bitwise_xor(q, flip))
+        truths.append(tid)
+    t0 = time.perf_counter()
+    ids, s, o = ts.match(queries[0], top_k=5)
+    t_first = time.perf_counter() - t0
+    hit0 = ids[0] == str(truths[0])
+    lat = []
+    hits = 0
+    for q, tid in zip(queries, truths):
+        t0 = time.perf_counter()
+        ids, s, o = ts.match(q, top_k=5)
+        lat.append(time.perf_counter() - t0)
+        hits += ids[0] == str(tid)
+    emit("persist_warm_start", round(time.perf_counter() - _PROC_START, 1),
+         "s_process_to_done",
+         db_ready_s=round(t_ready, 1),
+         first_query_s=round(t_first, 1), first_hit=bool(hit0),
+         steady_p50_ms=round(float(np.percentile(lat, 50)) * 1e3, 1),
+         recall=f"{hits}/{len(queries)}", n_tracks=n_tracks,
+         was_cold_s={"db_ready": 222.6, "first_query": 474.0})
+    log(f"warm start: ready {t_ready:.1f}s, first query {t_first:.1f}s, "
+        f"steady p50 {np.percentile(lat, 50) * 1e3:.1f}ms, "
+        f"recall {hits}/{len(queries)}")
+
+
+def main():
+    phase = sys.argv[1]
+    n_tracks = int(float(sys.argv[2])) if len(sys.argv) > 2 else 250_000
+    track_s = float(sys.argv[3]) if len(sys.argv) > 3 else 60.0
+    cache = sys.argv[4] if len(sys.argv) > 4 else CACHE_DEFAULT
+    if phase == "build":
+        build(n_tracks, track_s, cache)
+    elif phase == "query":
+        query(n_tracks, track_s, cache)
+    else:
+        raise SystemExit("phase must be build|query")
+
+
+if __name__ == "__main__":
+    main()
