@@ -157,29 +157,46 @@ def dense(n_tracks, secs, n_dense=100):
     filters = np.load(os.path.join(d, "filters.npy"))
     # The exhaustive scan's offset-block intermediate is O(T * block * N)
     # words — at 250k tracks that alone is ~50 GB, so the catalog is scanned
-    # in track chunks (upload chunk once, run every query, merge best on
-    # host with the dense tie-break: desc score, asc global index).
+    # in track chunks. ALL queries run in ONE dispatch per chunk (lax.map
+    # inside a single jit): per-query dispatches measured a growing
+    # 5->12 s/query overhead at this scale; the batched program is one
+    # compile, one host sync per chunk. Host merge uses the dense
+    # tie-break: desc score, asc global index.
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from hpfw_tpu.match import matcher
+
+    @jax.jit
+    def dense_chunk(qs, prints_dev, lengths_dev):
+        return jax.lax.map(
+            lambda q: matcher.score_tracks(q, prints_dev, lengths_dev), qs)
+
     chunk_t = 25_000
     ids = np.full(n_dense, -1, np.int64)
     scores = np.full(n_dense, -1, np.int64)
     offs = np.zeros(n_dense, np.int64)
     t0 = time.time()
     log(f"dense scan of {n_dense} queries vs {n_tracks} tracks "
-        f"in {-(-n_tracks // chunk_t)} chunks...")
-    qdev = [np.asarray(qprints[i]) for i in range(n_dense)]
+        f"in {-(-n_tracks // chunk_t)} chunks (one dispatch each)...")
+    qs_dev = jnp.asarray(qprints[:n_dense])
+    lengths_dev = jnp.full((chunk_t,), prints.shape[1], jnp.int32)
     for c0 in range(0, n_tracks, chunk_t):
         c1 = min(c0 + chunk_t, n_tracks)
-        sub = api.FingerprintDB(
-            cfg, filters, [str(i) for i in range(c0, c1)],
-            np.asarray(prints[c0:c1]),
-            np.full(c1 - c0, prints.shape[1], np.int32))
+        assert c1 - c0 == chunk_t, "n_tracks must divide the chunk size"
+        pd = jnp.asarray(np.asarray(prints[c0:c1]))
+        s_all, o_all = (np.asarray(x) for x in
+                        dense_chunk(qs_dev, pd, lengths_dev))
+        del pd
+        best = np.argmax(s_all, axis=1)           # first max = lowest index
         for i in range(n_dense):
-            tid, s, o = api.match(qdev[i], sub, top_k=1)
-            s0, i0, o0 = int(s[0]), int(tid[0]), int(o[0])
+            s0 = int(s_all[i, best[i]])
+            i0 = c0 + int(best[i])
             if s0 > scores[i] or (s0 == scores[i] and i0 < ids[i]):
-                scores[i], ids[i], offs[i] = s0, i0, o0
+                scores[i], ids[i], offs[i] = s0, i0, int(o_all[i, best[i]])
         log(f"  chunk {c0}-{c1} done ({time.time() - t0:.0f}s)")
-        del sub
     np.savez(dpath, ids=ids, scores=scores, offsets=offs, n_dense=n_dense)
     top1 = float(np.mean(ids == truths[:n_dense]))
     emit("real_dense_top1", round(top1, 4), "accuracy", n_tracks=n_tracks,
