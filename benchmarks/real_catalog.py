@@ -174,29 +174,37 @@ def dense(n_tracks, secs, n_dense=100):
         return jax.lax.map(
             lambda q: matcher.score_tracks(q, prints_dev, lengths_dev), qs)
 
+    # Dispatch sizing: a single dispatch running many minutes crashed the
+    # TPU worker (execution watchdog on this relay stack); 10 queries per
+    # dispatch keeps each program under ~a minute while still amortizing
+    # per-dispatch overhead 10x.
     chunk_t = 25_000
+    qbatch = 10
     ids = np.full(n_dense, -1, np.int64)
     scores = np.full(n_dense, -1, np.int64)
     offs = np.zeros(n_dense, np.int64)
     t0 = time.time()
     log(f"dense scan of {n_dense} queries vs {n_tracks} tracks "
-        f"in {-(-n_tracks // chunk_t)} chunks (one dispatch each)...")
-    qs_dev = jnp.asarray(qprints[:n_dense])
+        f"in {-(-n_tracks // chunk_t)} chunks x {qbatch}-query dispatches...")
     lengths_dev = jnp.full((chunk_t,), prints.shape[1], jnp.int32)
     for c0 in range(0, n_tracks, chunk_t):
         c1 = min(c0 + chunk_t, n_tracks)
         assert c1 - c0 == chunk_t, "n_tracks must divide the chunk size"
         pd = jnp.asarray(np.asarray(prints[c0:c1]))
-        s_all, o_all = (np.asarray(x) for x in
-                        dense_chunk(qs_dev, pd, lengths_dev))
-        del pd
-        best = np.argmax(s_all, axis=1)           # first max = lowest index
-        for i in range(n_dense):
-            s0 = int(s_all[i, best[i]])
-            i0 = c0 + int(best[i])
-            if s0 > scores[i] or (s0 == scores[i] and i0 < ids[i]):
-                scores[i], ids[i], offs[i] = s0, i0, int(o_all[i, best[i]])
+        for q0 in range(0, n_dense, qbatch):
+            q1 = min(q0 + qbatch, n_dense)
+            qs_dev = jnp.asarray(qprints[q0:q1])
+            s_all, o_all = (np.asarray(x) for x in
+                            dense_chunk(qs_dev, pd, lengths_dev))
+            best = np.argmax(s_all, axis=1)       # first max = lowest index
+            for i in range(q1 - q0):
+                s0 = int(s_all[i, best[i]])
+                i0 = c0 + int(best[i])
+                gi = q0 + i
+                if s0 > scores[gi] or (s0 == scores[gi] and i0 < ids[gi]):
+                    scores[gi], ids[gi], offs[gi] = s0, i0, int(o_all[i, best[i]])
         log(f"  chunk {c0}-{c1} done ({time.time() - t0:.0f}s)")
+        del pd
     np.savez(dpath, ids=ids, scores=scores, offsets=offs, n_dense=n_dense)
     top1 = float(np.mean(ids == truths[:n_dense]))
     emit("real_dense_top1", round(top1, 4), "accuracy", n_tracks=n_tracks,
@@ -228,19 +236,27 @@ def twostage(n_tracks, secs, points=None):
         ts = TwoStageDB(db, stride=stride)
         log(f"  db ready {time.time() - t0:.0f}s")
 
-        # Recall over all queries, batched dispatches.
+        # Recall over all queries, batched dispatches. Per-query results are
+        # also saved so dense agreement can be (re)computed offline by the
+        # `agree` phase even when the dense run lands later.
         t0 = time.time()
         hits = agree = 0
+        ts_ids = np.empty(nq, np.int64)
+        ts_scores = np.empty(nq, np.int64)
+        ts_offs = np.empty(nq, np.int64)
         bsz = 20
         for i in range(0, nq, bsz):
             res = ts.match_batch(qprints[i:i + bsz], top_k=1, pool=pool)
             for j, (tid, s, o) in enumerate(res):
                 k = i + j
+                ts_ids[k], ts_scores[k], ts_offs[k] = int(tid[0]), int(s[0]), int(o[0])
                 hits += tid[0] == str(truths[k])
                 if dense_z is not None and k < int(dense_z["n_dense"]):
                     agree += (tid[0] == str(dense_z["ids"][k])
                               and int(s[0]) == int(dense_z["scores"][k])
                               and int(o[0]) == int(dense_z["offsets"][k]))
+        np.savez(os.path.join(d, f"tsres_s{stride}_c{channels}_p{pool}.npz"),
+                 ids=ts_ids, scores=ts_scores, offsets=ts_offs)
         top1 = hits / nq
         extra = {}
         if dense_z is not None:
@@ -282,6 +298,29 @@ def twostage(n_tracks, secs, points=None):
         del ts, db
 
 
+def agree(n_tracks, secs):
+    """Offline dense-vs-twostage agreement from saved per-query results."""
+    import glob
+
+    d = paths(n_tracks, secs)
+    dense_z = np.load(os.path.join(d, "dense.npz"))
+    z = np.load(os.path.join(d, "queries.npz"))
+    truths = z["truths"]
+    nd = int(dense_z["n_dense"])
+    emit("real_dense_top1", round(float(np.mean(
+        dense_z["ids"] == truths[:nd])), 4), "accuracy",
+        n_tracks=n_tracks, n_queries=nd)
+    for p in sorted(glob.glob(os.path.join(d, "tsres_*.npz"))):
+        tsz = np.load(p)
+        ag = np.mean((tsz["ids"][:nd] == dense_z["ids"])
+                     & (tsz["scores"][:nd] == dense_z["scores"])
+                     & (tsz["offsets"][:nd] == dense_z["offsets"]))
+        name = os.path.basename(p)[6:-4]
+        emit(f"real_agreement_{name}", round(float(ag), 4), "fraction",
+             n_queries=nd, n_tracks=n_tracks)
+        log(f"{name}: dense agreement {ag:.4f}")
+
+
 def main():
     phase = sys.argv[1]
     n_tracks = int(float(sys.argv[2]))
@@ -298,6 +337,8 @@ def main():
         if phase == "twostage" and rest:
             pts = [tuple(rest[i:i + 3]) for i in range(0, len(rest), 3)]
         twostage(n_tracks, secs, pts)
+    if phase == "agree":
+        agree(n_tracks, secs)
 
 
 if __name__ == "__main__":
