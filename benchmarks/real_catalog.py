@@ -227,14 +227,19 @@ def twostage(n_tracks, secs, points=None):
     filters = np.load(os.path.join(d, "filters.npy"))
     lengths = np.full(n_tracks, prints.shape[1], np.int32)
 
+    cur_key, ts = None, None
     for stride, channels, pool in (points or POINTS):
-        cfg = HpfwConfig(coarse_channels=channels)
-        db = api.FingerprintDB(cfg, filters, [str(i) for i in range(n_tracks)],
-                               prints, lengths)
         log(f"== operating point stride={stride} C={channels} pool={pool}")
-        t0 = time.time()
-        ts = TwoStageDB(db, stride=stride)
-        log(f"  db ready {time.time() - t0:.0f}s")
+        if (stride, channels) != cur_key:
+            ts = None          # drop the previous derivation's device arrays
+            cfg = HpfwConfig(coarse_channels=channels)
+            db = api.FingerprintDB(cfg, filters,
+                                   [str(i) for i in range(n_tracks)],
+                                   prints, lengths)
+            t0 = time.time()
+            ts = TwoStageDB(db, stride=stride)
+            cur_key = (stride, channels)
+            log(f"  db ready {time.time() - t0:.0f}s")
 
         # Recall over all queries, batched dispatches. Per-query results are
         # also saved so dense agreement can be (re)computed offline by the
@@ -295,7 +300,6 @@ def twostage(n_tracks, secs, points=None):
              n_tracks=n_tracks)
         log(f"  single {per_ms:.2f} ms/query, batched {per_q_b:.2f} "
             f"ms/query ({1000.0 / per_q_b:.0f} QPS)")
-        del ts, db
 
 
 def agree(n_tracks, secs):
