@@ -75,10 +75,17 @@ def build(n_tracks, track_s, cache):
 def query(n_tracks, track_s, cache):
     from hpfw_tpu.match.scaled import TwoStageDB
 
+    import jax
+
     t0 = _PROC_START
     ts = TwoStageDB.load(cache)
+    # device_put is async: block so db-ready honestly includes the host->
+    # device transfer (on this relay ~40 MB/s, the dominant cost; a real
+    # host's PCIe moves the same bytes in well under a second).
+    jax.block_until_ready((ts.d0, ts.d1, ts.db_c, ts.lengths))
     t_ready = time.perf_counter() - t0
-    log(f"db ready (load path) {t_ready:.1f}s after process start")
+    log(f"db ready (load path, transfer blocked) {t_ready:.1f}s "
+        "after process start")
     cfg = ts.db.cfg
     n_q = int(10 * cfg.frames_per_second)
     # Plant a query from the loaded planes themselves (mmap slice of d0/d1).
