@@ -100,8 +100,15 @@ def main(n_tracks=250_000, track_seconds=60, query_seconds=10,
     for q in queries:
         q.block_until_ready()
 
-    # compile + settle
+    # compile + settle: right after the big derivation the first dispatches
+    # can run seconds each (allocator churn); burst until steady.
     ts.dispatch(queries[0], pool=pool).block_until_ready()
+    for _ in range(3):
+        t_settle = queued_ms(lambda q: ts.dispatch(q, pool=pool), queries,
+                             iters=10)
+        log(f"  settle burst: {t_settle:.2f} ms/query")
+        if t_settle < 100:
+            break
 
     # --- A: full two-stage, queued ---
     t_full = queued_ms(lambda q: ts.dispatch(q, pool=pool), queries)
