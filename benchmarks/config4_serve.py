@@ -113,18 +113,25 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, max_batch=16,
                 f"p99 {r['p99']:7.1f} ms  achieved {r['achieved']:6.0f} QPS  "
                 f"shed {r['shed']:.1%}  recall {r['recall']:.3f}")
 
-    # Knee: highest offered load served within 5% with zero shedding.
+    # Knee: highest offered load served within 10% with zero shedding (the
+    # Poisson generator itself only reaches ~90% of offered: ~1 ms of
+    # python submit+sleep overhead per arrival).
     sustained = [l for l in loads
-                 if results[l]["shed"] == 0 and results[l]["achieved"] >= 0.95 * l]
-    knee = max(sustained) if sustained else max(
-        loads, key=lambda l: results[l]["achieved"])
+                 if results[l]["shed"] == 0 and results[l]["achieved"] >= 0.90 * l]
+    if sustained:
+        knee = max(sustained)
+        note = ("max sustained (knee): achieved within 10% of offered, zero "
+                "shed; e2e incl. relay + host ranking")
+        if knee == max(loads):
+            note += "; knee not reached — raise the sweep"
+    else:
+        knee = max(loads, key=lambda l: results[l]["achieved"])
+        note = "highest achieved (no load met the sustained criterion)"
     r = results[knee]
     emit("config4_serving_qps", round(r["achieved"], 1), "qps",
          p50_ms=round(r["p50"], 1), p99_ms=round(r["p99"], 1),
          recall=round(r["recall"], 3), n_tracks=n_tracks, offered=knee,
-         max_batch=int(max_batch), shed=round(r["shed"], 3),
-         note="max sustained (knee): achieved within 5% of offered, zero "
-              "shed; e2e incl. relay + host ranking")
+         max_batch=int(max_batch), shed=round(r["shed"], 3), note=note)
 
 
 if __name__ == "__main__":
