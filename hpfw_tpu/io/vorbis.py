@@ -531,6 +531,20 @@ def _vorbis_window(n: int) -> np.ndarray:
                   np.sin(np.pi / n * (i + 0.5)) ** 2)
 
 
+def _block_window(n: int, left_n: int, right_n: int) -> np.ndarray:
+    """Block window with possibly-narrowed slopes (long/short lapping):
+    left slope of width left_n/2 centered at n/4, right slope of width
+    right_n/2 centered at 3n/4, flat 1 between, 0 outside. Shared by the
+    decoder and the mixed-block encoder so lapping always matches."""
+    win = np.zeros(n)
+    ls = n // 4 - left_n // 4
+    rs = 3 * n // 4 - right_n // 4
+    win[ls: ls + left_n // 2] = _vorbis_window(left_n)[: left_n // 2]
+    win[ls + left_n // 2: rs] = 1.0
+    win[rs: rs + right_n // 2] = _vorbis_window(right_n)[right_n // 2:]
+    return win
+
+
 _IMDCT_CACHE: dict[int, np.ndarray] = {}
 
 
@@ -667,17 +681,10 @@ def decode_vorbis(data: bytes) -> tuple[np.ndarray, int]:
         bs0 = s.bs[0]
         left_n = bs0 if (long_block and not wflag_prev) else n
         right_n = bs0 if (long_block and not wflag_next) else n
-        wl = _vorbis_window(left_n)[: left_n // 2]
-        wr = _vorbis_window(right_n)[right_n // 2:]
-        left_start = n // 4 - left_n // 4
-        right_start = 3 * n // 4 - right_n // 4
+        win = _block_window(n, left_n, right_n)
         new_right = [None] * ch
         for c in range(ch):
             blk = pcm_blocks[c]
-            win = np.zeros(n)
-            win[left_start: left_start + left_n // 2] = wl
-            win[left_start + left_n // 2: right_start] = 1.0
-            win[right_start: right_start + right_n // 2] = wr
             blk = blk * win
             left = blk[:n2]
             if prev_right is not None:
@@ -757,7 +764,10 @@ def _write_codebook_header(bw: BitWriter, dim: int, entries: int,
             bw.write(m, value_bits)
 
 
-def _setup_packet(channels: int, n2: int, residue_type: int) -> bytes:
+def _setup_packet(channels: int, n2s: list, residue_type: int) -> bytes:
+    """Setup header: one floor, one residue+mapping per distinct block size
+    (floor rangebits must cover each size's n/2), one mode per block size
+    (mode 0 short, mode 1 long when two sizes)."""
     bw = BitWriter()
     # --- codebooks ---
     bw.write(1, 8)                  # count - 1 = 1 -> 2 books
@@ -776,41 +786,45 @@ def _setup_packet(channels: int, n2: int, residue_type: int) -> bytes:
     # --- time transforms ---
     bw.write(0, 6)
     bw.write(0, 16)
-    # --- floors: one floor 1, partitions=0 (two posts, no books) ---
-    bw.write(0, 6)
-    bw.write(1, 16)
-    bw.write(0, 5)                  # partitions
-    bw.write(0, 2)                  # multiplier - 1
-    bw.write(ilog(n2 - 1), 4)       # rangebits: 2^rb == n2 for pow2 n2
-    # --- residues ---
-    bw.write(0, 6)
-    bw.write(residue_type, 16)
-    end = n2 * (channels if residue_type == 2 else 1)
-    bw.write(0, 24)                 # begin
-    bw.write(end, 24)
-    bw.write(_PSIZE - 1, 24)
-    bw.write(1, 6)                  # classifications - 1 = 1 -> 2 classes
-    bw.write(0, 8)                  # classbook = book 0
-    bw.write(1, 3)                  # class 0 cascade low bits: pass 0
-    bw.write(0, 1)
-    bw.write(0, 3)                  # class 1 cascade: unused
-    bw.write(0, 1)
-    bw.write(1, 8)                  # class 0 pass 0 -> book 1
-    # --- mappings ---
-    bw.write(0, 6)
-    bw.write(0, 16)                 # mapping type 0
-    bw.write(0, 1)                  # one submap
-    bw.write(0, 1)                  # no coupling
-    bw.write(0, 2)                  # reserved
-    bw.write(0, 8)                  # time config (unused)
-    bw.write(0, 8)                  # floor 0
-    bw.write(0, 8)                  # residue 0
-    # --- modes ---
-    bw.write(0, 6)
-    bw.write(0, 1)                  # blockflag: short
-    bw.write(0, 16)
-    bw.write(0, 16)
-    bw.write(0, 8)                  # mapping 0
+    # --- floors: one floor 1 per block size, partitions=0 (two posts) ---
+    bw.write(len(n2s) - 1, 6)
+    for n2 in n2s:
+        bw.write(1, 16)
+        bw.write(0, 5)              # partitions
+        bw.write(0, 2)              # multiplier - 1
+        bw.write(ilog(n2 - 1), 4)   # rangebits: 2^rb == n2 for pow2 n2
+    # --- residues: one per block size (begin/end are size-specific) ---
+    bw.write(len(n2s) - 1, 6)
+    for n2 in n2s:
+        bw.write(residue_type, 16)
+        end = n2 * (channels if residue_type == 2 else 1)
+        bw.write(0, 24)             # begin
+        bw.write(end, 24)
+        bw.write(_PSIZE - 1, 24)
+        bw.write(1, 6)              # classifications - 1 = 1 -> 2 classes
+        bw.write(0, 8)              # classbook = book 0
+        bw.write(1, 3)              # class 0 cascade low bits: pass 0
+        bw.write(0, 1)
+        bw.write(0, 3)              # class 1 cascade: unused
+        bw.write(0, 1)
+        bw.write(1, 8)              # class 0 pass 0 -> book 1
+    # --- mappings: one per block size ---
+    bw.write(len(n2s) - 1, 6)
+    for i in range(len(n2s)):
+        bw.write(0, 16)             # mapping type 0
+        bw.write(0, 1)              # one submap
+        bw.write(0, 1)              # no coupling
+        bw.write(0, 2)              # reserved
+        bw.write(0, 8)              # time config (unused)
+        bw.write(i, 8)              # floor i
+        bw.write(i, 8)              # residue i
+    # --- modes: mode i uses block size i (blockflag = i for two sizes) ---
+    bw.write(len(n2s) - 1, 6)
+    for i in range(len(n2s)):
+        bw.write(i, 1)              # blockflag
+        bw.write(0, 16)
+        bw.write(0, 16)
+        bw.write(i, 8)              # mapping i
     bw.write(1, 1)                  # framing
     return b"\x05vorbis" + bw.bytes()
 
@@ -823,43 +837,84 @@ def _forward_mdct(xw: np.ndarray) -> np.ndarray:
 
 
 def encode_vorbis(pcm: np.ndarray, sample_rate: int, *, blocksize: int = 512,
-                  residue_type: int = 2) -> bytes:
-    """Encode float PCM (mono (N,) or stereo (N, 2)) as Ogg Vorbis."""
+                  residue_type: int = 2,
+                  long_blocksize: int | None = None) -> bytes:
+    """Encode float PCM (mono (N,) or stereo (N, 2)) as Ogg Vorbis.
+
+    With long_blocksize set, the stream mixes short (blocksize) and long
+    blocks on a fixed pattern, exercising the long/short window-transition
+    lapping in decoders (slope narrowing + unequal-span overlap-add).
+    """
     if residue_type not in (0, 1, 2):
         raise ValueError("residue_type must be 0, 1 or 2")
     x = np.asarray(pcm, dtype=np.float64)
     if x.ndim == 1:
         x = x[:, None]
     n_samples, ch = x.shape
-    n = blocksize
-    n2 = n // 2
-    assert n & (n - 1) == 0 and 64 <= n <= 8192
-    bs_byte = (ilog(n) - 1) | ((ilog(n) - 1) << 4)
+    sizes = [blocksize] if long_blocksize is None else [blocksize,
+                                                        long_blocksize]
+    for n in sizes:
+        assert n & (n - 1) == 0 and 64 <= n <= 8192
+    assert sizes == sorted(sizes)
+    bs_byte = (ilog(sizes[0]) - 1) | ((ilog(sizes[-1]) - 1) << 4)
     ident = (b"\x01vorbis" + struct.pack("<IBI", 0, ch, sample_rate)
              + struct.pack("<iii", 0, 0, 0) + bytes([bs_byte, 1]))
     comment = (b"\x03vorbis" + struct.pack("<I", 11) + b"hpfw_tpu r3"
                + struct.pack("<I", 0) + b"\x01")
-    setup = _setup_packet(ch, n2, residue_type)
+    setup = _setup_packet(ch, [n // 2 for n in sizes], residue_type)
 
-    win = np.zeros(n)
-    half = _vorbis_window(n)
-    win[:n2] = half[:n2]
-    win[n2:] = half[n2:]
     q = _Q
     delta = 2.0 / (q - 1)
     half_q = (q - 1) // 2
     vq_len = ilog(q * q - 1)
     class_len = ilog(2 ** _CLASSWORDS - 1)
+    mode_bits = ilog(len(sizes) - 1)
 
-    padded = np.concatenate([np.zeros((n2, ch)), x,
-                             np.zeros((2 * n, ch))])
-    n_blocks = n_samples // n2 + 2
+    # Block-size sequence: short unless mixed, where every 3rd block is
+    # short and the rest long (covers long|long, long|short, short|long,
+    # short|short junctions).
+    def flag_of(b):
+        if len(sizes) == 1:
+            return 0
+        return 0 if b % 3 == 2 else 1
+
+    # Block b spans [c_b - n_b/2, c_b + n_b/2) on an absolute axis where
+    # x[0] sits at c_0 (the decoder's first output sample). Emitted span
+    # per block b>=1 is n_{b-1}/4 + n_b/4.
+    flags = [flag_of(0)]
+    centers = [sizes[flags[0]] // 2]
+    emitted = 0
+    while emitted < n_samples:
+        b = len(flags)
+        flags.append(flag_of(b))
+        n_prev, n_cur = sizes[flags[b - 1]], sizes[flags[b]]
+        centers.append(centers[-1] + n_prev // 4 + n_cur // 4)
+        emitted += n_prev // 4 + n_cur // 4
+    front = centers[0]
+    max_n = sizes[-1]
+    padded = np.concatenate([np.zeros((front, ch)), x,
+                             np.zeros((2 * max_n, ch))])
+
     packets = [(ident, 0), (comment, 0), (setup, 0)]
-    for b in range(n_blocks):
-        blk = padded[b * n2: b * n2 + n]
+    emitted = 0
+    for b, (flag, center) in enumerate(zip(flags, centers)):
+        n = sizes[flag]
+        n2 = n // 2
+        left_n = sizes[flags[b - 1]] if b else n
+        right_n = sizes[flags[b + 1]] if b + 1 < len(flags) else n
+        left_n = min(left_n, n)
+        right_n = min(right_n, n)
+        win = _block_window(n, left_n, right_n)
+        blk = padded[center - n2: center + n2]
         bw = BitWriter()
         bw.write(0, 1)              # audio packet type
-        # mode number: ilog(n_modes-1)=0 bits; no window flags (short mode)
+        bw.write(flag, mode_bits)   # mode number == blockflag index
+        if flag == 1:
+            # Edge blocks claim long neighbors (full slopes): their outer
+            # halves are never emitted, and this matches the window used
+            # for the forward MDCT above.
+            bw.write(1 if (b == 0 or flags[b - 1]) else 0, 1)
+            bw.write(1 if (b + 1 >= len(flags) or flags[b + 1]) else 0, 1)
         specs = []
         levels = []
         for c in range(ch):
@@ -908,8 +963,10 @@ def encode_vorbis(pcm: np.ndarray, sample_rate: int, *, blocksize: int = 512,
                                  + int(v[off + i + 1]))
                             bw.write(_codeword(e, vq_len), vq_len)
                 p += 1
-        gran = min((b + 1) * n2, n_samples) if b else 0
-        if b == n_blocks - 1:
+        if b:
+            emitted += sizes[flags[b - 1]] // 4 + n // 4
+        gran = min(emitted, n_samples)
+        if b == len(flags) - 1:
             gran = n_samples
         packets.append((bw.bytes(), gran))
     return write_pages(packets)

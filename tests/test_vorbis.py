@@ -40,6 +40,11 @@ CASES = [
     ("block1024", dict(residue_type=1, blocksize=1024), False),
     ("stereo_r1", dict(residue_type=1), True),
     ("stereo_r2", dict(residue_type=2), True),
+    # long/short block mixing: exercises window-slope narrowing and the
+    # unequal-span overlap-add in both decoders.
+    ("mixed_blocks", dict(blocksize=256, long_blocksize=1024), False),
+    ("mixed_stereo", dict(blocksize=256, long_blocksize=1024,
+                          residue_type=1), True),
 ]
 
 
