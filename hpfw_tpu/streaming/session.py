@@ -101,7 +101,8 @@ class StreamingSession:
     def __init__(self, db, filters: np.ndarray, cfg: HpfwConfig | None = None,
                  *, query_prints: int = 128, chunk_prints: int = 32,
                  match_every: int = 1, vote_decay: float = 0.8,
-                 query_buckets: tuple | None = None):
+                 query_buckets: tuple | None = None,
+                 vote_floor: float = 0.55):
         self.db = db                      # FingerprintDB, ShardedDB, TwoStageDB
         self.cfg = cfg if cfg is not None else getattr(db, "cfg", None) or db.db.cfg
         self.extractor = ChunkedExtractor(filters, self.cfg, chunk_prints)
@@ -112,6 +113,13 @@ class StreamingSession:
         # score-weighted vote into an exponentially-decayed tally, so one
         # noisy window at catalog scale can't flip the running hypothesis.
         self.vote_decay = vote_decay
+        # Vote weight is the score's EXCESS over vote_floor * 64 * N — the
+        # imposter ceiling (a wrong best-match at catalog scale sits at
+        # ~0.52-0.55 similarity, a true match at ~0.7+). Early small-window
+        # mismatches thus contribute ~zero tally and the first genuinely
+        # matching window takes the hypothesis immediately, instead of
+        # having to out-decay accumulated noise votes.
+        self.vote_floor = vote_floor
         if query_buckets is None:
             buckets = []
             b = max(16, chunk_prints)
@@ -146,13 +154,21 @@ class StreamingSession:
             self.last_match = (ids[0], int(scores[0]), int(offs[0]))
             for k in self._votes:
                 self._votes[k] *= self.vote_decay
-            self._votes[ids[0]] = self._votes.get(ids[0], 0.0) + float(scores[0])
+            excess = max(0.0, float(scores[0])
+                         - self.vote_floor * 64.0 * q.shape[0])
+            self._votes[ids[0]] = self._votes.get(ids[0], 0.0) + excess
             self._last[ids[0]] = (int(scores[0]), int(offs[0]))
             ranked = sorted(self._votes.items(), key=lambda kv: -kv[1])
             top, v_top = ranked[0]
-            v_second = ranked[1][1] if len(ranked) > 1 else 0.0
-            conf = (v_top - v_second) / v_top if v_top > 0 else 0.0
-            self.current_best = StreamHypothesis(top, *self._last[top], conf)
+            if v_top > 0:
+                v_second = ranked[1][1] if len(ranked) > 1 else 0.0
+                conf = (v_top - v_second) / v_top
+                self.current_best = StreamHypothesis(top, *self._last[top],
+                                                     conf)
+            else:
+                # No window has cleared the imposter floor yet: surface the
+                # instantaneous best with zero confidence.
+                self.current_best = StreamHypothesis(*self.last_match, 0.0)
 
     def feed(self, pcm: np.ndarray):
         """Stream in audio; returns the current StreamHypothesis (track_id,
