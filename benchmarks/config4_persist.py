@@ -105,9 +105,18 @@ def query(n_tracks, track_s, cache):
             & rng.integers(0, 1 << 32, (n_q, 2), dtype=np.uint32)  # ~12% bits
         queries.append(np.bitwise_xor(q, flip))
         truths.append(tid)
+    jax.config.update("jax_log_compiles", True)   # show cache misses
+    import jax.numpy as jnp
+
     t0 = time.perf_counter()
-    ids, s, o = ts.match(queries[0], top_k=5)
+    out_dev = ts.dispatch(jnp.asarray(queries[0]))
+    t_compile = time.perf_counter() - t0          # trace+compile (sync)
+    np.asarray(out_dev)
     t_first = time.perf_counter() - t0
+    log(f"first dispatch returned after {t_compile:.1f}s "
+        f"(compile path), result after {t_first:.1f}s")
+    jax.config.update("jax_log_compiles", False)
+    ids, s, o = ts.match(queries[0], top_k=5)
     hit0 = ids[0] == str(truths[0])
     lat = []
     hits = 0
