@@ -39,38 +39,47 @@ def main(n_tracks=250_000, secs=60.0, n_q=120, stride=16, pool=256):
     filters_dev = jnp.asarray(filters)
     rng = np.random.default_rng(21)
     truths = rng.integers(0, n_tracks, n_q)
-    # Aligned starts: print offset = start/hop must be 0 mod stride.
     unit = stride * cfg.hop
     max_u = int((secs - QUERY_SECONDS - 1) * cfg.sample_rate) // unit
-    starts = rng.integers(1, max_u, n_q) * unit
+    base = rng.integers(1, max_u, n_q) * unit
     nseeds = rng.integers(0, 1 << 30, n_q)
+    subhop = rng.integers(1, cfg.hop, n_q)
     qs_samples = int(QUERY_SECONDS * cfg.sample_rate)
     fp_fn = api._fingerprint_batch_jit(cfg, qs_samples, False)
-    out = []
-    for i in range(0, n_q, 16):
-        sl = slice(i, min(i + 16, n_q))
-        pcm = synth_jax.query_batch(truths[sl], starts[sl], secs,
-                                    QUERY_SECONDS, cfg, noise_db=NOISE_DB,
-                                    noise_seeds=nseeds[sl])
-        out.append(np.asarray(fp_fn(pcm, filters_dev)))
-    qprints = np.concatenate(out, axis=0)
+
+    def extract(starts):
+        out = []
+        for i in range(0, n_q, 16):
+            sl = slice(i, min(i + 16, n_q))
+            pcm = synth_jax.query_batch(truths[sl], starts[sl], secs,
+                                        QUERY_SECONDS, cfg,
+                                        noise_db=NOISE_DB,
+                                        noise_seeds=nseeds[sl])
+            out.append(np.asarray(fp_fn(pcm, filters_dev)))
+        return np.concatenate(out, axis=0)
 
     db = api.FingerprintDB(cfg, filters, [str(i) for i in range(n_tracks)],
                            prints, np.full(n_tracks, prints.shape[1], np.int32))
     t0 = time.time()
     ts = TwoStageDB(db, stride=stride)
     log(f"db ready {time.time() - t0:.0f}s")
-    hits = 0
-    for i in range(0, n_q, 20):
-        res = ts.match_batch(qprints[i:i + 20], top_k=1, pool=pool)
-        for j, (tid, s, o) in enumerate(res):
-            hits += tid[0] == str(truths[i + j])
-    emit("phase_diag_aligned_top1", round(hits / n_q, 4), "accuracy",
-         n_tracks=n_tracks, n_queries=n_q, stride=stride, pool=pool,
-         note="true offsets forced to 0 mod stride; compare with the "
-              "random-phase real_twostage number at the same pool")
-    log(f"aligned-phase top1 {hits / n_q:.4f} (random-phase was 0.655 "
-        f"at pool 256)")
+
+    # variant A: fully aligned (coarse phase r=0 AND frame grid exact)
+    # variant B: coarse-aligned but frame-misaligned (realistic print noise,
+    #            isolates the coarse-phase effect alone)
+    for name, starts in (("aligned", base), ("aligned_subhop", base + subhop)):
+        qprints = extract(starts)
+        hits = 0
+        for i in range(0, n_q, 20):
+            res = ts.match_batch(qprints[i:i + 20], top_k=1, pool=pool)
+            for j, (tid, s, o) in enumerate(res):
+                hits += tid[0] == str(truths[i + j])
+        emit(f"phase_diag_{name}_top1", round(hits / n_q, 4), "accuracy",
+             n_tracks=n_tracks, n_queries=n_q, stride=stride, pool=pool,
+             note="true offsets 0 mod stride"
+                  + ("" if name == "aligned" else " + random sub-hop shift")
+                  + "; random-phase baseline 0.655 at pool 256, dense 0.91")
+        log(f"{name} top1 {hits / n_q:.4f}")
 
 
 if __name__ == "__main__":
