@@ -62,6 +62,15 @@ class HpfwConfig:
                                   # variance pollutes ranking) — RESULTS.md
     top_k: int = 10               # ranked candidates returned by match()
     fine_candidates: int = 256    # coarse->fine rescan pool size
+    coarse_query_phases: int = 1  # coarse query phase variants scanned and
+                                  # max-combined per track (must divide
+                                  # db_downsample): the query's vote windows
+                                  # are anchored to its own first print, so
+                                  # a misphased true offset collapses the
+                                  # coarse peak (-24 points of top-1 at
+                                  # r~stride/2 on the 250k real catalog,
+                                  # benchmarks/phase_diag.py); >1 trades
+                                  # coarse MACs for phase robustness
     coarse_channels: int = 64     # coarse-print channels per window (<=64):
                                   # hashprint channels are PCA-ordered, so
                                   # the first C are the most informative —

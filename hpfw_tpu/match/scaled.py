@@ -157,7 +157,8 @@ class TwoStageDB:
                  coarse_channels: int | None = None,
                  coarse_tile: int | None = None,
                  pallas_interpret: bool = False,
-                 keep_host: bool = False):
+                 keep_host: bool = False,
+                 query_phases: int | None = None):
         self.db = db
         self._host_state = None
         cfg = db.cfg
@@ -166,6 +167,10 @@ class TwoStageDB:
                             else getattr(cfg, "coarse_kind", "sign"))
         self.coarse_channels = (coarse_channels if coarse_channels is not None
                                 else getattr(cfg, "coarse_channels", 64))
+        self.query_phases = (query_phases if query_phases is not None
+                             else getattr(cfg, "coarse_query_phases", 1))
+        if self.stride % self.query_phases:
+            raise ValueError("query_phases must divide the coarse stride")
         self.mesh = mesh
         self.pallas_interpret = pallas_interpret
         if use_pallas_fine is None:
@@ -373,6 +378,7 @@ class TwoStageDB:
         self.n_real = n_real
         self.use_pallas_fine = m["use_pallas_fine"]
         self.use_pallas_coarse = m["use_pallas_coarse"]
+        self.query_phases = getattr(cfg, "coarse_query_phases", 1)
         self.mesh = mesh
         self.pallas_interpret = pallas_interpret
         put = ((lambda a: jax.device_put(a, NamedSharding(mesh, P(DB_AXIS))))
@@ -426,7 +432,7 @@ class TwoStageDB:
                 "truncated-overlap semantics")
 
     def dispatch(self, query_dev, *, pool: int | None = None,
-                 fine_window: int | None = None):
+                 fine_window: int | None = None, phases: int | None = None):
         """Queue one two-stage match on device; returns the (3, K) stacked
         [scores, track idx, offsets] device array WITHOUT a host sync.
 
@@ -436,6 +442,7 @@ class TwoStageDB:
         cfg = self.db.cfg
         pool = pool if pool is not None else cfg.fine_candidates
         fw = fine_window if fine_window is not None else self.stride
+        ph = phases if phases is not None else self.query_phases
         if self.mesh is None and self.use_pallas_fine:
             return _two_stage_pallas_jit(
                 query_dev, self.d0, self.d1, self.lengths, self.db_c,
@@ -443,13 +450,13 @@ class TwoStageDB:
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 coarse_channels=self.coarse_channels,
-                interpret=self.pallas_interpret)
+                interpret=self.pallas_interpret, phases=ph)
         if self.mesh is None:
             return _two_stage_jit(
                 query_dev, self.prints, self.lengths, self.db_c,
                 stride=self.stride, pool=pool, fine_window=fw,
                 coarse_kind=self.coarse_kind,
-                coarse_channels=self.coarse_channels)
+                coarse_channels=self.coarse_channels, phases=ph)
         if self.use_pallas_fine:
             return _two_stage_sharded_pallas(
                 query_dev, self.d0, self.d1, self.lengths, self.db_c,
@@ -457,7 +464,10 @@ class TwoStageDB:
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 coarse_channels=self.coarse_channels,
-                interpret=self.pallas_interpret)
+                interpret=self.pallas_interpret, phases=ph)
+        if ph > 1:
+            raise NotImplementedError(
+                "query_phases on the sharded XLA path: use the Pallas path")
         return _two_stage_sharded(
             query_dev, self.prints, self.lengths, self.db_c,
             mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
@@ -465,7 +475,8 @@ class TwoStageDB:
             coarse_channels=self.coarse_channels)
 
     def match(self, query_prints: np.ndarray, *, top_k: int | None = None,
-              pool: int | None = None, fine_window: int | None = None):
+              pool: int | None = None, fine_window: int | None = None,
+              phases: int | None = None):
         cfg = self.db.cfg
         top_k = top_k if top_k is not None else cfg.top_k
         q = jnp.asarray(np.asarray(query_prints, dtype=np.uint32))
@@ -474,20 +485,23 @@ class TwoStageDB:
         # link every extra sync costs a full roundtrip, so the query's coarse
         # derivation runs inside the same jit and the three result vectors
         # come back stacked.
-        out = self.dispatch(q, pool=pool, fine_window=fine_window)
+        out = self.dispatch(q, pool=pool, fine_window=fine_window,
+                            phases=phases)
         scores, idx, offs = np.asarray(out)
         real = idx < self.n_real
         scores, idx, offs = scores[real], idx[real], offs[real]
         return _rank_dedup(scores, idx, offs, self.db.track_ids, top_k)
 
     def dispatch_batch(self, queries_dev, *, pool: int | None = None,
-                       fine_window: int | None = None):
+                       fine_window: int | None = None,
+                       phases: int | None = None):
         """Queue one batched match ((B, N, 2) device array) without a host
         sync; returns the (B, 3, K) stacked device array. The exact program
         match_batch runs — benchmarks queue it directly."""
         cfg = self.db.cfg
         pool = pool if pool is not None else cfg.fine_candidates
         fw = fine_window if fine_window is not None else self.stride
+        ph = phases if phases is not None else self.query_phases
         if self.mesh is not None:
             return _two_stage_sharded_batch(
                 queries_dev, self.d0, self.d1, self.lengths, self.db_c,
@@ -495,17 +509,18 @@ class TwoStageDB:
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 coarse_channels=self.coarse_channels,
-                interpret=self.pallas_interpret)
+                interpret=self.pallas_interpret, phases=ph)
         return _two_stage_pallas_batch_jit(
             queries_dev, self.d0, self.d1, self.lengths, self.db_c,
             stride=self.stride, pool=pool, fine_window=fw,
             l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
             coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
             coarse_channels=self.coarse_channels,
-            interpret=self.pallas_interpret)
+            interpret=self.pallas_interpret, phases=ph)
 
     def match_batch(self, query_batch: np.ndarray, *, top_k: int | None = None,
-                    pool: int | None = None, fine_window: int | None = None):
+                    pool: int | None = None, fine_window: int | None = None,
+                    phases: int | None = None):
         """Match B equal-length queries in one device dispatch.
 
         The coarse database streams from HBM once for the whole batch, so
@@ -522,7 +537,8 @@ class TwoStageDB:
         fw = fine_window if fine_window is not None else self.stride
         qs = jnp.asarray(np.asarray(query_batch, dtype=np.uint32))
         self._check_query_len(qs.shape[1])
-        out = np.asarray(self.dispatch_batch(qs, pool=pool, fine_window=fw))
+        out = np.asarray(self.dispatch_batch(qs, pool=pool, fine_window=fw,
+                                             phases=phases))
         results = []
         for b in range(out.shape[0]):
             scores, idx, offs = out[b]
@@ -530,6 +546,41 @@ class TwoStageDB:
             scores, idx, offs = scores[real], idx[real], offs[real]
             results.append(_rank_dedup(scores, idx, offs, self.db.track_ids, top_k))
         return results
+
+
+def _phase_variants(query, *, stride, phases, kind, channels):
+    """P phase-shifted coarse views of one query.
+
+    The query's majority-vote windows are anchored to its own first print;
+    at true offset o* with r = (-o*) mod stride != 0 every window straddles
+    two DB windows and the correlation peak collapses (measured: top-1
+    0.78 at r~0 vs 0.55 at r~stride/2 on the 250k real catalog). Variant p
+    drops the first p*stride/P prints so one of the P variants is within
+    stride/(2P) of DB window phase. Returns ((P, Nc, C) int8, (P,) r).
+    """
+    step = stride // phases
+    n = query.shape[0]
+    nc = (n - (stride - step)) // stride
+    qs = [coarse_ops.coarse_pm1(
+        jax.lax.slice_in_dim(query, p * step, p * step + nc * stride, axis=0),
+        stride, kind=kind, channels=channels) for p in range(phases)]
+    return (jnp.stack(qs),
+            jnp.arange(phases, dtype=jnp.int32) * step)
+
+
+def _coarse_best_phased(query, db_c, *, stride, phases, coarse_kind,
+                        coarse_channels, lc_true, coarse_tile, interpret):
+    """Phase-max coarse stage: (best_corr (T,), center of query print 0 (T,))."""
+    qcs, rs = _phase_variants(query, stride=stride, phases=phases,
+                              kind=coarse_kind, channels=coarse_channels)
+    best_b, idx_b = _coarse_best_batch(qcs, db_c, lc_true=lc_true,
+                                       coarse_tile=coarse_tile,
+                                       interpret=interpret)   # (P, T)
+    p_star = jnp.argmax(best_b, axis=0)                       # (T,)
+    best_corr = jnp.max(best_b, axis=0)
+    idx_sel = jnp.take_along_axis(idx_b, p_star[None], axis=0)[0]
+    centers = idx_sel * stride - rs[p_star]     # query print 0 position
+    return best_corr, centers
 
 
 def _coarse_best_batch(qc, db_c, *, lc_true, coarse_tile, interpret):
@@ -550,31 +601,63 @@ def _coarse_best_batch(qc, db_c, *, lc_true, coarse_tile, interpret):
     return jnp.max(corr, axis=2), jnp.argmax(corr, axis=2).astype(jnp.int32)
 
 
+def _coarse_best_batch_phased(queries, db_c, *, stride, phases, coarse_kind,
+                              coarse_channels, lc_true, coarse_tile,
+                              interpret):
+    """Phase-max coarse for B queries in ONE stacked sweep: the B*P variant
+    lanes ride the same DB pass. Returns ((B, T) best, (B, T) centers of
+    query print 0)."""
+    b = queries.shape[0]
+    vs = [_phase_variants(q, stride=stride, phases=phases, kind=coarse_kind,
+                          channels=coarse_channels)
+          for q in queries]            # unrolled over static B
+    qcs = jnp.concatenate([v[0] for v in vs], axis=0)        # (B*P, Nc, C)
+    rs = vs[0][1]                                            # (P,)
+    best_l, idx_l = _coarse_best_batch(qcs, db_c, lc_true=lc_true,
+                                       coarse_tile=coarse_tile,
+                                       interpret=interpret)  # (B*P, T)
+    t = best_l.shape[1]
+    best_l = best_l.reshape(b, phases, t)
+    idx_l = idx_l.reshape(b, phases, t)
+    p_star = jnp.argmax(best_l, axis=1)                      # (B, T)
+    best = jnp.max(best_l, axis=1)
+    idx_sel = jnp.take_along_axis(idx_l, p_star[:, None], axis=1)[:, 0]
+    centers = idx_sel * stride - rs[p_star]
+    return best, centers
+
+
 @functools.partial(
     jax.jit, static_argnames=("stride", "pool", "fine_window", "l_true",
                               "lpad", "lc_true", "coarse_tile", "coarse_kind",
-                              "coarse_channels", "interpret")
+                              "coarse_channels", "interpret", "phases")
 )
 def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
                                 *, stride, pool, fine_window, l_true, lpad,
                                 lc_true=None, coarse_tile=128,
                                 coarse_kind="sign", coarse_channels=64,
-                                interpret=False):
+                                interpret=False, phases=1):
     """Batched two-stage match: one coarse DB sweep serves all B queries."""
     from ..ops.pallas_fine import pallas_fine_rescan_batch
 
     b = queries.shape[0]
-    qc = jax.vmap(lambda q: coarse_ops.coarse_pm1(
-        q, stride, kind=coarse_kind, channels=coarse_channels))(queries)
-    best_corr, best_a = _coarse_best_batch(qc, db_c, lc_true=lc_true,
-                                           coarse_tile=coarse_tile,
-                                           interpret=interpret)
+    if phases > 1:
+        best_corr, centers_all = _coarse_best_batch_phased(
+            queries, db_c, stride=stride, phases=phases,
+            coarse_kind=coarse_kind, coarse_channels=coarse_channels,
+            lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret)
+    else:
+        qc = jax.vmap(lambda q: coarse_ops.coarse_pm1(
+            q, stride, kind=coarse_kind, channels=coarse_channels))(queries)
+        best_corr, best_a = _coarse_best_batch(qc, db_c, lc_true=lc_true,
+                                               coarse_tile=coarse_tile,
+                                               interpret=interpret)
+        centers_all = best_a * stride
     cand = jax.vmap(lambda bc: _pool_candidates(bc, pool))(best_corr)  # (B, K)
     n = queries.shape[1]
     n_fine = 2 * fine_window + 1
     span = n + n_fine - 1
-    centers = jnp.take_along_axis(best_a, cand, axis=1)
-    starts = jnp.clip(centers * stride - fine_window, 0, max(l_true - span, 0))
+    centers = jnp.take_along_axis(centers_all, cand, axis=1)
+    starts = jnp.clip(centers - fine_window, 0, max(l_true - span, 0))
     s, o = pallas_fine_rescan_batch(queries, d0, d1, lengths, cand, starts,
                                     n_fine=n_fine, lpad=lpad,
                                     interpret=interpret)
@@ -585,13 +668,13 @@ def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
     jax.jit,
     static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
                      "lpad", "lc_true", "coarse_tile", "coarse_kind",
-                     "coarse_channels", "interpret"),
+                     "coarse_channels", "interpret", "phases"),
 )
 def _two_stage_sharded_batch(queries, d0, d1, lengths, db_c,
                              *, mesh, stride, pool, fine_window, l_true,
                              lpad, lc_true=None, coarse_tile=128,
                              coarse_kind="sign", coarse_channels=64,
-                             interpret=False):
+                             interpret=False, phases=1):
     """Sharded batched serving: per shard, one coarse sweep serves all B
     queries and the per-shard batched fine rescan runs on local DMAs; the
     fixed-size (B, 3, K) candidate blocks merge with one all-gather along K.
@@ -606,12 +689,21 @@ def _two_stage_sharded_batch(queries, d0, d1, lengths, db_c,
 
     def shard_fn(qs, qc, d0_loc, d1_loc, ln_loc, dc_loc):
         t_loc = ln_loc.shape[0]
-        best_corr, best_a = _coarse_best_batch(qc, dc_loc, lc_true=lc_true,
-                                               coarse_tile=coarse_tile,
-                                               interpret=interpret)
+        if phases > 1:
+            best_corr, centers_all = _coarse_best_batch_phased(
+                qs, dc_loc, stride=stride, phases=phases,
+                coarse_kind=coarse_kind, coarse_channels=coarse_channels,
+                lc_true=lc_true, coarse_tile=coarse_tile,
+                interpret=interpret)
+        else:
+            best_corr, best_a = _coarse_best_batch(qc, dc_loc,
+                                                   lc_true=lc_true,
+                                                   coarse_tile=coarse_tile,
+                                                   interpret=interpret)
+            centers_all = best_a * stride
         cand = jax.vmap(lambda bc: _pool_candidates(bc, pool))(best_corr)
-        centers = jnp.take_along_axis(best_a, cand, axis=1)
-        starts = jnp.clip(centers * stride - fine_window, 0,
+        centers = jnp.take_along_axis(centers_all, cand, axis=1)
+        starts = jnp.clip(centers - fine_window, 0,
                           max(l_true - span, 0))
         s, o = pallas_fine_rescan_batch(qs, d0_loc, d1_loc, ln_loc, cand,
                                         starts, n_fine=n_fine, lpad=lpad,
@@ -645,25 +737,32 @@ def _coarse_best(query_c, db_c, *, lc_true, coarse_tile, interpret):
     jax.jit,
     static_argnames=("stride", "pool", "fine_window", "l_true", "lpad",
                      "lc_true", "coarse_tile", "coarse_kind",
-                     "coarse_channels", "interpret"),
+                     "coarse_channels", "interpret", "phases"),
 )
 def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
                           *, stride, pool, fine_window, l_true, lpad,
                           lc_true=None, coarse_tile=128, coarse_kind="sign",
-                          coarse_channels=64, interpret=False):
+                          coarse_channels=64, interpret=False, phases=1):
     """Two-stage match with the Pallas kernels (TPU path)."""
     from ..ops.pallas_fine import pallas_fine_rescan
 
-    query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind,
-                                    channels=coarse_channels)
-    best_corr, best_a = _coarse_best(query_c, db_c, lc_true=lc_true,
-                                     coarse_tile=coarse_tile,
-                                     interpret=interpret)
+    if phases > 1:
+        best_corr, centers = _coarse_best_phased(
+            query, db_c, stride=stride, phases=phases,
+            coarse_kind=coarse_kind, coarse_channels=coarse_channels,
+            lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret)
+    else:
+        query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind,
+                                        channels=coarse_channels)
+        best_corr, best_a = _coarse_best(query_c, db_c, lc_true=lc_true,
+                                         coarse_tile=coarse_tile,
+                                         interpret=interpret)
+        centers = best_a * stride
     cand = _pool_candidates(best_corr, pool)
     n = query.shape[0]
     n_fine = 2 * fine_window + 1
     span = n + n_fine - 1
-    starts = jnp.clip(best_a[cand] * stride - fine_window, 0,
+    starts = jnp.clip(centers[cand] - fine_window, 0,
                       max(l_true - span, 0))
     s, o = pallas_fine_rescan(query, d0, d1, lengths, cand, starts,
                               n_fine=n_fine, lpad=lpad, interpret=interpret)
@@ -672,9 +771,20 @@ def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
 
 @functools.partial(jax.jit, static_argnames=("stride", "pool", "fine_window",
                                               "coarse_kind",
-                                              "coarse_channels"))
+                                              "coarse_channels", "phases"))
 def _two_stage_jit(query, prints, lengths, db_c, *, stride, pool, fine_window,
-                   coarse_kind="sign", coarse_channels=64):
+                   coarse_kind="sign", coarse_channels=64, phases=1):
+    if phases > 1:
+        best_corr, centers = _coarse_best_phased(
+            query, db_c, stride=stride, phases=phases,
+            coarse_kind=coarse_kind, coarse_channels=coarse_channels,
+            lc_true=None, coarse_tile=None, interpret=False)
+        t = prints.shape[0]
+        cand = jax.lax.top_k(best_corr, min(pool, t))[1].astype(jnp.int32)
+        scores, offsets = _fine_rescan(
+            query, prints[cand], lengths[cand],
+            jnp.maximum(centers[cand], 0), fine_window=fine_window)
+        return jnp.stack([scores, cand, offsets])
     query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind,
                                     channels=coarse_channels)
     s, i, o = _two_stage_local(query, query_c, prints, lengths, db_c,
@@ -686,13 +796,13 @@ def _two_stage_jit(query, prints, lengths, db_c, *, stride, pool, fine_window,
     jax.jit,
     static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
                      "lpad", "lc_true", "coarse_tile", "coarse_kind",
-                     "coarse_channels", "interpret"),
+                     "coarse_channels", "interpret", "phases"),
 )
 def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
                               *, mesh, stride, pool, fine_window,
                               l_true, lpad, lc_true=None, coarse_tile=128,
                               coarse_kind="sign", coarse_channels=64,
-                              interpret=False):
+                              interpret=False, phases=1):
     """Sharded two-stage with the Pallas kernels per shard.
 
     Each chip scans its coarse shard on the MXU, rescans its own candidate
@@ -710,11 +820,18 @@ def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
 
     def shard_fn(q, qc, d0_loc, d1_loc, ln_loc, dc_loc):
         t_loc = ln_loc.shape[0]
-        best_corr, best_a = _coarse_best(qc, dc_loc, lc_true=lc_true,
-                                         coarse_tile=coarse_tile,
-                                         interpret=interpret)
+        if phases > 1:
+            best_corr, centers = _coarse_best_phased(
+                q, dc_loc, stride=stride, phases=phases,
+                coarse_kind=coarse_kind, coarse_channels=coarse_channels,
+                lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret)
+        else:
+            best_corr, best_a = _coarse_best(qc, dc_loc, lc_true=lc_true,
+                                             coarse_tile=coarse_tile,
+                                             interpret=interpret)
+            centers = best_a * stride
         cand = _pool_candidates(best_corr, pool)
-        starts = jnp.clip(best_a[cand] * stride - fine_window, 0,
+        starts = jnp.clip(centers[cand] - fine_window, 0,
                           max(l_true - span, 0))
         s, o = pallas_fine_rescan(q, d0_loc, d1_loc, ln_loc, cand, starts,
                                   n_fine=n_fine, lpad=lpad,

@@ -235,3 +235,52 @@ def test_two_stage_reduced_channels_matches_full_on_pool(cfg):
         w_ids, w_s, w_o = api.match(qfp, db, top_k=1)
         assert (ia[0], int(sa[0]), int(oa[0])) == \
             (w_ids[0], int(w_s[0]), int(w_o[0]))
+
+
+def test_phase_max_coarse_exact_and_robust(cfg):
+    """query_phases > 1: (a) with a full pool, results match the dense scan
+    exactly for misphased excerpts (phase-corrected centers must land the
+    fine band on the true offset); (b) the phased coarse ranks a misphased
+    true track at least as high as the unphased coarse."""
+    import jax.numpy as jnp
+
+    from hpfw_tpu.match.scaled import (_coarse_best, _coarse_best_phased,
+                                       _pool_candidates)
+    from hpfw_tpu.ops import coarse as coarse_ops
+
+    rng = np.random.default_rng(5)
+    T, L, NQ, stride = 48, 200, 64, 8
+    prints = rng.integers(0, 2 ** 32, (T, L, 2), dtype=np.uint32)
+    db = api.FingerprintDB(cfg, _filters(cfg), [str(i) for i in range(T)],
+                           prints, np.full(T, L, np.int32))
+    for ts in (TwoStageDB(db, stride=stride, query_phases=4),
+               TwoStageDB(db, stride=stride, use_pallas_fine=True,
+                          coarse_tile=8, pallas_interpret=True,
+                          query_phases=4)):
+        for r in (0, 3, 4, 7):                 # worst misphase incl. r=s/2
+            off = 5 * stride + r
+            q = prints[7, off:off + NQ].copy()
+            flip = (rng.integers(0, 1 << 32, (NQ, 2), dtype=np.uint32)
+                    & rng.integers(0, 1 << 32, (NQ, 2), dtype=np.uint32)
+                    & rng.integers(0, 1 << 32, (NQ, 2), dtype=np.uint32))
+            q = np.bitwise_xor(q, flip)
+            ids, s, o = ts.match(q, top_k=1, pool=T)
+            ids_d, s_d, o_d = api.match(q, db, top_k=1)
+            assert ids[0] == ids_d[0] == "7", (r, ids[0], ids_d[0])
+            assert int(s[0]) == int(s_d[0]) and int(o[0]) == int(o_d[0])
+
+    # (b) coarse ranking robustness at the worst misphase
+    q = prints[3, 5 * stride + stride // 2:
+               5 * stride + stride // 2 + NQ].copy()
+    db_c3 = coarse_ops.coarse_pm1(jnp.asarray(prints), stride)
+    qc = coarse_ops.coarse_pm1(jnp.asarray(q), stride)
+    best1, _ = _coarse_best(qc, db_c3, lc_true=None, coarse_tile=8,
+                            interpret=False)
+    bestp, centers = _coarse_best_phased(
+        jnp.asarray(q), db_c3, stride=stride, phases=4, coarse_kind="sign",
+        coarse_channels=64, lc_true=None, coarse_tile=8, interpret=False)
+    rank1 = int((np.asarray(best1) >= np.asarray(best1)[3]).sum())
+    rankp = int((np.asarray(bestp) >= np.asarray(bestp)[3]).sum())
+    assert rankp <= rank1
+    # the phase-corrected center must be within fine_window of the truth
+    assert abs(int(np.asarray(centers)[3]) - (5 * stride + stride // 2)) <= stride
