@@ -228,8 +228,11 @@ def twostage(n_tracks, secs, points=None):
     lengths = np.full(n_tracks, prints.shape[1], np.int32)
 
     cur_key, ts = None, None
-    for stride, channels, pool in (points or POINTS):
-        log(f"== operating point stride={stride} C={channels} pool={pool}")
+    for point in (points or POINTS):
+        stride, channels, pool = point[:3]
+        phases = point[3] if len(point) > 3 else 1
+        log(f"== operating point stride={stride} C={channels} pool={pool}"
+            f" phases={phases}")
         if (stride, channels) != cur_key:
             ts = None          # drop the previous derivation's device arrays
             cfg = HpfwConfig(coarse_channels=channels)
@@ -251,7 +254,8 @@ def twostage(n_tracks, secs, points=None):
         ts_offs = np.empty(nq, np.int64)
         bsz = 20
         for i in range(0, nq, bsz):
-            res = ts.match_batch(qprints[i:i + bsz], top_k=1, pool=pool)
+            res = ts.match_batch(qprints[i:i + bsz], top_k=1, pool=pool,
+                                 phases=phases)
             for j, (tid, s, o) in enumerate(res):
                 k = i + j
                 ts_ids[k], ts_scores[k], ts_offs[k] = int(tid[0]), int(s[0]), int(o[0])
@@ -260,7 +264,9 @@ def twostage(n_tracks, secs, points=None):
                     agree += (tid[0] == str(dense_z["ids"][k])
                               and int(s[0]) == int(dense_z["scores"][k])
                               and int(o[0]) == int(dense_z["offsets"][k]))
-        np.savez(os.path.join(d, f"tsres_s{stride}_c{channels}_p{pool}.npz"),
+        tag = f"s{stride}_c{channels}_p{pool}" + (f"_ph{phases}"
+                                                  if phases > 1 else "")
+        np.savez(os.path.join(d, f"tsres_{tag}.npz"),
                  ids=ts_ids, scores=ts_scores, offsets=ts_offs)
         top1 = hits / nq
         extra = {}
@@ -269,7 +275,7 @@ def twostage(n_tracks, secs, points=None):
             extra = {"dense_agreement": round(agree / nd, 4),
                      "dense_top1": round(float(np.mean(
                          dense_z["ids"] == truths[:nd])), 4)}
-        emit(f"real_twostage_top1_s{stride}_c{channels}_p{pool}",
+        emit(f"real_twostage_top1_{tag}",
              round(top1, 4), "accuracy", n_tracks=n_tracks, n_queries=nq,
              eval_s=round(time.time() - t0, 1), **extra)
         log(f"  top1 {top1:.4f} {extra}")
@@ -278,21 +284,22 @@ def twostage(n_tracks, secs, points=None):
         qs_dev = [jnp.asarray(qprints[i]) for i in range(min(20, nq))]
         for q in qs_dev:
             q.block_until_ready()
-        ts.dispatch(qs_dev[0], pool=pool).block_until_ready()  # compile
+        ts.dispatch(qs_dev[0], pool=pool, phases=phases).block_until_ready()
         t0 = time.perf_counter()
-        outs = [ts.dispatch(q, pool=pool) for q in qs_dev]
+        outs = [ts.dispatch(q, pool=pool, phases=phases) for q in qs_dev]
         np.asarray(outs[-1])
         per_ms = (time.perf_counter() - t0) / len(qs_dev) * 1e3
         b = 10
         qb = jnp.asarray(qprints[:b])
         qb.block_until_ready()
-        ts.dispatch_batch(qb, pool=pool).block_until_ready()
+        ts.dispatch_batch(qb, pool=pool, phases=phases).block_until_ready()
         iters = 8
         t0 = time.perf_counter()
-        outs = [ts.dispatch_batch(qb, pool=pool) for _ in range(iters)]
+        outs = [ts.dispatch_batch(qb, pool=pool, phases=phases)
+                for _ in range(iters)]
         np.asarray(outs[-1])
         per_q_b = (time.perf_counter() - t0) / (iters * b) * 1e3
-        emit(f"real_perf_s{stride}_c{channels}_p{pool}", round(per_ms, 2),
+        emit(f"real_perf_{tag}", round(per_ms, 2),
              "ms_per_query_device",
              qps_single=round(1000.0 / per_ms, 1),
              batched_ms=round(per_q_b, 2),
@@ -340,6 +347,9 @@ def main():
         pts = None
         if phase == "twostage" and rest:
             pts = [tuple(rest[i:i + 3]) for i in range(0, len(rest), 3)]
+        twostage(n_tracks, secs, pts)
+    if phase == "phased":   # quadruples: stride channels pool phases
+        pts = [tuple(rest[i:i + 4]) for i in range(0, len(rest), 4)]
         twostage(n_tracks, secs, pts)
     if phase == "agree":
         agree(n_tracks, secs)
