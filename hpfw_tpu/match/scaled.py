@@ -608,6 +608,14 @@ def _coarse_best_batch_phased(queries, db_c, *, stride, phases, coarse_kind,
     lanes ride the same DB pass. Returns ((B, T) best, (B, T) centers of
     query print 0)."""
     b = queries.shape[0]
+    if b * phases > 128:
+        # The stacked kernel holds the (k_pad, lanes*16) bf16 phase stack
+        # resident in scoped vmem; past ~128 variant lanes it cannot fit
+        # (observed compile OOM at 320). Split the batch instead.
+        raise ValueError(
+            f"batch {b} x {phases} phases = {b * phases} variant lanes "
+            "exceeds the stacked coarse kernel's vmem budget (<=128); "
+            "use a smaller batch or fewer phases")
     vs = [_phase_variants(q, stride=stride, phases=phases, kind=coarse_kind,
                           channels=coarse_channels)
           for q in queries]            # unrolled over static B
