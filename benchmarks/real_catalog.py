@@ -252,7 +252,7 @@ def twostage(n_tracks, secs, points=None):
         ts_ids = np.empty(nq, np.int64)
         ts_scores = np.empty(nq, np.int64)
         ts_offs = np.empty(nq, np.int64)
-        bsz = 20
+        bsz = min(20, max(1, 128 // phases))   # stacked-kernel lane budget
         for i in range(0, nq, bsz):
             res = ts.match_batch(qprints[i:i + bsz], top_k=1, pool=pool,
                                  phases=phases)
