@@ -231,8 +231,10 @@ def twostage(n_tracks, secs, points=None):
     for point in (points or POINTS):
         stride, channels, pool = point[:3]
         phases = point[3] if len(point) > 3 else 1
+        prefilter = point[4] if len(point) > 4 else 0
+        phases1 = point[5] if len(point) > 5 else 1
         log(f"== operating point stride={stride} C={channels} pool={pool}"
-            f" phases={phases}")
+            f" phases={phases} prefilter={prefilter}x{phases1}")
         if (stride, channels) != cur_key:
             ts = None          # drop the previous derivation's device arrays
             cfg = HpfwConfig(coarse_channels=channels)
@@ -252,10 +254,14 @@ def twostage(n_tracks, secs, points=None):
         ts_ids = np.empty(nq, np.int64)
         ts_scores = np.empty(nq, np.int64)
         ts_offs = np.empty(nq, np.int64)
-        bsz = min(20, max(1, 128 // phases))   # stacked-kernel lane budget
+        # Stacked-kernel lane budget: pass-1 lanes are B*phases one-pass,
+        # B*phases1 with a prefilter (pass 2 is per-query block-diagonal).
+        lane_ph = phases1 if prefilter else phases
+        bsz = min(20, max(1, 128 // lane_ph))
         for i in range(0, nq, bsz):
             res = ts.match_batch(qprints[i:i + bsz], top_k=1, pool=pool,
-                                 phases=phases)
+                                 phases=phases, prefilter=prefilter,
+                                 phases1=phases1)
             for j, (tid, s, o) in enumerate(res):
                 k = i + j
                 ts_ids[k], ts_scores[k], ts_offs[k] = int(tid[0]), int(s[0]), int(o[0])
@@ -266,6 +272,8 @@ def twostage(n_tracks, secs, points=None):
                               and int(o[0]) == int(dense_z["offsets"][k]))
         tag = f"s{stride}_c{channels}_p{pool}" + (f"_ph{phases}"
                                                   if phases > 1 else "")
+        if prefilter:
+            tag += f"_pf{prefilter}x{phases1}"
         np.savez(os.path.join(d, f"tsres_{tag}.npz"),
                  ids=ts_ids, scores=ts_scores, offsets=ts_offs)
         top1 = hits / nq
@@ -284,18 +292,22 @@ def twostage(n_tracks, secs, points=None):
         qs_dev = [jnp.asarray(qprints[i]) for i in range(min(20, nq))]
         for q in qs_dev:
             q.block_until_ready()
-        ts.dispatch(qs_dev[0], pool=pool, phases=phases).block_until_ready()
+        ts.dispatch(qs_dev[0], pool=pool, phases=phases, prefilter=prefilter,
+                    phases1=phases1).block_until_ready()
         t0 = time.perf_counter()
-        outs = [ts.dispatch(q, pool=pool, phases=phases) for q in qs_dev]
+        outs = [ts.dispatch(q, pool=pool, phases=phases, prefilter=prefilter,
+                            phases1=phases1) for q in qs_dev]
         np.asarray(outs[-1])
         per_ms = (time.perf_counter() - t0) / len(qs_dev) * 1e3
         b = 10
         qb = jnp.asarray(qprints[:b])
         qb.block_until_ready()
-        ts.dispatch_batch(qb, pool=pool, phases=phases).block_until_ready()
+        ts.dispatch_batch(qb, pool=pool, phases=phases, prefilter=prefilter,
+                          phases1=phases1).block_until_ready()
         iters = 8
         t0 = time.perf_counter()
-        outs = [ts.dispatch_batch(qb, pool=pool, phases=phases)
+        outs = [ts.dispatch_batch(qb, pool=pool, phases=phases,
+                                  prefilter=prefilter, phases1=phases1)
                 for _ in range(iters)]
         np.asarray(outs[-1])
         per_q_b = (time.perf_counter() - t0) / (iters * b) * 1e3

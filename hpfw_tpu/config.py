@@ -71,6 +71,19 @@ class HpfwConfig:
                                   # r~stride/2 on the 250k real catalog,
                                   # benchmarks/phase_diag.py); >1 trades
                                   # coarse MACs for phase robustness
+    coarse_prefilter: int = 0     # two-pass phased coarse: pass-1 scans the
+                                  # whole catalog with coarse_prefilter_phases
+                                  # variant lanes and pools the top
+                                  # `coarse_prefilter` tracks per query; the
+                                  # full phase grid then rescans only those
+                                  # gathered rows (block-diagonal Pallas
+                                  # kernel). 0 = single-pass. The one-pass
+                                  # phased scan is MXU-bound ~1 ms/variant
+                                  # lane per 250k tracks — at phases=8 the
+                                  # prefilter cuts phased coarse cost ~3x
+                                  # (RESULTS.md round 3)
+    coarse_prefilter_phases: int = 1  # pass-1 phase variants (must divide
+                                      # db_downsample)
     coarse_channels: int = 64     # coarse-print channels per window (<=64):
                                   # hashprint channels are PCA-ordered, so
                                   # the first C are the most informative —
@@ -126,6 +139,10 @@ class HpfwConfig:
         assert (8 <= self.coarse_channels <= 64
                 and self.coarse_channels % 8 == 0), \
             "coarse_channels must be a multiple of 8 in [8, 64]"
+        assert self.coarse_prefilter >= 0
+        if self.coarse_prefilter:
+            assert self.db_downsample % self.coarse_prefilter_phases == 0, \
+                "coarse_prefilter_phases must divide db_downsample"
         if self.coarse_kind == "sum":
             assert self.db_downsample <= 127, "sum coarse prints are int8"
         assert self.window in ("hann", "hamming")

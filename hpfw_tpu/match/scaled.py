@@ -65,6 +65,13 @@ def _fine_rescan(query, cand_prints, cand_lengths, o_centers, *, fine_window):
 
 _POOL_ROWS = 64
 
+# Resident phase-stack bytes allowed per stacked coarse kernel call; larger
+# batch x phases products are chunked into multiple DB sweeps (see
+# _coarse_best_batch_phased). ~5 MB leaves room in the ~16 MB scoped-vmem
+# arena for the double-buffered DB tile and the unrolled GEMM temporaries
+# (an 18.6 MB compile OOM was observed at a 9.96 MB stack).
+_PHASED_STACK_BUDGET = 5 * 2 ** 20
+
 
 def _pool_candidates(best_corr, pool: int):
     """EXACT top-`pool` track indices, padded to a multiple of 8 (the Pallas
@@ -158,7 +165,9 @@ class TwoStageDB:
                  coarse_tile: int | None = None,
                  pallas_interpret: bool = False,
                  keep_host: bool = False,
-                 query_phases: int | None = None):
+                 query_phases: int | None = None,
+                 prefilter: int | None = None,
+                 prefilter_phases: int | None = None):
         self.db = db
         self._host_state = None
         cfg = db.cfg
@@ -169,8 +178,15 @@ class TwoStageDB:
                                 else getattr(cfg, "coarse_channels", 64))
         self.query_phases = (query_phases if query_phases is not None
                              else getattr(cfg, "coarse_query_phases", 1))
+        self.prefilter = (prefilter if prefilter is not None
+                          else getattr(cfg, "coarse_prefilter", 0))
+        self.prefilter_phases = (
+            prefilter_phases if prefilter_phases is not None
+            else getattr(cfg, "coarse_prefilter_phases", 1))
         if self.stride % self.query_phases:
             raise ValueError("query_phases must divide the coarse stride")
+        if self.prefilter_phases > 1 and self.stride % self.prefilter_phases:
+            raise ValueError("prefilter_phases must divide the coarse stride")
         self.mesh = mesh
         self.pallas_interpret = pallas_interpret
         if use_pallas_fine is None:
@@ -379,6 +395,8 @@ class TwoStageDB:
         self.use_pallas_fine = m["use_pallas_fine"]
         self.use_pallas_coarse = m["use_pallas_coarse"]
         self.query_phases = getattr(cfg, "coarse_query_phases", 1)
+        self.prefilter = getattr(cfg, "coarse_prefilter", 0)
+        self.prefilter_phases = getattr(cfg, "coarse_prefilter_phases", 1)
         self.mesh = mesh
         self.pallas_interpret = pallas_interpret
         put = ((lambda a: jax.device_put(a, NamedSharding(mesh, P(DB_AXIS))))
@@ -431,8 +449,26 @@ class TwoStageDB:
                 "needs query <= padded DB length — use api.match for "
                 "truncated-overlap semantics")
 
+    def _twopass_args(self, phases, prefilter, phases1, t):
+        """Resolve + validate the two-pass knobs for a dispatch."""
+        pf = prefilter if prefilter is not None else self.prefilter
+        p1 = phases1 if phases1 is not None else self.prefilter_phases
+        if pf:
+            pf = min(int(pf), int(t))
+        if pf and phases > 1:
+            if self.stride % p1:
+                raise ValueError("phases1 must divide the coarse stride")
+            if not self.use_pallas_coarse:
+                raise NotImplementedError(
+                    "coarse prefilter needs the flat-layout Pallas coarse "
+                    "path (use_pallas_coarse=True)")
+        else:
+            pf, p1 = 0, 1
+        return pf, p1
+
     def dispatch(self, query_dev, *, pool: int | None = None,
-                 fine_window: int | None = None, phases: int | None = None):
+                 fine_window: int | None = None, phases: int | None = None,
+                 prefilter: int | None = None, phases1: int | None = None):
         """Queue one two-stage match on device; returns the (3, K) stacked
         [scores, track idx, offsets] device array WITHOUT a host sync.
 
@@ -443,6 +479,8 @@ class TwoStageDB:
         pool = pool if pool is not None else cfg.fine_candidates
         fw = fine_window if fine_window is not None else self.stride
         ph = phases if phases is not None else self.query_phases
+        pf, p1 = self._twopass_args(ph, prefilter, phases1,
+                                    self.lengths.shape[0])
         if self.mesh is None and self.use_pallas_fine:
             return _two_stage_pallas_jit(
                 query_dev, self.d0, self.d1, self.lengths, self.db_c,
@@ -450,21 +488,30 @@ class TwoStageDB:
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 coarse_channels=self.coarse_channels,
-                interpret=self.pallas_interpret, phases=ph)
+                interpret=self.pallas_interpret, phases=ph, phases1=p1,
+                prefilter=pf)
         if self.mesh is None:
+            if pf:
+                raise NotImplementedError(
+                    "coarse prefilter on the XLA path: use the Pallas path")
             return _two_stage_jit(
                 query_dev, self.prints, self.lengths, self.db_c,
                 stride=self.stride, pool=pool, fine_window=fw,
                 coarse_kind=self.coarse_kind,
                 coarse_channels=self.coarse_channels, phases=ph)
         if self.use_pallas_fine:
+            if pf:
+                # Prefilter applies per shard: cap it at the shard track
+                # count so the local pool never exceeds local tracks.
+                pf = min(pf, self.lengths.shape[0] // self.mesh.devices.size)
             return _two_stage_sharded_pallas(
                 query_dev, self.d0, self.d1, self.lengths, self.db_c,
                 mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 coarse_channels=self.coarse_channels,
-                interpret=self.pallas_interpret, phases=ph)
+                interpret=self.pallas_interpret, phases=ph, phases1=p1,
+                prefilter=pf)
         if ph > 1:
             raise NotImplementedError(
                 "query_phases on the sharded XLA path: use the Pallas path")
@@ -476,7 +523,8 @@ class TwoStageDB:
 
     def match(self, query_prints: np.ndarray, *, top_k: int | None = None,
               pool: int | None = None, fine_window: int | None = None,
-              phases: int | None = None):
+              phases: int | None = None, prefilter: int | None = None,
+              phases1: int | None = None):
         cfg = self.db.cfg
         top_k = top_k if top_k is not None else cfg.top_k
         q = jnp.asarray(np.asarray(query_prints, dtype=np.uint32))
@@ -486,7 +534,8 @@ class TwoStageDB:
         # derivation runs inside the same jit and the three result vectors
         # come back stacked.
         out = self.dispatch(q, pool=pool, fine_window=fine_window,
-                            phases=phases)
+                            phases=phases, prefilter=prefilter,
+                            phases1=phases1)
         scores, idx, offs = np.asarray(out)
         real = idx < self.n_real
         scores, idx, offs = scores[real], idx[real], offs[real]
@@ -494,7 +543,9 @@ class TwoStageDB:
 
     def dispatch_batch(self, queries_dev, *, pool: int | None = None,
                        fine_window: int | None = None,
-                       phases: int | None = None):
+                       phases: int | None = None,
+                       prefilter: int | None = None,
+                       phases1: int | None = None):
         """Queue one batched match ((B, N, 2) device array) without a host
         sync; returns the (B, 3, K) stacked device array. The exact program
         match_batch runs — benchmarks queue it directly."""
@@ -502,25 +553,32 @@ class TwoStageDB:
         pool = pool if pool is not None else cfg.fine_candidates
         fw = fine_window if fine_window is not None else self.stride
         ph = phases if phases is not None else self.query_phases
+        pf, p1 = self._twopass_args(ph, prefilter, phases1,
+                                    self.lengths.shape[0])
         if self.mesh is not None:
+            if pf:
+                pf = min(pf, self.lengths.shape[0] // self.mesh.devices.size)
             return _two_stage_sharded_batch(
                 queries_dev, self.d0, self.d1, self.lengths, self.db_c,
                 mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 coarse_channels=self.coarse_channels,
-                interpret=self.pallas_interpret, phases=ph)
+                interpret=self.pallas_interpret, phases=ph, phases1=p1,
+                prefilter=pf)
         return _two_stage_pallas_batch_jit(
             queries_dev, self.d0, self.d1, self.lengths, self.db_c,
             stride=self.stride, pool=pool, fine_window=fw,
             l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
             coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
             coarse_channels=self.coarse_channels,
-            interpret=self.pallas_interpret, phases=ph)
+            interpret=self.pallas_interpret, phases=ph, phases1=p1,
+            prefilter=pf)
 
     def match_batch(self, query_batch: np.ndarray, *, top_k: int | None = None,
                     pool: int | None = None, fine_window: int | None = None,
-                    phases: int | None = None):
+                    phases: int | None = None, prefilter: int | None = None,
+                    phases1: int | None = None):
         """Match B equal-length queries in one device dispatch.
 
         The coarse database streams from HBM once for the whole batch, so
@@ -544,7 +602,9 @@ class TwoStageDB:
         qs = jnp.asarray(np.asarray(query_batch, dtype=np.uint32))
         self._check_query_len(qs.shape[1])
         out = np.asarray(self.dispatch_batch(qs, pool=pool, fine_window=fw,
-                                             phases=phases))
+                                             phases=phases,
+                                             prefilter=prefilter,
+                                             phases1=phases1))
         results = []
         for b in range(out.shape[0]):
             scores, idx, offs = out[b]
@@ -595,10 +655,20 @@ def _coarse_best_batch(qc, db_c, *, lc_true, coarse_tile, interpret):
     if db_c.ndim == 2:
         from ..ops.pallas_coarse import pallas_coarse_scan_batch_stacked
 
+        # Adaptive phase-lane count: the kernel pads lane groups so
+        # B*s % 128 == 0, so a small B at the default s=16 pays for padded
+        # DUPLICATE lanes (B=2 -> 8 groups, 4x wasted MACs). Growing s until
+        # B*s ~ 128 keeps the MXU wide with no duplicate groups; s is a pure
+        # tiling knob (results identical, tests sweep it).
+        b0 = qc.shape[0]
+        p2 = 1
+        while p2 < b0:
+            p2 *= 2
+        s = max(16, min(128, 128 // p2))
         # tt=None: the stacked kernel sizes its own vmem-safe tile (its
         # budget includes the (tt, B*s) surfaces, unlike the single-query
         # scan's coarse_tile).
-        return pallas_coarse_scan_batch_stacked(qc, db_c, tt=None,
+        return pallas_coarse_scan_batch_stacked(qc, db_c, s=s, tt=None,
                                                 lc_true=lc_true,
                                                 interpret=interpret)
     corr = coarse_ops.coarse_correlation_batch(qc, db_c)     # (B, T, Ac)
@@ -614,22 +684,33 @@ def _coarse_best_batch_phased(queries, db_c, *, stride, phases, coarse_kind,
     lanes ride the same DB pass. Returns ((B, T) best, (B, T) centers of
     query print 0)."""
     b = queries.shape[0]
-    if b * phases > 128:
-        # The stacked kernel holds the (k_pad, lanes*16) bf16 phase stack
-        # resident in scoped vmem; past ~128 variant lanes it cannot fit
-        # (observed compile OOM at 320). Split the batch instead.
-        raise ValueError(
-            f"batch {b} x {phases} phases = {b * phases} variant lanes "
-            "exceeds the stacked coarse kernel's vmem budget (<=128); "
-            "use a smaller batch or fewer phases")
     vs = [_phase_variants(q, stride=stride, phases=phases, kind=coarse_kind,
                           channels=coarse_channels)
           for q in queries]            # unrolled over static B
     qcs = jnp.concatenate([v[0] for v in vs], axis=0)        # (B*P, Nc, C)
     rs = vs[0][1]                                            # (P,)
-    best_l, idx_l = _coarse_best_batch(qcs, db_c, lc_true=lc_true,
-                                       coarse_tile=coarse_tile,
-                                       interpret=interpret)  # (B*P, T)
+    # The stacked kernel holds a (k_pad, groups*s) bf16 phase stack resident
+    # in scoped vmem; big batch x phases products blow the ~16 MB arena
+    # (observed compile OOMs at 9.96 MB stacks once unrolled GEMM temps are
+    # added). Chunk the variant-lane groups so each call's stack stays under
+    # ~5 MB — each extra chunk re-sweeps the coarse DB, so this is the
+    # correctness fallback; the two-pass prefilter is the fast path for
+    # large phase counts.
+    g = qcs.shape[0]
+    nc, c = qcs.shape[1], qcs.shape[2]
+    k_pad16 = -(-((nc + 15) * c) // 128) * 128
+    g_max = max(8, _PHASED_STACK_BUDGET // (k_pad16 * 16 * 2))
+    if g <= g_max:
+        best_l, idx_l = _coarse_best_batch(qcs, db_c, lc_true=lc_true,
+                                           coarse_tile=coarse_tile,
+                                           interpret=interpret)  # (B*P, T)
+    else:
+        parts = [_coarse_best_batch(qcs[i:i + g_max], db_c, lc_true=lc_true,
+                                    coarse_tile=coarse_tile,
+                                    interpret=interpret)
+                 for i in range(0, g, g_max)]
+        best_l = jnp.concatenate([p[0] for p in parts], axis=0)
+        idx_l = jnp.concatenate([p[1] for p in parts], axis=0)
     t = best_l.shape[1]
     best_l = best_l.reshape(b, phases, t)
     idx_l = idx_l.reshape(b, phases, t)
@@ -640,37 +721,98 @@ def _coarse_best_batch_phased(queries, db_c, *, stride, phases, coarse_kind,
     return best, centers
 
 
-@functools.partial(
-    jax.jit, static_argnames=("stride", "pool", "fine_window", "l_true",
-                              "lpad", "lc_true", "coarse_tile", "coarse_kind",
-                              "coarse_channels", "interpret", "phases")
-)
-def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
-                                *, stride, pool, fine_window, l_true, lpad,
-                                lc_true=None, coarse_tile=128,
-                                coarse_kind="sign", coarse_channels=64,
-                                interpret=False, phases=1):
-    """Batched two-stage match: one coarse DB sweep serves all B queries."""
-    from ..ops.pallas_fine import pallas_fine_rescan_batch
+def _coarse_pool_twopass(queries, db_c, *, stride, phases, phases1,
+                         prefilter, pool, coarse_kind, coarse_channels,
+                         lc_true, coarse_tile, interpret):
+    """Two-pass phased coarse stage: a cheap pass-1 sweep of the WHOLE
+    catalog (phases1 variant lanes) pools the top `prefilter` tracks per
+    query; pass 2 rescans only those gathered rows with the full `phases`
+    phase grid (ops/pallas_coarse.pallas_coarse_rescan_stacked — block-
+    diagonal, no cross-query MACs). The one-pass phased scan is MXU-bound
+    at ~1 ms per variant lane per 250k tracks, so scanning P phases over
+    prefilter<<T tracks instead of T cuts the phased coarse cost by ~P/phases1
+    while keeping the phase-corrected centers (measured: RESULTS.md round 3).
+
+    Returns (cand (B, K) global track indices, centers (B, K)).
+    """
+    from ..ops.pallas_coarse import pallas_coarse_rescan_stacked
 
     b = queries.shape[0]
-    if phases > 1:
-        best_corr, centers_all = _coarse_best_batch_phased(
-            queries, db_c, stride=stride, phases=phases,
+    if phases1 > 1:
+        best1, _ = _coarse_best_batch_phased(
+            queries, db_c, stride=stride, phases=phases1,
             coarse_kind=coarse_kind, coarse_channels=coarse_channels,
             lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret)
     else:
         qc = jax.vmap(lambda q: coarse_ops.coarse_pm1(
             q, stride, kind=coarse_kind, channels=coarse_channels))(queries)
-        best_corr, best_a = _coarse_best_batch(qc, db_c, lc_true=lc_true,
-                                               coarse_tile=coarse_tile,
-                                               interpret=interpret)
-        centers_all = best_a * stride
-    cand = jax.vmap(lambda bc: _pool_candidates(bc, pool))(best_corr)  # (B, K)
+        best1, _ = _coarse_best_batch(qc, db_c, lc_true=lc_true,
+                                      coarse_tile=coarse_tile,
+                                      interpret=interpret)
+    t = db_c.shape[0]
+    m = min(prefilter, t)
+    # Sorted subset: within-subset index order == global order, so pass-2
+    # pooling keeps the exact tie-break (lower global index) and prefilter
+    # >= T reproduces the one-pass phased result exactly (tested).
+    cand_m = jax.vmap(lambda bc: _pool_candidates(bc, m))(best1)    # (B, M8)
+    cand_m = jnp.sort(cand_m, axis=1)
+    db_sub = db_c[cand_m.reshape(-1)]                   # (B*M8, lcw) gather
+    vs = [_phase_variants(q, stride=stride, phases=phases, kind=coarse_kind,
+                          channels=coarse_channels) for q in queries]
+    qcs = jnp.stack([v[0] for v in vs])                 # (B, P, Nc, C)
+    rs = vs[0][1]
+    best2, idx2 = pallas_coarse_rescan_stacked(
+        qcs, db_sub, lc_true=lc_true, interpret=interpret)   # (B, P, M8)
+    p_star = jnp.argmax(best2, axis=1)                       # (B, M8)
+    best = jnp.max(best2, axis=1)
+    idx_sel = jnp.take_along_axis(idx2, p_star[:, None], axis=1)[:, 0]
+    centers = idx_sel * stride - rs[p_star]
+    cand_loc = jax.vmap(lambda bc: _pool_candidates(bc, pool))(best)  # (B, K)
+    cand = jnp.take_along_axis(cand_m, cand_loc, axis=1)
+    centers = jnp.take_along_axis(centers, cand_loc, axis=1)
+    return cand, centers
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stride", "pool", "fine_window", "l_true",
+                              "lpad", "lc_true", "coarse_tile", "coarse_kind",
+                              "coarse_channels", "interpret", "phases",
+                              "phases1", "prefilter")
+)
+def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
+                                *, stride, pool, fine_window, l_true, lpad,
+                                lc_true=None, coarse_tile=128,
+                                coarse_kind="sign", coarse_channels=64,
+                                interpret=False, phases=1, phases1=1,
+                                prefilter=0):
+    """Batched two-stage match: one coarse DB sweep serves all B queries."""
+    from ..ops.pallas_fine import pallas_fine_rescan_batch
+
+    b = queries.shape[0]
+    if phases > 1 and prefilter:
+        cand, centers = _coarse_pool_twopass(
+            queries, db_c, stride=stride, phases=phases, phases1=phases1,
+            prefilter=prefilter, pool=pool, coarse_kind=coarse_kind,
+            coarse_channels=coarse_channels, lc_true=lc_true,
+            coarse_tile=coarse_tile, interpret=interpret)
+    else:
+        if phases > 1:
+            best_corr, centers_all = _coarse_best_batch_phased(
+                queries, db_c, stride=stride, phases=phases,
+                coarse_kind=coarse_kind, coarse_channels=coarse_channels,
+                lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret)
+        else:
+            qc = jax.vmap(lambda q: coarse_ops.coarse_pm1(
+                q, stride, kind=coarse_kind, channels=coarse_channels))(queries)
+            best_corr, best_a = _coarse_best_batch(qc, db_c, lc_true=lc_true,
+                                                   coarse_tile=coarse_tile,
+                                                   interpret=interpret)
+            centers_all = best_a * stride
+        cand = jax.vmap(lambda bc: _pool_candidates(bc, pool))(best_corr)
+        centers = jnp.take_along_axis(centers_all, cand, axis=1)
     n = queries.shape[1]
     n_fine = 2 * fine_window + 1
     span = n + n_fine - 1
-    centers = jnp.take_along_axis(centers_all, cand, axis=1)
     starts = jnp.clip(centers - fine_window, 0, max(l_true - span, 0))
     s, o = pallas_fine_rescan_batch(queries, d0, d1, lengths, cand, starts,
                                     n_fine=n_fine, lpad=lpad,
@@ -682,13 +824,15 @@ def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
     jax.jit,
     static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
                      "lpad", "lc_true", "coarse_tile", "coarse_kind",
-                     "coarse_channels", "interpret", "phases"),
+                     "coarse_channels", "interpret", "phases", "phases1",
+                     "prefilter"),
 )
 def _two_stage_sharded_batch(queries, d0, d1, lengths, db_c,
                              *, mesh, stride, pool, fine_window, l_true,
                              lpad, lc_true=None, coarse_tile=128,
                              coarse_kind="sign", coarse_channels=64,
-                             interpret=False, phases=1):
+                             interpret=False, phases=1, phases1=1,
+                             prefilter=0):
     """Sharded batched serving: per shard, one coarse sweep serves all B
     queries and the per-shard batched fine rescan runs on local DMAs; the
     fixed-size (B, 3, K) candidate blocks merge with one all-gather along K.
@@ -703,20 +847,30 @@ def _two_stage_sharded_batch(queries, d0, d1, lengths, db_c,
 
     def shard_fn(qs, qc, d0_loc, d1_loc, ln_loc, dc_loc):
         t_loc = ln_loc.shape[0]
-        if phases > 1:
-            best_corr, centers_all = _coarse_best_batch_phased(
-                qs, dc_loc, stride=stride, phases=phases,
-                coarse_kind=coarse_kind, coarse_channels=coarse_channels,
-                lc_true=lc_true, coarse_tile=coarse_tile,
-                interpret=interpret)
+        if phases > 1 and prefilter:
+            # Two-pass phased coarse per shard: indices/gathers are all
+            # shard-local, so the prefilter applies to each chip's own
+            # track range before the all-gather merge.
+            cand, centers = _coarse_pool_twopass(
+                qs, dc_loc, stride=stride, phases=phases, phases1=phases1,
+                prefilter=prefilter, pool=pool, coarse_kind=coarse_kind,
+                coarse_channels=coarse_channels, lc_true=lc_true,
+                coarse_tile=coarse_tile, interpret=interpret)
         else:
-            best_corr, best_a = _coarse_best_batch(qc, dc_loc,
-                                                   lc_true=lc_true,
-                                                   coarse_tile=coarse_tile,
-                                                   interpret=interpret)
-            centers_all = best_a * stride
-        cand = jax.vmap(lambda bc: _pool_candidates(bc, pool))(best_corr)
-        centers = jnp.take_along_axis(centers_all, cand, axis=1)
+            if phases > 1:
+                best_corr, centers_all = _coarse_best_batch_phased(
+                    qs, dc_loc, stride=stride, phases=phases,
+                    coarse_kind=coarse_kind, coarse_channels=coarse_channels,
+                    lc_true=lc_true, coarse_tile=coarse_tile,
+                    interpret=interpret)
+            else:
+                best_corr, best_a = _coarse_best_batch(qc, dc_loc,
+                                                       lc_true=lc_true,
+                                                       coarse_tile=coarse_tile,
+                                                       interpret=interpret)
+                centers_all = best_a * stride
+            cand = jax.vmap(lambda bc: _pool_candidates(bc, pool))(best_corr)
+            centers = jnp.take_along_axis(centers_all, cand, axis=1)
         starts = jnp.clip(centers - fine_window, 0,
                           max(l_true - span, 0))
         s, o = pallas_fine_rescan_batch(qs, d0_loc, d1_loc, ln_loc, cand,
@@ -751,32 +905,43 @@ def _coarse_best(query_c, db_c, *, lc_true, coarse_tile, interpret):
     jax.jit,
     static_argnames=("stride", "pool", "fine_window", "l_true", "lpad",
                      "lc_true", "coarse_tile", "coarse_kind",
-                     "coarse_channels", "interpret", "phases"),
+                     "coarse_channels", "interpret", "phases", "phases1",
+                     "prefilter"),
 )
 def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
                           *, stride, pool, fine_window, l_true, lpad,
                           lc_true=None, coarse_tile=128, coarse_kind="sign",
-                          coarse_channels=64, interpret=False, phases=1):
+                          coarse_channels=64, interpret=False, phases=1,
+                          phases1=1, prefilter=0):
     """Two-stage match with the Pallas kernels (TPU path)."""
     from ..ops.pallas_fine import pallas_fine_rescan
 
-    if phases > 1:
-        best_corr, centers = _coarse_best_phased(
-            query, db_c, stride=stride, phases=phases,
+    if phases > 1 and prefilter:
+        cand_b, centers_b = _coarse_pool_twopass(
+            query[None], db_c, stride=stride, phases=phases,
+            phases1=phases1, prefilter=prefilter, pool=pool,
             coarse_kind=coarse_kind, coarse_channels=coarse_channels,
             lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret)
+        cand, centers_k = cand_b[0], centers_b[0]
     else:
-        query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind,
-                                        channels=coarse_channels)
-        best_corr, best_a = _coarse_best(query_c, db_c, lc_true=lc_true,
-                                         coarse_tile=coarse_tile,
-                                         interpret=interpret)
-        centers = best_a * stride
-    cand = _pool_candidates(best_corr, pool)
+        if phases > 1:
+            best_corr, centers = _coarse_best_phased(
+                query, db_c, stride=stride, phases=phases,
+                coarse_kind=coarse_kind, coarse_channels=coarse_channels,
+                lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret)
+        else:
+            query_c = coarse_ops.coarse_pm1(query, stride, kind=coarse_kind,
+                                            channels=coarse_channels)
+            best_corr, best_a = _coarse_best(query_c, db_c, lc_true=lc_true,
+                                             coarse_tile=coarse_tile,
+                                             interpret=interpret)
+            centers = best_a * stride
+        cand = _pool_candidates(best_corr, pool)
+        centers_k = centers[cand]
     n = query.shape[0]
     n_fine = 2 * fine_window + 1
     span = n + n_fine - 1
-    starts = jnp.clip(centers[cand] - fine_window, 0,
+    starts = jnp.clip(centers_k - fine_window, 0,
                       max(l_true - span, 0))
     s, o = pallas_fine_rescan(query, d0, d1, lengths, cand, starts,
                               n_fine=n_fine, lpad=lpad, interpret=interpret)
@@ -810,13 +975,15 @@ def _two_stage_jit(query, prints, lengths, db_c, *, stride, pool, fine_window,
     jax.jit,
     static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
                      "lpad", "lc_true", "coarse_tile", "coarse_kind",
-                     "coarse_channels", "interpret", "phases"),
+                     "coarse_channels", "interpret", "phases", "phases1",
+                     "prefilter"),
 )
 def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
                               *, mesh, stride, pool, fine_window,
                               l_true, lpad, lc_true=None, coarse_tile=128,
                               coarse_kind="sign", coarse_channels=64,
-                              interpret=False, phases=1):
+                              interpret=False, phases=1, phases1=1,
+                              prefilter=0):
     """Sharded two-stage with the Pallas kernels per shard.
 
     Each chip scans its coarse shard on the MXU, rescans its own candidate
@@ -834,18 +1001,29 @@ def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
 
     def shard_fn(q, qc, d0_loc, d1_loc, ln_loc, dc_loc):
         t_loc = ln_loc.shape[0]
-        if phases > 1:
-            best_corr, centers = _coarse_best_phased(
-                q, dc_loc, stride=stride, phases=phases,
+        if phases > 1 and prefilter:
+            cand_b, centers_b = _coarse_pool_twopass(
+                q[None], dc_loc, stride=stride, phases=phases,
+                phases1=phases1, prefilter=prefilter, pool=pool,
                 coarse_kind=coarse_kind, coarse_channels=coarse_channels,
-                lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret)
+                lc_true=lc_true, coarse_tile=coarse_tile,
+                interpret=interpret)
+            cand, centers_k = cand_b[0], centers_b[0]
         else:
-            best_corr, best_a = _coarse_best(qc, dc_loc, lc_true=lc_true,
-                                             coarse_tile=coarse_tile,
-                                             interpret=interpret)
-            centers = best_a * stride
-        cand = _pool_candidates(best_corr, pool)
-        starts = jnp.clip(centers[cand] - fine_window, 0,
+            if phases > 1:
+                best_corr, centers = _coarse_best_phased(
+                    q, dc_loc, stride=stride, phases=phases,
+                    coarse_kind=coarse_kind, coarse_channels=coarse_channels,
+                    lc_true=lc_true, coarse_tile=coarse_tile,
+                    interpret=interpret)
+            else:
+                best_corr, best_a = _coarse_best(qc, dc_loc, lc_true=lc_true,
+                                                 coarse_tile=coarse_tile,
+                                                 interpret=interpret)
+                centers = best_a * stride
+            cand = _pool_candidates(best_corr, pool)
+            centers_k = centers[cand]
+        starts = jnp.clip(centers_k - fine_window, 0,
                           max(l_true - span, 0))
         s, o = pallas_fine_rescan(q, d0_loc, d1_loc, ln_loc, cand, starts,
                                   n_fine=n_fine, lpad=lpad,

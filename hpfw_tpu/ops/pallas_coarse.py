@@ -314,6 +314,86 @@ def pallas_coarse_scan_batch_stacked(
     return best.T[:b0], idx.T[:b0]
 
 
+@functools.partial(jax.jit, static_argnames=("s", "tt", "lc_true", "interpret"))
+def pallas_coarse_rescan_stacked(
+    query_cs: jnp.ndarray,     # (B, V, Nc, C) int8 — V variants per query
+    db_sub_flat: jnp.ndarray,  # (B*M, lcw) int8 — per-query gathered rows,
+                               # query-major (query q owns rows q*M..(q+1)*M)
+    *,
+    s: int = BATCH_PHASES,
+    tt: int | None = None,
+    lc_true: int | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Block-diagonal phased rescan: variant v of query q scans ONLY query
+    q's M gathered coarse rows (the two-pass matcher's pass 2 — a large
+    phase count over a small candidate subset instead of over the whole
+    catalog). Returns ((B, V, M), (B, V, M)) int32 best/first-best-offset,
+    identical per (q, v) to pallas_coarse_scan on the subset.
+
+    Same kernel body as the stacked batch scan; the block-diagonal structure
+    is pure BlockSpec indexing — grid (B, M/tt), query q's programs read W
+    block column q and db rows q*M + i*tt, so no cross-query MACs are spent.
+    """
+    b, v0, nc, c = query_cs.shape
+    assert 128 % s == 0, f"phase count s={s} must divide 128"
+    # v*s lanes must be 128-aligned (roll widths / W slicing): pad variants
+    # by repeating variant 0 — callers see only their V rows.
+    unit = max(1, 128 // s)
+    v = -(-v0 // unit) * unit
+    if v != v0:
+        query_cs = jnp.concatenate(
+            [query_cs, jnp.broadcast_to(query_cs[:, :1],
+                                        (b, v - v0) + query_cs.shape[2:])],
+            axis=1)
+    bm, lcw = db_sub_flat.shape
+    assert bm % b == 0, "db_sub rows must be query-major B*M"
+    m = bm // b
+    assert lcw % 128 == 0
+    lc = lcw // c
+    n_off = (lc_true if lc_true is not None else lc) - nc + 1
+    assert n_off >= 1
+    m_blocks = -(-n_off // s)
+    k_full = (nc + s - 1) * c
+    k_pad = -(-k_full // 128) * 128
+    if tt is None:
+        tt = auto_stacked_tile(lcw, k_pad, v * s)
+        while m % tt and tt > 8:
+            tt //= 2
+    assert m % tt == 0, "pad the candidate subset to the track tile"
+    # (B, V, k_pad, s) -> (k_pad, B*V*s): query-major, variants inner.
+    w = jax.vmap(jax.vmap(lambda q: _phase_matrix(q, s, k_pad)))(
+        query_cs).transpose(2, 0, 1, 3).reshape(k_pad, b * v * s)
+    kernel = functools.partial(_stacked_kernel, b=v, s=s, lcw=lcw,
+                               k_pad=k_pad, m_blocks=m_blocks, n_off=n_off,
+                               c=c)
+    mt = m // tt
+    best, idx = pl.pallas_call(
+        kernel,
+        grid=(b, mt),
+        in_specs=[
+            pl.BlockSpec((k_pad, v * s), lambda q, i: (0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, lcw), lambda q, i, _mt=mt: (q * _mt + i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tt, v), lambda q, i, _mt=mt: (q * _mt + i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, v), lambda q, i, _mt=mt: (q * _mt + i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bm, v), jnp.int32),
+            jax.ShapeDtypeStruct((bm, v), jnp.int32),
+        ],
+        interpret=interpret,
+    )(w, db_sub_flat)
+    best = best.reshape(b, m, v).transpose(0, 2, 1)[:, :v0]
+    idx = idx.reshape(b, m, v).transpose(0, 2, 1)[:, :v0]
+    return best, idx
+
+
 def flatten_coarse(db_c: jnp.ndarray) -> jnp.ndarray:
     """(T, Lc, C) int8 -> (T, Lc_pad*C) flat, Lc padded so rows are
     128-lane aligned (Lc*C % 128 == 0). One-time XLA reshape at DB load."""

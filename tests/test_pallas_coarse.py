@@ -152,3 +152,37 @@ def test_pallas_coarse_reduced_channels():
         want_best, want_idx = _xla_best(qs[k], d)
         np.testing.assert_array_equal(np.asarray(bb[k]), want_best)
         np.testing.assert_array_equal(np.asarray(ii[k]), want_idx)
+
+
+def test_pallas_coarse_rescan_stacked_block_diagonal():
+    """Two-pass pass-2 kernel: variant v of query q scanned against ONLY
+    query q's gathered rows == per-variant pallas_coarse_scan on that
+    subset (ties, variable lengths, variant padding)."""
+    from hpfw_tpu.ops.pallas_coarse import pallas_coarse_rescan_stacked
+
+    rng = np.random.default_rng(11)
+    t, lc, nc, b, m = 48, 37, 5, 3, 16
+    d = rng.choice([-1, 1], (t, lc, 64)).astype(np.int8)
+    lens = rng.integers(nc, lc + 1, size=t)
+    for i, ln in enumerate(lens):
+        d[i, ln:] = 0
+    d[3] = d[7]                              # force ties
+    flat = np.asarray(flatten_coarse(jnp.asarray(d)))
+    cand = np.stack([rng.permutation(t)[:m] for _ in range(b)])   # (B, M)
+    cand.sort(axis=1)
+    sub = flat[cand.reshape(-1)]                                  # (B*M, lcw)
+    for v, s in [(2, 16), (4, 8), (8, 16)]:   # incl. v*s < 128 (pad path)
+        qs = rng.choice([-1, 1], (b, v, nc, 64)).astype(np.int8)
+        best, idx = pallas_coarse_rescan_stacked(
+            jnp.asarray(qs), jnp.asarray(sub), s=s, lc_true=lc,
+            interpret=True)
+        assert best.shape == (b, v, m)
+        for q in range(b):
+            for vv in range(v):
+                want_b, want_i = pallas_coarse_scan(
+                    jnp.asarray(qs[q, vv]), jnp.asarray(sub[q * m:(q + 1) * m]),
+                    s=8, tt=8, lc_true=lc, interpret=True)
+                np.testing.assert_array_equal(np.asarray(best[q, vv]),
+                                              np.asarray(want_b))
+                np.testing.assert_array_equal(np.asarray(idx[q, vv]),
+                                              np.asarray(want_i))

@@ -284,3 +284,96 @@ def test_phase_max_coarse_exact_and_robust(cfg):
     assert rankp <= rank1
     # the phase-corrected center must be within fine_window of the truth
     assert abs(int(np.asarray(centers)[3]) - (5 * stride + stride // 2)) <= stride
+
+
+def test_two_pass_prefilter_coarse(cfg):
+    """prefilter > 0 (two-pass phased coarse): (a) with prefilter >= T the
+    result is IDENTICAL to the one-pass phased match (sorted-subset pooling
+    keeps the global tie-break); (b) a small prefilter still lands the
+    misphased true track with dense-exact score/offset; (c) batched and
+    sharded paths agree."""
+    rng = np.random.default_rng(9)
+    T, L, NQ, stride = 48, 200, 64, 8
+    prints = rng.integers(0, 2 ** 32, (T, L, 2), dtype=np.uint32)
+    db = api.FingerprintDB(cfg, _filters(cfg), [str(i) for i in range(T)],
+                           prints, np.full(T, L, np.int32))
+    one = TwoStageDB(db, stride=stride, use_pallas_fine=True, coarse_tile=8,
+                     pallas_interpret=True, query_phases=4)
+    two = TwoStageDB(db, stride=stride, use_pallas_fine=True, coarse_tile=8,
+                     pallas_interpret=True, query_phases=4,
+                     prefilter=T, prefilter_phases=2)
+    qs = []
+    for k, r in enumerate((1, 3, 4, 7)):
+        off = (4 + k) * stride + r
+        q = prints[7 + k, off:off + NQ].copy()
+        flip = (rng.integers(0, 1 << 32, (NQ, 2), dtype=np.uint32)
+                & rng.integers(0, 1 << 32, (NQ, 2), dtype=np.uint32)
+                & rng.integers(0, 1 << 32, (NQ, 2), dtype=np.uint32))
+        qs.append(np.bitwise_xor(q, flip))
+    # (a) prefilter >= T: exact equality with one-pass phased, full ranking
+    for q in qs:
+        i1, s1, o1 = one.match(q, top_k=5, pool=T)
+        i2, s2, o2 = two.match(q, top_k=5, pool=T)
+        assert i1 == i2
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(o1, o2)
+    # (b) small prefilter: true track found, dense-exact score/offset
+    for k, q in enumerate(qs):
+        ids, s, o = two.match(q, top_k=1, pool=8, prefilter=16)
+        ids_d, s_d, o_d = api.match(q, db, top_k=1)
+        assert ids[0] == ids_d[0] == str(7 + k)
+        assert int(s[0]) == int(s_d[0]) and int(o[0]) == int(o_d[0])
+    # (c) batched two-pass == per-query two-pass; sharded agrees on top-1
+    batch = np.stack(qs)
+    res_b = two.match_batch(batch, top_k=1, pool=8, prefilter=16)
+    for k, (tid, s, o) in enumerate(res_b):
+        ids, s1, o1 = two.match(qs[k], top_k=1, pool=8, prefilter=16)
+        assert tid[0] == ids[0]
+        assert int(s[0]) == int(s1[0]) and int(o[0]) == int(o1[0])
+    mesh = meshlib.db_mesh(8)
+    sharded = TwoStageDB(db, stride=stride, mesh=mesh, use_pallas_fine=True,
+                         pallas_interpret=True, query_phases=4,
+                         prefilter=4, prefilter_phases=2)
+    for k, q in enumerate(qs):
+        ids, s, o = sharded.match(q, top_k=1, pool=4)
+        ids_d, s_d, o_d = api.match(q, db, top_k=1)
+        assert ids[0] == ids_d[0] == str(7 + k)
+        assert int(s[0]) == int(s_d[0]) and int(o[0]) == int(o_d[0])
+    res_sb = sharded.match_batch(batch, top_k=1, pool=4)
+    for k, (tid, s, o) in enumerate(res_sb):
+        assert tid[0] == str(7 + k)
+
+
+def test_two_pass_prefilter_xla_path_raises(cfg):
+    rng = np.random.default_rng(10)
+    prints = rng.integers(0, 2 ** 32, (8, 80, 2), dtype=np.uint32)
+    db = api.FingerprintDB(cfg, _filters(cfg), [str(i) for i in range(8)],
+                           prints, np.full(8, 80, np.int32))
+    ts = TwoStageDB(db, stride=8, query_phases=4)   # XLA path on CPU
+    with pytest.raises(NotImplementedError, match="prefilter"):
+        ts.match(prints[0, :32], top_k=1, prefilter=4)
+
+
+def test_phased_lane_chunking_equals_unchunked(cfg, monkeypatch):
+    """Large batch x phases products are split into multiple stacked-kernel
+    calls (vmem budget); chunked results must be identical."""
+    from hpfw_tpu.match import scaled as scaled_mod
+    from hpfw_tpu.match.scaled import _coarse_best_batch_phased
+    from hpfw_tpu.ops.pallas_coarse import flatten_coarse
+    from hpfw_tpu.ops import coarse as coarse_ops
+
+    rng = np.random.default_rng(12)
+    T, L, NQ, stride = 16, 120, 48, 8
+    prints = rng.integers(0, 2 ** 32, (T, L, 2), dtype=np.uint32)
+    queries = jnp.asarray(
+        np.stack([prints[i, 8 * i // 4 + i % 4:][:NQ] for i in range(6)]))
+    db_c = coarse_ops.coarse_pm1(jnp.asarray(prints), stride)
+    flat = flatten_coarse(db_c)
+    kw = dict(stride=stride, phases=4, coarse_kind="sign",
+              coarse_channels=64, lc_true=db_c.shape[1], coarse_tile=8,
+              interpret=True)
+    want_b, want_c = _coarse_best_batch_phased(queries, flat, **kw)
+    monkeypatch.setattr(scaled_mod, "_PHASED_STACK_BUDGET", 1)  # force chunks
+    got_b, got_c = _coarse_best_batch_phased(queries, flat, **kw)
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
