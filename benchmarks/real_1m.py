@@ -8,6 +8,7 @@ phase-robust operating point, with the same host-side merge the
 CPU-sim-verified all-gather performs.
 
     python benchmarks/real_1m.py [shards] [stride] [pool] [phases] [n_q]
+                                 [prefilter] [phases1]
 
 Artifacts reuse benchmarks/real_catalog.py's per-shard directories.
 """
@@ -76,7 +77,8 @@ def _build_shard(shard, d):
     log(f"shard {shard} built in {time.time() - t0:.0f}s")
 
 
-def main(n_shards=4, stride=16, pool=1024, phases=4, n_q=200):
+def main(n_shards=4, stride=16, pool=1024, phases=4, n_q=200,
+         prefilter=0, phases1=1):
     import jax.numpy as jnp
 
     cfg = HpfwConfig()
@@ -98,9 +100,10 @@ def main(n_shards=4, stride=16, pool=1024, phases=4, n_q=200):
             [str(shard * SHARD_TRACKS + i) for i in range(SHARD_TRACKS)],
             prints, lengths)
         t0 = time.time()
-        ts = TwoStageDB(db, stride=stride, query_phases=phases)
+        ts = TwoStageDB(db, stride=stride, query_phases=phases,
+                        prefilter=prefilter, prefilter_phases=phases1)
         log(f"shard {shard} two-stage ready {time.time() - t0:.0f}s")
-        bsz = min(20, max(1, 128 // phases))
+        bsz = min(20, max(1, 128 // (phases1 if prefilter else phases)))
         for i in range(0, n_q, bsz):
             res = ts.match_batch(qprints[i:i + bsz], top_k=1, pool=pool)
             for j, (tid, s, o) in enumerate(res):
@@ -124,6 +127,7 @@ def main(n_shards=4, stride=16, pool=1024, phases=4, n_q=200):
     emit("real_1m_top1", round(hits / n_q, 4), "accuracy",
          n_tracks=n_shards * SHARD_TRACKS, n_queries=n_q,
          stride=stride, pool=pool, phases=phases,
+         prefilter=prefilter, phases1=phases1,
          per_shard_ms=[round(m, 2) for m in shard_ms],
          wall_min=round((time.time() - total_t0) / 60, 1),
          note="four 250k v4-8 shard programs executed sequentially on one "

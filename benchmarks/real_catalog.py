@@ -363,6 +363,9 @@ def main():
     if phase == "phased":   # quadruples: stride channels pool phases
         pts = [tuple(rest[i:i + 4]) for i in range(0, len(rest), 4)]
         twostage(n_tracks, secs, pts)
+    if phase == "twopass":  # sextuples: + prefilter phases1 (0 = one-pass)
+        pts = [tuple(rest[i:i + 6]) for i in range(0, len(rest), 6)]
+        twostage(n_tracks, secs, pts)
     if phase == "agree":
         agree(n_tracks, secs)
 

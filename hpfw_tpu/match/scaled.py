@@ -586,11 +586,12 @@ class TwoStageDB:
         Returns a list of B (track_ids, scores, offsets) tuples, each
         identical to what match() returns for that query.
 
-        Hardware sizing bounds (clear errors, not silent wrong answers):
-        B * phases <= 128 variant lanes (stacked coarse kernel's vmem-
-        resident phase stack), and B * pool <= ~130k candidates (the fine
-        kernel's SMEM scalar prefetch; observed compile OOM at B=20 x
-        pool 8192). Split the batch to go bigger.
+        Hardware sizing bounds: large B * phases products are auto-chunked
+        into multiple coarse DB sweeps (vmem-resident phase stack budget,
+        _PHASED_STACK_BUDGET) — correct but slower; prefer the two-pass
+        prefilter for large phase counts. B * pool <= ~130k candidates (the
+        fine kernel's SMEM scalar prefetch; observed compile OOM at B=20 x
+        pool 8192) — split the batch to go bigger.
         """
         if not self.use_pallas_fine:
             raise ValueError("match_batch requires the Pallas fine path "
