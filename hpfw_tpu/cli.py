@@ -136,12 +136,16 @@ def cmd_match(args):
     pcm, _ = load_wav(args.query, db.cfg)
     qfp = api.fingerprint(pcm, db.filters, db.cfg)
     t0 = time.time()
+    ts_kw = dict(pool=getattr(args, "pool", None),
+                 phases=getattr(args, "phases", None),
+                 prefilter=getattr(args, "prefilter", None))
     if ts is not None:
-        ids, scores, offs = ts.match(qfp, top_k=args.top_k)
+        ids, scores, offs = ts.match(qfp, top_k=args.top_k, **ts_kw)
     elif args.scaled:
         from .match.scaled import TwoStageDB
 
-        ids, scores, offs = TwoStageDB(db).match(qfp, top_k=args.top_k)
+        ids, scores, offs = TwoStageDB(db).match(qfp, top_k=args.top_k,
+                                                 **ts_kw)
     else:
         ids, scores, offs = api.match(qfp, db, top_k=args.top_k)
     dt = (time.time() - t0) * 1e3
@@ -348,6 +352,13 @@ def main(argv=None):
     m.add_argument("--top-k", type=int, default=5)
     m.add_argument("--scaled", action="store_true",
                    help="two-stage coarse->fine matcher")
+    m.add_argument("--phases", type=int, default=None,
+                   help="coarse query phase variants (two-stage; default "
+                        "from the DB's config)")
+    m.add_argument("--prefilter", type=int, default=None,
+                   help="two-pass coarse: pass-1 pool size (0 = one-pass)")
+    m.add_argument("--pool", type=int, default=None,
+                   help="fine rescan candidate pool (two-stage)")
     m.set_defaults(fn=cmd_match)
 
     bc = sub.add_parser("build-cache", help="persist derived two-stage state "
