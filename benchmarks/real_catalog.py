@@ -294,11 +294,18 @@ def twostage(n_tracks, secs, points=None):
             q.block_until_ready()
         ts.dispatch(qs_dev[0], pool=pool, phases=phases, prefilter=prefilter,
                     phases1=phases1).block_until_ready()
-        t0 = time.perf_counter()
-        outs = [ts.dispatch(q, pool=pool, phases=phases, prefilter=prefilter,
-                            phases1=phases1) for q in qs_dev]
-        np.asarray(outs[-1])
-        per_ms = (time.perf_counter() - t0) / len(qs_dev) * 1e3
+        # Two queued rounds, best-of: a single post-derivation allocator
+        # stall or stray recompile poisoned one 20-query round in a prior
+        # run (15 s/query reported at an 11 ms operating point).
+        per_ms = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = [ts.dispatch(q, pool=pool, phases=phases,
+                                prefilter=prefilter, phases1=phases1)
+                    for q in qs_dev]
+            np.asarray(outs[-1])
+            per_ms = min(per_ms,
+                         (time.perf_counter() - t0) / len(qs_dev) * 1e3)
         b = 10
         qb = jnp.asarray(qprints[:b])
         qb.block_until_ready()
