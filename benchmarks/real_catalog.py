@@ -13,6 +13,9 @@ Phases (resumable; artifacts under /tmp/hpfw_real_cat/<N>_<S>/):
     python benchmarks/real_catalog.py queries  N SECONDS [NQ]
     python benchmarks/real_catalog.py dense    N SECONDS [ND]  # exhaustive top-1
     python benchmarks/real_catalog.py twostage N SECONDS [points...]
+    python benchmarks/real_catalog.py phased   N SECONDS [s C pool ph]...
+    python benchmarks/real_catalog.py twopass  N SECONDS [s C pool ph pf ph1]...
+    python benchmarks/real_catalog.py twopassc N SECONDS [s C pool ph pf ph1 C1]...
     python benchmarks/real_catalog.py all      N SECONDS
 
 Operating points (stride/channels/pool) default to the three shipped ones:
@@ -233,17 +236,20 @@ def twostage(n_tracks, secs, points=None):
         phases = point[3] if len(point) > 3 else 1
         prefilter = point[4] if len(point) > 4 else 0
         phases1 = point[5] if len(point) > 5 else 1
+        channels1 = point[6] if len(point) > 6 else 0
         log(f"== operating point stride={stride} C={channels} pool={pool}"
-            f" phases={phases} prefilter={prefilter}x{phases1}")
-        if (stride, channels) != cur_key:
+            f" phases={phases} prefilter={prefilter}x{phases1}"
+            + (f" C1={channels1}" if channels1 else ""))
+        if (stride, channels, channels1) != cur_key:
             ts = None          # drop the previous derivation's device arrays
             cfg = HpfwConfig(coarse_channels=channels)
             db = api.FingerprintDB(cfg, filters,
                                    [str(i) for i in range(n_tracks)],
                                    prints, lengths)
             t0 = time.time()
-            ts = TwoStageDB(db, stride=stride)
-            cur_key = (stride, channels)
+            ts = TwoStageDB(db, stride=stride,
+                            prefilter_channels=channels1 or None)
+            cur_key = (stride, channels, channels1)
             log(f"  db ready {time.time() - t0:.0f}s")
 
         # Recall over all queries, batched dispatches. Per-query results are
@@ -274,6 +280,8 @@ def twostage(n_tracks, secs, points=None):
                                                   if phases > 1 else "")
         if prefilter:
             tag += f"_pf{prefilter}x{phases1}"
+            if channels1:
+                tag += f"c{channels1}"
         np.savez(os.path.join(d, f"tsres_{tag}.npz"),
                  ids=ts_ids, scores=ts_scores, offsets=ts_offs)
         top1 = hits / nq
@@ -372,6 +380,9 @@ def main():
         twostage(n_tracks, secs, pts)
     if phase == "twopass":  # sextuples: + prefilter phases1 (0 = one-pass)
         pts = [tuple(rest[i:i + 6]) for i in range(0, len(rest), 6)]
+        twostage(n_tracks, secs, pts)
+    if phase == "twopassc":  # septuples: + pass-1 channels (0 = full C)
+        pts = [tuple(rest[i:i + 7]) for i in range(0, len(rest), 7)]
         twostage(n_tracks, secs, pts)
     if phase == "agree":
         agree(n_tracks, secs)

@@ -166,11 +166,17 @@ def cmd_build_cache(args):
     db = api.FingerprintDB.load(args.db)
     t0 = time.time()
     ts = TwoStageDB(db, stride=args.stride, coarse_channels=args.channels,
+                    prefilter_channels=args.prefilter_channels,
                     keep_host=True)
     print(f"derived two-stage state in {time.time() - t0:.1f}s")
     ts.save(args.output)
     print(f"wrote {args.output} ({db.n_tracks} tracks, stride {ts.stride}, "
           f"C={ts.coarse_channels})")
+    if (args.prefilter_channels
+            and ts.prefilter_channels != args.prefilter_channels):
+        print(f"note: prefilter-channels={args.prefilter_channels} needs the "
+              "flat-layout Pallas coarse path (TPU); cache derived without "
+              "a pass-1 subset DB", file=sys.stderr)
     if args.warmup_prints:
         batches = tuple(int(x) for x in args.warmup_batches.split(",") if x)
         t0 = time.time()
@@ -367,6 +373,9 @@ def main(argv=None):
     bc.add_argument("-o", "--output", required=True)
     bc.add_argument("--stride", type=int, default=None)
     bc.add_argument("--channels", type=int, default=None)
+    bc.add_argument("--prefilter-channels", type=int, default=None,
+                    help="pass-1 coarse channels (< channels derives the "
+                    "cheap prefilter sweep DB into the cache)")
     bc.add_argument("--warmup-prints", type=int, default=0,
                     help="query print count to compile serving programs for")
     bc.add_argument("--warmup-batches", default="",

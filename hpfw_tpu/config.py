@@ -84,6 +84,15 @@ class HpfwConfig:
                                   # (RESULTS.md round 3)
     coarse_prefilter_phases: int = 1  # pass-1 phase variants (must divide
                                       # db_downsample)
+    coarse_prefilter_channels: int = 0  # pass-1 coarse channels (<= coarse_
+                                        # channels; 0 = same). The pass-1
+                                        # catalog sweep is HBM-bound on the
+                                        # flat coarse DB, and hashprint
+                                        # channels are PCA-ordered — a
+                                        # C1<C prefix subset halves/quarters
+                                        # pass-1 bytes (extra HBM: C1/64 of
+                                        # the coarse DB) while pass 2 still
+                                        # rescans its pooled rows at full C
     coarse_channels: int = 64     # coarse-print channels per window (<=64):
                                   # hashprint channels are PCA-ordered, so
                                   # the first C are the most informative —
@@ -143,6 +152,10 @@ class HpfwConfig:
         if self.coarse_prefilter:
             assert self.db_downsample % self.coarse_prefilter_phases == 0, \
                 "coarse_prefilter_phases must divide db_downsample"
+        c1 = self.coarse_prefilter_channels
+        assert c1 == 0 or (8 <= c1 <= self.coarse_channels and c1 % 8 == 0), \
+            ("coarse_prefilter_channels must be 0 (= coarse_channels) or a "
+             "multiple of 8 in [8, coarse_channels]")
         if self.coarse_kind == "sum":
             assert self.db_downsample <= 127, "sum coarse prints are int8"
         assert self.window in ("hann", "hamming")

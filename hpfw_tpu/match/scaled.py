@@ -167,7 +167,8 @@ class TwoStageDB:
                  keep_host: bool = False,
                  query_phases: int | None = None,
                  prefilter: int | None = None,
-                 prefilter_phases: int | None = None):
+                 prefilter_phases: int | None = None,
+                 prefilter_channels: int | None = None):
         self.db = db
         self._host_state = None
         cfg = db.cfg
@@ -183,6 +184,11 @@ class TwoStageDB:
         self.prefilter_phases = (
             prefilter_phases if prefilter_phases is not None
             else getattr(cfg, "coarse_prefilter_phases", 1))
+        pc = (prefilter_channels if prefilter_channels is not None
+              else getattr(cfg, "coarse_prefilter_channels", 0))
+        self.prefilter_channels = pc if pc else self.coarse_channels
+        if self.prefilter_channels > self.coarse_channels:
+            raise ValueError("prefilter_channels must be <= coarse_channels")
         if self.stride % self.query_phases:
             raise ValueError("query_phases must divide the coarse stride")
         if self.prefilter_phases > 1 and self.stride % self.prefilter_phases:
@@ -241,14 +247,27 @@ class TwoStageDB:
         mask = (jnp.arange(lc)[None, :] < (jnp.asarray(lengths) // self.stride)[:, None])
         coarse = jnp.where(mask[..., None], coarse, 0).astype(jnp.int8)
         self.lc_true = lc
+        coarse1 = None
+        if not use_pallas_coarse:
+            # The channel-subset pass-1 DB only exists on the flat-layout
+            # Pallas path (prefilter itself raises elsewhere); collapse the
+            # knob so save()/load() and jit cache keys stay consistent.
+            self.prefilter_channels = self.coarse_channels
         if use_pallas_coarse:
             from ..ops.pallas_coarse import flatten_coarse
 
+            if self.prefilter_channels < self.coarse_channels:
+                # Channel-subset pass-1 DB: channels are PCA-ordered, so the
+                # C1 prefix is each window's most informative bits — the
+                # HBM-bound pass-1 sweep reads C1/C of the bytes.
+                coarse1 = flatten_coarse(coarse[..., : self.prefilter_channels])
             coarse = flatten_coarse(coarse)
         if mesh is not None:
             shard = NamedSharding(mesh, P(DB_AXIS))
             self.lengths = jax.device_put(jnp.asarray(lengths), shard)
             self.db_c = jax.device_put(coarse, shard)
+            self.db_c1 = (self.db_c if coarse1 is None
+                          else jax.device_put(coarse1, shard))
             if use_pallas_fine:
                 # Flat word planes, sharded over tracks: T_pad divides the
                 # mesh, each shard's chunk of the 1-D plane holds whole
@@ -268,6 +287,7 @@ class TwoStageDB:
             self.prints = prints_dev
             self.lengths = jnp.asarray(lengths)
             self.db_c = coarse
+            self.db_c1 = self.db_c if coarse1 is None else jnp.asarray(coarse1)
             if use_pallas_fine:
                 # Flat split word planes (see ops/pallas_fine.py layout
                 # constraints). Packed prints leave the device BEFORE the
@@ -286,6 +306,8 @@ class TwoStageDB:
             # Host copies retained so save() never pulls the big planes back
             # over the (slow) device link; save() drops them afterwards.
             state = {"lengths": np.asarray(lengths), "coarse": np.asarray(coarse)}
+            if coarse1 is not None:
+                state["coarse1"] = np.asarray(coarse1)
             if self.use_pallas_fine:
                 state["d0"], state["d1"] = d0, d1
             else:
@@ -317,6 +339,7 @@ class TwoStageDB:
             "stride": int(self.stride),
             "coarse_kind": self.coarse_kind,
             "coarse_channels": int(self.coarse_channels),
+            "prefilter_channels": int(self.prefilter_channels),
             "coarse_tile": int(self.coarse_tile),
             "lc_true": int(self.lc_true),
             "n_real": int(self.n_real),
@@ -337,6 +360,8 @@ class TwoStageDB:
         else:
             dump("prints", hs.get("prints", self.prints))
         dump("coarse", hs.get("coarse", self.db_c))
+        if self.db_c1 is not self.db_c:
+            dump("coarse1", hs.get("coarse1", self.db_c1))
         dump("lengths", hs.get("lengths", self.lengths))
         dump("filters", self.db.filters)
         dump("track_ids", np.array(self.db.track_ids))
@@ -389,6 +414,8 @@ class TwoStageDB:
         self.stride = m["stride"]
         self.coarse_kind = m["coarse_kind"]
         self.coarse_channels = m["coarse_channels"]
+        self.prefilter_channels = m.get("prefilter_channels",
+                                        m["coarse_channels"])
         self.coarse_tile = m["coarse_tile"]
         self.lc_true = m["lc_true"]
         self.n_real = n_real
@@ -403,6 +430,9 @@ class TwoStageDB:
                if mesh is not None else jnp.asarray)
         self.lengths = put(np.asarray(lengths))
         self.db_c = put(grab("coarse"))
+        self.db_c1 = (put(grab("coarse1"))
+                      if self.prefilter_channels < self.coarse_channels
+                      else self.db_c)
         if self.use_pallas_fine:
             self.lpad = m["lpad"]
             self.l_true = m["l_true"]
@@ -450,7 +480,11 @@ class TwoStageDB:
                 "truncated-overlap semantics")
 
     def _twopass_args(self, phases, prefilter, phases1, t):
-        """Resolve + validate the two-pass knobs for a dispatch."""
+        """Resolve + validate the two-pass knobs for a dispatch.
+
+        Returns (prefilter, phases1, channels1): channels1 is the pass-1
+        channel count — fixed at construction (the subset DB is derived
+        then), so it has no per-dispatch override."""
         pf = prefilter if prefilter is not None else self.prefilter
         p1 = phases1 if phases1 is not None else self.prefilter_phases
         if pf:
@@ -464,7 +498,10 @@ class TwoStageDB:
                     "path (use_pallas_coarse=True)")
         else:
             pf, p1 = 0, 1
-        return pf, p1
+        # channels1 is unused when pf == 0; pin it to coarse_channels there
+        # so toggling prefilter off doesn't fork the jit cache key.
+        return pf, p1, (self.prefilter_channels if pf else
+                        self.coarse_channels)
 
     def dispatch(self, query_dev, *, pool: int | None = None,
                  fine_window: int | None = None, phases: int | None = None,
@@ -479,17 +516,18 @@ class TwoStageDB:
         pool = pool if pool is not None else cfg.fine_candidates
         fw = fine_window if fine_window is not None else self.stride
         ph = phases if phases is not None else self.query_phases
-        pf, p1 = self._twopass_args(ph, prefilter, phases1,
-                                    self.lengths.shape[0])
+        pf, p1, c1 = self._twopass_args(ph, prefilter, phases1,
+                                        self.lengths.shape[0])
         if self.mesh is None and self.use_pallas_fine:
             return _two_stage_pallas_jit(
                 query_dev, self.d0, self.d1, self.lengths, self.db_c,
+                self.db_c1,
                 stride=self.stride, pool=pool, fine_window=fw,
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 coarse_channels=self.coarse_channels,
                 interpret=self.pallas_interpret, phases=ph, phases1=p1,
-                prefilter=pf)
+                prefilter=pf, channels1=c1)
         if self.mesh is None:
             if pf:
                 raise NotImplementedError(
@@ -506,12 +544,13 @@ class TwoStageDB:
                 pf = min(pf, self.lengths.shape[0] // self.mesh.devices.size)
             return _two_stage_sharded_pallas(
                 query_dev, self.d0, self.d1, self.lengths, self.db_c,
+                self.db_c1,
                 mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 coarse_channels=self.coarse_channels,
                 interpret=self.pallas_interpret, phases=ph, phases1=p1,
-                prefilter=pf)
+                prefilter=pf, channels1=c1)
         if ph > 1:
             raise NotImplementedError(
                 "query_phases on the sharded XLA path: use the Pallas path")
@@ -553,27 +592,29 @@ class TwoStageDB:
         pool = pool if pool is not None else cfg.fine_candidates
         fw = fine_window if fine_window is not None else self.stride
         ph = phases if phases is not None else self.query_phases
-        pf, p1 = self._twopass_args(ph, prefilter, phases1,
-                                    self.lengths.shape[0])
+        pf, p1, c1 = self._twopass_args(ph, prefilter, phases1,
+                                        self.lengths.shape[0])
         if self.mesh is not None:
             if pf:
                 pf = min(pf, self.lengths.shape[0] // self.mesh.devices.size)
             return _two_stage_sharded_batch(
                 queries_dev, self.d0, self.d1, self.lengths, self.db_c,
+                self.db_c1,
                 mesh=self.mesh, stride=self.stride, pool=pool, fine_window=fw,
                 l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 coarse_channels=self.coarse_channels,
                 interpret=self.pallas_interpret, phases=ph, phases1=p1,
-                prefilter=pf)
+                prefilter=pf, channels1=c1)
         return _two_stage_pallas_batch_jit(
             queries_dev, self.d0, self.d1, self.lengths, self.db_c,
+            self.db_c1,
             stride=self.stride, pool=pool, fine_window=fw,
             l_true=self.l_true, lpad=self.lpad, lc_true=self.lc_true,
             coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
             coarse_channels=self.coarse_channels,
             interpret=self.pallas_interpret, phases=ph, phases1=p1,
-            prefilter=pf)
+            prefilter=pf, channels1=c1)
 
     def match_batch(self, query_batch: np.ndarray, *, top_k: int | None = None,
                     pool: int | None = None, fine_window: int | None = None,
@@ -722,9 +763,9 @@ def _coarse_best_batch_phased(queries, db_c, *, stride, phases, coarse_kind,
     return best, centers
 
 
-def _coarse_pool_twopass(queries, db_c, *, stride, phases, phases1,
+def _coarse_pool_twopass(queries, db_c, db_c1, *, stride, phases, phases1,
                          prefilter, pool, coarse_kind, coarse_channels,
-                         lc_true, coarse_tile, interpret):
+                         channels1, lc_true, coarse_tile, interpret):
     """Two-pass phased coarse stage: a cheap pass-1 sweep of the WHOLE
     catalog (phases1 variant lanes) pools the top `prefilter` tracks per
     query; pass 2 rescans only those gathered rows with the full `phases`
@@ -739,15 +780,19 @@ def _coarse_pool_twopass(queries, db_c, *, stride, phases, phases1,
     from ..ops.pallas_coarse import pallas_coarse_rescan_stacked
 
     b = queries.shape[0]
+    # Pass 1 sweeps the whole catalog on the (possibly channel-subset)
+    # pass-1 DB — its scores only rank tracks into the prefilter pool, so
+    # the cheaper C1-prefix representation suffices (pass 2 rescans at
+    # full channel count).
     if phases1 > 1:
         best1, _ = _coarse_best_batch_phased(
-            queries, db_c, stride=stride, phases=phases1,
-            coarse_kind=coarse_kind, coarse_channels=coarse_channels,
+            queries, db_c1, stride=stride, phases=phases1,
+            coarse_kind=coarse_kind, coarse_channels=channels1,
             lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret)
     else:
         qc = jax.vmap(lambda q: coarse_ops.coarse_pm1(
-            q, stride, kind=coarse_kind, channels=coarse_channels))(queries)
-        best1, _ = _coarse_best_batch(qc, db_c, lc_true=lc_true,
+            q, stride, kind=coarse_kind, channels=channels1))(queries)
+        best1, _ = _coarse_best_batch(qc, db_c1, lc_true=lc_true,
                                       coarse_tile=coarse_tile,
                                       interpret=interpret)
     t = db_c.shape[0]
@@ -778,23 +823,25 @@ def _coarse_pool_twopass(queries, db_c, *, stride, phases, phases1,
     jax.jit, static_argnames=("stride", "pool", "fine_window", "l_true",
                               "lpad", "lc_true", "coarse_tile", "coarse_kind",
                               "coarse_channels", "interpret", "phases",
-                              "phases1", "prefilter")
+                              "phases1", "prefilter", "channels1")
 )
-def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
+def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c, db_c1,
                                 *, stride, pool, fine_window, l_true, lpad,
                                 lc_true=None, coarse_tile=128,
                                 coarse_kind="sign", coarse_channels=64,
                                 interpret=False, phases=1, phases1=1,
-                                prefilter=0):
+                                prefilter=0, channels1=64):
     """Batched two-stage match: one coarse DB sweep serves all B queries."""
     from ..ops.pallas_fine import pallas_fine_rescan_batch
 
     b = queries.shape[0]
     if phases > 1 and prefilter:
         cand, centers = _coarse_pool_twopass(
-            queries, db_c, stride=stride, phases=phases, phases1=phases1,
+            queries, db_c, db_c1, stride=stride, phases=phases,
+            phases1=phases1,
             prefilter=prefilter, pool=pool, coarse_kind=coarse_kind,
-            coarse_channels=coarse_channels, lc_true=lc_true,
+            coarse_channels=coarse_channels, channels1=channels1,
+            lc_true=lc_true,
             coarse_tile=coarse_tile, interpret=interpret)
     else:
         if phases > 1:
@@ -826,14 +873,14 @@ def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c,
     static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
                      "lpad", "lc_true", "coarse_tile", "coarse_kind",
                      "coarse_channels", "interpret", "phases", "phases1",
-                     "prefilter"),
+                     "prefilter", "channels1"),
 )
-def _two_stage_sharded_batch(queries, d0, d1, lengths, db_c,
+def _two_stage_sharded_batch(queries, d0, d1, lengths, db_c, db_c1,
                              *, mesh, stride, pool, fine_window, l_true,
                              lpad, lc_true=None, coarse_tile=128,
                              coarse_kind="sign", coarse_channels=64,
                              interpret=False, phases=1, phases1=1,
-                             prefilter=0):
+                             prefilter=0, channels1=64):
     """Sharded batched serving: per shard, one coarse sweep serves all B
     queries and the per-shard batched fine rescan runs on local DMAs; the
     fixed-size (B, 3, K) candidate blocks merge with one all-gather along K.
@@ -846,16 +893,18 @@ def _two_stage_sharded_batch(queries, d0, d1, lengths, db_c,
     n_fine = 2 * fine_window + 1
     span = n + n_fine - 1
 
-    def shard_fn(qs, qc, d0_loc, d1_loc, ln_loc, dc_loc):
+    def shard_fn(qs, qc, d0_loc, d1_loc, ln_loc, dc_loc, dc1_loc):
         t_loc = ln_loc.shape[0]
         if phases > 1 and prefilter:
             # Two-pass phased coarse per shard: indices/gathers are all
             # shard-local, so the prefilter applies to each chip's own
             # track range before the all-gather merge.
             cand, centers = _coarse_pool_twopass(
-                qs, dc_loc, stride=stride, phases=phases, phases1=phases1,
+                qs, dc_loc, dc1_loc, stride=stride, phases=phases,
+                phases1=phases1,
                 prefilter=prefilter, pool=pool, coarse_kind=coarse_kind,
-                coarse_channels=coarse_channels, lc_true=lc_true,
+                coarse_channels=coarse_channels, channels1=channels1,
+                lc_true=lc_true,
                 coarse_tile=coarse_tile, interpret=interpret)
         else:
             if phases > 1:
@@ -884,10 +933,11 @@ def _two_stage_sharded_batch(queries, d0, d1, lengths, db_c,
 
     return jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS)),
+        in_specs=(P(), P(), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS),
+                  P(DB_AXIS)),
         out_specs=P(),
         check_vma=False,
-    )(queries, qcs, d0, d1, lengths, db_c)
+    )(queries, qcs, d0, d1, lengths, db_c, db_c1)
 
 
 def _coarse_best(query_c, db_c, *, lc_true, coarse_tile, interpret):
@@ -907,21 +957,22 @@ def _coarse_best(query_c, db_c, *, lc_true, coarse_tile, interpret):
     static_argnames=("stride", "pool", "fine_window", "l_true", "lpad",
                      "lc_true", "coarse_tile", "coarse_kind",
                      "coarse_channels", "interpret", "phases", "phases1",
-                     "prefilter"),
+                     "prefilter", "channels1"),
 )
-def _two_stage_pallas_jit(query, d0, d1, lengths, db_c,
+def _two_stage_pallas_jit(query, d0, d1, lengths, db_c, db_c1,
                           *, stride, pool, fine_window, l_true, lpad,
                           lc_true=None, coarse_tile=128, coarse_kind="sign",
                           coarse_channels=64, interpret=False, phases=1,
-                          phases1=1, prefilter=0):
+                          phases1=1, prefilter=0, channels1=64):
     """Two-stage match with the Pallas kernels (TPU path)."""
     from ..ops.pallas_fine import pallas_fine_rescan
 
     if phases > 1 and prefilter:
         cand_b, centers_b = _coarse_pool_twopass(
-            query[None], db_c, stride=stride, phases=phases,
+            query[None], db_c, db_c1, stride=stride, phases=phases,
             phases1=phases1, prefilter=prefilter, pool=pool,
             coarse_kind=coarse_kind, coarse_channels=coarse_channels,
+            channels1=channels1,
             lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret)
         cand, centers_k = cand_b[0], centers_b[0]
     else:
@@ -977,14 +1028,14 @@ def _two_stage_jit(query, prints, lengths, db_c, *, stride, pool, fine_window,
     static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
                      "lpad", "lc_true", "coarse_tile", "coarse_kind",
                      "coarse_channels", "interpret", "phases", "phases1",
-                     "prefilter"),
+                     "prefilter", "channels1"),
 )
-def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
+def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c, db_c1,
                               *, mesh, stride, pool, fine_window,
                               l_true, lpad, lc_true=None, coarse_tile=128,
                               coarse_kind="sign", coarse_channels=64,
                               interpret=False, phases=1, phases1=1,
-                              prefilter=0):
+                              prefilter=0, channels1=64):
     """Sharded two-stage with the Pallas kernels per shard.
 
     Each chip scans its coarse shard on the MXU, rescans its own candidate
@@ -1000,13 +1051,14 @@ def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
     n_fine = 2 * fine_window + 1
     span = n + n_fine - 1
 
-    def shard_fn(q, qc, d0_loc, d1_loc, ln_loc, dc_loc):
+    def shard_fn(q, qc, d0_loc, d1_loc, ln_loc, dc_loc, dc1_loc):
         t_loc = ln_loc.shape[0]
         if phases > 1 and prefilter:
             cand_b, centers_b = _coarse_pool_twopass(
-                q[None], dc_loc, stride=stride, phases=phases,
+                q[None], dc_loc, dc1_loc, stride=stride, phases=phases,
                 phases1=phases1, prefilter=prefilter, pool=pool,
                 coarse_kind=coarse_kind, coarse_channels=coarse_channels,
+                channels1=channels1,
                 lc_true=lc_true, coarse_tile=coarse_tile,
                 interpret=interpret)
             cand, centers_k = cand_b[0], centers_b[0]
@@ -1036,10 +1088,11 @@ def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c,
 
     return jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS)),
+        in_specs=(P(), P(), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS), P(DB_AXIS),
+                  P(DB_AXIS)),
         out_specs=P(),
         check_vma=False,
-    )(query, query_c, d0, d1, lengths, db_c)
+    )(query, query_c, d0, d1, lengths, db_c, db_c1)
 
 
 @functools.partial(

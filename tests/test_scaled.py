@@ -344,6 +344,75 @@ def test_two_pass_prefilter_coarse(cfg):
         assert tid[0] == str(7 + k)
 
 
+def test_prefilter_channel_subset(cfg, tmp_path):
+    """prefilter_channels < coarse_channels (cheap pass-1 sweep on the
+    C1-prefix coarse DB): (a) with prefilter >= T results are IDENTICAL to
+    the full-channel one-pass phased match (every track pools regardless of
+    pass-1 ranking); (b) a small prefilter still lands the true track with
+    dense-exact score/offset, single and batched; (c) the derived subset DB
+    save/loads; (d) the sharded path agrees."""
+    rng = np.random.default_rng(21)
+    T, L, NQ, stride = 48, 200, 64, 8
+    prints = rng.integers(0, 2 ** 32, (T, L, 2), dtype=np.uint32)
+    db = api.FingerprintDB(cfg, _filters(cfg), [str(i) for i in range(T)],
+                           prints, np.full(T, L, np.int32))
+    one = TwoStageDB(db, stride=stride, use_pallas_fine=True, coarse_tile=8,
+                     pallas_interpret=True, query_phases=4)
+    sub = TwoStageDB(db, stride=stride, use_pallas_fine=True, coarse_tile=8,
+                     pallas_interpret=True, query_phases=4,
+                     prefilter=T, prefilter_phases=2, prefilter_channels=32,
+                     keep_host=True)
+    assert sub.db_c1 is not sub.db_c
+    assert sub.db_c1.shape[1] < sub.db_c.shape[1]
+    qs = []
+    for k, r in enumerate((1, 3, 4, 7)):
+        off = (4 + k) * stride + r
+        q = prints[7 + k, off:off + NQ].copy()
+        flip = (rng.integers(0, 1 << 32, (NQ, 2), dtype=np.uint32)
+                & rng.integers(0, 1 << 32, (NQ, 2), dtype=np.uint32)
+                & rng.integers(0, 1 << 32, (NQ, 2), dtype=np.uint32))
+        qs.append(np.bitwise_xor(q, flip))
+    # (a) prefilter >= T: pass-1 ranking is irrelevant, exact equality
+    for q in qs:
+        i1, s1, o1 = one.match(q, top_k=5, pool=T)
+        i2, s2, o2 = sub.match(q, top_k=5, pool=T)
+        assert i1 == i2
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(o1, o2)
+    # (b) small prefilter on the 32-channel pass 1 still finds the truth
+    for k, q in enumerate(qs):
+        ids, s, o = sub.match(q, top_k=1, pool=8, prefilter=16)
+        ids_d, s_d, o_d = api.match(q, db, top_k=1)
+        assert ids[0] == ids_d[0] == str(7 + k)
+        assert int(s[0]) == int(s_d[0]) and int(o[0]) == int(o_d[0])
+    res_b = sub.match_batch(np.stack(qs), top_k=1, pool=8, prefilter=16)
+    for k, (tid, s, o) in enumerate(res_b):
+        assert tid[0] == str(7 + k)
+    # (c) save/load keeps the subset DB and the results
+    p = str(tmp_path / "ts_cache")
+    sub.save(p)
+    loaded = TwoStageDB.load(p)
+    loaded.pallas_interpret = True
+    assert loaded.prefilter_channels == 32
+    assert loaded.db_c1.shape == sub.db_c1.shape
+    for k, q in enumerate(qs):
+        ids, s, o = loaded.match(q, top_k=1, pool=8, prefilter=16,
+                                 phases=4, phases1=2)
+        assert ids[0] == str(7 + k)
+    # (d) sharded path with the subset pass-1
+    mesh = meshlib.db_mesh(8)
+    sharded = TwoStageDB(db, stride=stride, mesh=mesh, use_pallas_fine=True,
+                         pallas_interpret=True, query_phases=4,
+                         prefilter=4, prefilter_phases=2,
+                         prefilter_channels=32)
+    for k, q in enumerate(qs):
+        ids, s, o = sharded.match(q, top_k=1, pool=4)
+        assert ids[0] == str(7 + k)
+    res_sb = sharded.match_batch(np.stack(qs), top_k=1, pool=4)
+    for k, (tid, s, o) in enumerate(res_sb):
+        assert tid[0] == str(7 + k)
+
+
 def test_two_pass_prefilter_xla_path_raises(cfg):
     rng = np.random.default_rng(10)
     prints = rng.integers(0, 2 ** 32, (8, 80, 2), dtype=np.uint32)
