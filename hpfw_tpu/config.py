@@ -140,6 +140,26 @@ class HpfwConfig:
     def from_json(cls, s: str) -> "HpfwConfig":
         return cls(**json.loads(s))
 
+    @classmethod
+    def catalog_scale(cls, **overrides) -> "HpfwConfig":
+        """The measured catalog-scale operating point (100k+ tracks).
+
+        The plain defaults run a single-pass, single-phase coarse stage —
+        right for small catalogs and for the CPU/XLA paths, but at 250k
+        real-audio tracks query/DB coarse-window misphase costs ~20 points
+        of top-1 (RESULTS.md round 3). This preset pins the measured
+        recall point: phase-scanned coarse querying with the two-pass
+        prefilter (cheap channel-subset pass 1 over the whole catalog,
+        full-channel phased rescan of the pooled rows) — 0.87 top-1 = 96%
+        of the dense ceiling at 250k tracks. Requires the Pallas (TPU)
+        match path; small catalogs lose nothing beyond a little compute.
+        """
+        kw = dict(fine_candidates=1024, coarse_query_phases=8,
+                  coarse_prefilter=8192, coarse_prefilter_phases=2,
+                  coarse_prefilter_channels=32)
+        kw.update(overrides)
+        return cls(**kw)
+
     def validate(self) -> None:
         assert self.n_filters == 64, "hashprints are 64-bit words"
         assert self.bit_order in ("lsb0", "msb0")

@@ -413,6 +413,29 @@ def test_prefilter_channel_subset(cfg, tmp_path):
         assert tid[0] == str(7 + k)
 
 
+def test_catalog_scale_preset(cfg):
+    """HpfwConfig.catalog_scale() pins the measured 250k recall point and
+    TwoStageDB picks its knobs up; overrides pass through."""
+    from hpfw_tpu.config import HpfwConfig
+
+    c = HpfwConfig.catalog_scale()
+    c.validate()
+    assert (c.coarse_query_phases, c.coarse_prefilter,
+            c.coarse_prefilter_phases, c.coarse_prefilter_channels,
+            c.fine_candidates) == (8, 8192, 2, 32, 1024)
+    c2 = HpfwConfig.catalog_scale(coarse_prefilter_channels=16,
+                                  db_downsample=32)
+    assert c2.coarse_prefilter_channels == 16 and c2.db_downsample == 32
+    rng = np.random.default_rng(33)
+    prints = rng.integers(0, 2 ** 32, (16, 120, 2), dtype=np.uint32)
+    db = api.FingerprintDB(c, _filters(c), [str(i) for i in range(16)],
+                           prints, np.full(16, 120, np.int32))
+    ts = TwoStageDB(db, use_pallas_fine=True, pallas_interpret=True)
+    assert (ts.query_phases, ts.prefilter, ts.prefilter_phases,
+            ts.prefilter_channels) == (8, 8192, 2, 32)
+    assert ts.db_c1 is not ts.db_c
+
+
 def test_two_pass_prefilter_xla_path_raises(cfg):
     rng = np.random.default_rng(10)
     prints = rng.integers(0, 2 ** 32, (8, 80, 2), dtype=np.uint32)
