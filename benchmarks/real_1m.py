@@ -8,7 +8,7 @@ phase-robust operating point, with the same host-side merge the
 CPU-sim-verified all-gather performs.
 
     python benchmarks/real_1m.py [shards] [stride] [pool] [phases] [n_q]
-                                 [prefilter] [phases1]
+                                 [prefilter] [phases1] [channels1]
 
 Artifacts reuse benchmarks/real_catalog.py's per-shard directories.
 """
@@ -78,7 +78,7 @@ def _build_shard(shard, d):
 
 
 def main(n_shards=4, stride=16, pool=1024, phases=4, n_q=200,
-         prefilter=0, phases1=1):
+         prefilter=0, phases1=1, channels1=0):
     import jax.numpy as jnp
 
     cfg = HpfwConfig()
@@ -101,7 +101,8 @@ def main(n_shards=4, stride=16, pool=1024, phases=4, n_q=200,
             prints, lengths)
         t0 = time.time()
         ts = TwoStageDB(db, stride=stride, query_phases=phases,
-                        prefilter=prefilter, prefilter_phases=phases1)
+                        prefilter=prefilter, prefilter_phases=phases1,
+                        prefilter_channels=channels1 or None)
         log(f"shard {shard} two-stage ready {time.time() - t0:.0f}s")
         bsz = min(20, max(1, 128 // (phases1 if prefilter else phases)))
         for i in range(0, n_q, bsz):
@@ -127,7 +128,7 @@ def main(n_shards=4, stride=16, pool=1024, phases=4, n_q=200,
     emit("real_1m_top1", round(hits / n_q, 4), "accuracy",
          n_tracks=n_shards * SHARD_TRACKS, n_queries=n_q,
          stride=stride, pool=pool, phases=phases,
-         prefilter=prefilter, phases1=phases1,
+         prefilter=prefilter, phases1=phases1, channels1=channels1,
          per_shard_ms=[round(m, 2) for m in shard_ms],
          wall_min=round((time.time() - total_t0) / 60, 1),
          note="four 250k v4-8 shard programs executed sequentially on one "

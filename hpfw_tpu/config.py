@@ -150,9 +150,11 @@ class HpfwConfig:
         of top-1 (RESULTS.md round 3). This preset pins the measured
         recall point: phase-scanned coarse querying with the two-pass
         prefilter (cheap channel-subset pass 1 over the whole catalog,
-        full-channel phased rescan of the pooled rows) — 0.87 top-1 = 96%
-        of the dense ceiling at 250k tracks. Requires the Pallas (TPU)
-        match path; small catalogs lose nothing beyond a little compute.
+        full-channel phased rescan of the pooled rows) — measured 0.865
+        top-1 = 95% of the 0.91 dense ceiling at 250k real-audio tracks,
+        8.8 ms/query single / 4.4 ms batched on one v5e (RESULTS.md round
+        3). Requires the Pallas (TPU) match path; small catalogs lose
+        nothing beyond a little compute.
         """
         kw = dict(fine_candidates=1024, coarse_query_phases=8,
                   coarse_prefilter=8192, coarse_prefilter_phases=2,
