@@ -60,9 +60,13 @@ def _catalog_db(cfg, filters, n_tracks, track_seconds, n_real=8):
 
 def main(n_tracks=100, track_seconds=60.0, stream_seconds=30.0,
          query_prints=128):
-    cfg = HpfwConfig()
-    filters = make_filters(cfg)
     at_scale = n_tracks > 1000
+    # At catalog scale the production pairing uses the measured operating
+    # point (phased two-pass coarse, RESULTS.md round 3) — random-phase
+    # stream windows otherwise lose coarse recall exactly like offline
+    # queries do.
+    cfg = HpfwConfig.catalog_scale() if at_scale else HpfwConfig()
+    filters = make_filters(cfg)
     log(f"catalog: {n_tracks} x {track_seconds:.0f}s "
         f"({'two-stage' if at_scale else 'dense'})")
     if at_scale:
