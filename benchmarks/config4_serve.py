@@ -9,6 +9,14 @@ shedding — is the max-sustained-QPS headline (VERDICT r2 weak #4).
 
 Usage: python benchmarks/config4_serve.py [n_tracks] [track_s] [query_s]
                                            [max_batch] [loads_qps...]
+       python benchmarks/config4_serve.py real [max_batch] [loads_qps...]
+
+`real` serves the 250k-track REAL-AUDIO catalog (benchmarks/real_catalog.py
+artifacts) at the measured recall operating point
+(HpfwConfig.catalog_scale(): phased two-pass coarse, C1=32 pass 1) — the
+production pairing. Its recall column is end-to-end top-1 on noisy queries
+(offline ceiling 0.865 at this point, RESULTS.md), not planted-print
+recall.
 """
 
 import sys
@@ -70,30 +78,66 @@ def run_load(srv, queries, truths, lam, rng, n_queries):
     }
 
 
+def _real_catalog_db():
+    """The 250k real-audio catalog at the catalog_scale() operating point."""
+    import os
+
+    from benchmarks.real_catalog import paths
+
+    d = paths(250_000, 60.0)
+    cfg = HpfwConfig.catalog_scale()
+    prints = np.load(os.path.join(d, "prints.npy"), mmap_mode="r")
+    filters = np.load(os.path.join(d, "filters.npy"))
+    z = np.load(os.path.join(d, "queries.npz"))
+    n_tracks = prints.shape[0]
+    db = api.FingerprintDB(cfg, filters,
+                           [str(i) for i in range(n_tracks)], prints,
+                           np.full(n_tracks, prints.shape[1], np.int32))
+    t0 = time.time()
+    ts = TwoStageDB(db)
+    log(f"db ready in {time.time() - t0:.1f}s ({n_tracks} real tracks, "
+        f"phases={ts.query_phases} prefilter={ts.prefilter}"
+        f"x{ts.prefilter_phases} C1={ts.prefilter_channels})")
+    queries = [z["prints"][i] for i in range(64)]
+    truths = [str(t) for t in z["truths"][:64]]
+    return ts, queries, truths, n_tracks
+
+
 def main(n_tracks=100_000, track_seconds=60, query_seconds=10, max_batch=16,
          *loads):
-    loads = [float(x) for x in loads] or [100.0, 200.0, 300.0, 400.0,
-                                          500.0, 700.0]
-    cfg = HpfwConfig()
-    fps = cfg.frames_per_second
-    n_prints = int(track_seconds * fps)
-    n_q = int(query_seconds * fps)
-    rng = np.random.default_rng(0)
-    prints = synth_print_db(rng, n_tracks, n_prints)
-    db = api.FingerprintDB(cfg, np.zeros((cfg.context_dim, 64), np.float32),
-                           [str(i) for i in range(n_tracks)], prints,
-                           np.full(n_tracks, n_prints, np.int32))
-    t0 = time.time()
-    ts = TwoStageDB(db, stride=32)
-    log(f"db ready in {time.time() - t0:.1f}s ({n_tracks} tracks)")
+    real = n_tracks == "real"
+    if real:
+        # argv: real [max_batch] [loads...] -> track_seconds holds max_batch
+        max_batch = int(track_seconds) if track_seconds != 60 else 32
+        loads = [float(x) for x in (query_seconds,) + loads
+                 if x != 10] or [100.0, 200.0, 300.0, 400.0]
+        ts, queries, truths, n_tracks = _real_catalog_db()
+        n_q = queries[0].shape[0]
+    else:
+        loads = [float(x) for x in loads] or [100.0, 200.0, 300.0, 400.0,
+                                              500.0, 700.0]
+        cfg = HpfwConfig()
+        fps = cfg.frames_per_second
+        n_prints = int(track_seconds * fps)
+        n_q = int(query_seconds * fps)
+        rng = np.random.default_rng(0)
+        prints = synth_print_db(rng, n_tracks, n_prints)
+        db = api.FingerprintDB(cfg, np.zeros((cfg.context_dim, 64),
+                                             np.float32),
+                               [str(i) for i in range(n_tracks)], prints,
+                               np.full(n_tracks, n_prints, np.int32))
+        t0 = time.time()
+        ts = TwoStageDB(db, stride=32)
+        log(f"db ready in {time.time() - t0:.1f}s ({n_tracks} tracks)")
 
-    n_distinct = 64
-    queries, truths = [], []
-    for _ in range(n_distinct):
-        tid = int(rng.integers(0, n_tracks))
-        off = int(rng.integers(0, n_prints - n_q))
-        queries.append(noisy_excerpt(rng, prints[tid], off, n_q))
-        truths.append(str(tid))
+        n_distinct = 64
+        queries, truths = [], []
+        for _ in range(n_distinct):
+            tid = int(rng.integers(0, n_tracks))
+            off = int(rng.integers(0, n_prints - n_q))
+            queries.append(noisy_excerpt(rng, prints[tid], off, n_q))
+            truths.append(str(tid))
+    rng = np.random.default_rng(1)
 
     results = {}
     with MatchServer(ts, n_q, max_batch=int(max_batch), max_wait_ms=4.0,
@@ -134,5 +178,11 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, max_batch=16,
          max_batch=int(max_batch), shed=round(r["shed"], 3), note=note)
 
 
+def _arg(a):
+    if a == "real":
+        return a
+    return float(a) if "." in a else int(a)
+
+
 if __name__ == "__main__":
-    main(*[float(a) if "." in a else int(a) for a in sys.argv[1:]])
+    main(*[_arg(a) for a in sys.argv[1:]])
