@@ -107,10 +107,10 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, max_batch=16,
          *loads):
     real = n_tracks == "real"
     if real:
-        # argv: real [max_batch] [loads...] -> track_seconds holds max_batch
-        max_batch = int(track_seconds) if track_seconds != 60 else 32
-        loads = [float(x) for x in (query_seconds,) + loads
-                 if x != 10] or [100.0, 200.0, 300.0, 400.0]
+        # argv was: real [max_batch] [loads...] (remapped by __main__)
+        max_batch = int(track_seconds)
+        loads = [float(x) for x in (query_seconds,) + loads if x] \
+            or [100.0, 200.0, 300.0, 400.0]
         ts, queries, truths, n_tracks = _real_catalog_db()
         n_q = queries[0].shape[0]
     else:
@@ -178,11 +178,10 @@ def main(n_tracks=100_000, track_seconds=60, query_seconds=10, max_batch=16,
          max_batch=int(max_batch), shed=round(r["shed"], 3), note=note)
 
 
-def _arg(a):
-    if a == "real":
-        return a
-    return float(a) if "." in a else int(a)
-
-
 if __name__ == "__main__":
-    main(*[_arg(a) for a in sys.argv[1:]])
+    if sys.argv[1:2] == ["real"]:
+        # real [max_batch] [loads...] -> main("real", max_batch, *loads)
+        mb = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+        main("real", mb, 0, 0, *[float(a) for a in sys.argv[3:]])
+    else:
+        main(*[float(a) if "." in a else int(a) for a in sys.argv[1:]])
