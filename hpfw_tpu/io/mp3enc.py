@@ -1,0 +1,116 @@
+"""In-repo MPEG-1 audio bitstream composers (fixture generators).
+
+Frame composers for MPEG-1 audio (ISO/IEC 11172-3) used to build
+spec-valid test fixtures offline, mirroring the FLAC/Vorbis strategy
+(`io/flac.py` encoder, `io/vorbis.py` encoder): the decoder under test is
+`hpfw_tpu.io.mp3`; these composers give tests exact control over every
+field so each decode path can be exercised deterministically, and —
+where system libmpg123 is present — every composed stream can also be
+decoded by a real reference decoder and compared.
+
+Layer I composer: direct control of allocation/scalefactor/sample codes
+(no psychoacoustics — fixtures need exactness, not compression quality).
+Layer II and Layer III composers follow the same raw-field philosophy.
+
+Reference parity: the C++ reference takes decoded PCM from a system audio
+library (SURVEY.md §2.1 row 1); fixtures there are real audio files. In
+this offline environment fixtures are composed from spec instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# MPEG-1 bitrate tables, kbps, index 1..14 (0 = free, 15 = forbidden).
+BITRATES_L1 = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+               416, 448)
+BITRATES_L2 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+               320, 384)
+BITRATES_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320)
+SAMPLE_RATES = (44100, 48000, 32000)  # header sampling_frequency index 0..2
+
+
+class BitWriter:
+    """MSB-first bit accumulator."""
+
+    def __init__(self):
+        self._bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        assert 0 <= value < (1 << n), (value, n)
+        for i in range(n - 1, -1, -1):
+            self._bits.append((value >> i) & 1)
+
+    def pad_to_bytes(self, total_bytes: int) -> None:
+        want = total_bytes * 8
+        assert len(self._bits) <= want, (len(self._bits), want)
+        self._bits.extend([0] * (want - len(self._bits)))
+
+    def bytes(self) -> bytes:
+        assert len(self._bits) % 8 == 0
+        out = bytearray()
+        for i in range(0, len(self._bits), 8):
+            b = 0
+            for bit in self._bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def frame_header(layer: int, bitrate_idx: int, sr_idx: int, *,
+                 mode: int = 3, padding: int = 0, mode_ext: int = 0) -> int:
+    """32-bit MPEG-1 frame header. mode 3 = single channel."""
+    assert layer in (1, 2, 3)
+    layer_bits = {1: 0b11, 2: 0b10, 3: 0b01}[layer]
+    h = 0x7FF
+    h = (h << 2) | 0b11          # MPEG-1
+    h = (h << 2) | layer_bits
+    h = (h << 1) | 1             # protection_bit=1: no CRC
+    h = (h << 4) | bitrate_idx
+    h = (h << 2) | sr_idx
+    h = (h << 1) | padding
+    h = (h << 1) | 0             # private
+    h = (h << 2) | mode
+    h = (h << 2) | mode_ext
+    h = (h << 1) | 0             # copyright
+    h = (h << 1) | 0             # original
+    h = (h << 2) | 0             # emphasis
+    return h
+
+
+def layer1_frame_mono(codes: np.ndarray, alloc: np.ndarray,
+                      scf: np.ndarray, *, bitrate_idx: int = 14,
+                      sr_idx: int = 1) -> bytes:
+    """Compose one MPEG-1 Layer I mono frame (384 samples).
+
+    codes: (12, 32) unsigned sample codes (only allocated subbands read);
+    alloc: (32,) allocation codes (0 = silent, 1..14 -> nb = code+1 bits);
+    scf:   (32,) scalefactor indices 0..62 (only allocated subbands read).
+    """
+    codes = np.asarray(codes)
+    alloc = np.asarray(alloc)
+    scf = np.asarray(scf)
+    assert codes.shape == (12, 32) and alloc.shape == (32,)
+    sr = SAMPLE_RATES[sr_idx]
+    kbps = BITRATES_L1[bitrate_idx]
+    slots = (12 * kbps * 1000) // sr  # 4-byte slots
+    assert 12 * kbps * 1000 % sr == 0, "pick sr/bitrate with no padding"
+    nbytes = slots * 4
+    w = BitWriter()
+    w.write(frame_header(1, bitrate_idx, sr_idx), 32)
+    for sb in range(32):
+        a = int(alloc[sb])
+        assert 0 <= a <= 14
+        w.write(a, 4)
+    for sb in range(32):
+        if alloc[sb]:
+            w.write(int(scf[sb]), 6)
+    for s in range(12):
+        for sb in range(32):
+            a = int(alloc[sb])
+            if a:
+                nb = a + 1
+                w.write(int(codes[s, sb]), nb)
+    w.pad_to_bytes(nbytes)
+    return w.bytes()
