@@ -62,8 +62,9 @@ class BitReader:
 
 
 class FrameHeader:
-    __slots__ = ("layer", "bitrate_kbps", "sample_rate", "sr_idx", "padding",
-                 "mode", "mode_ext", "protection", "frame_bytes", "channels")
+    __slots__ = ("layer", "bitrate_kbps", "bitrate_idx", "sample_rate",
+                 "sr_idx", "padding", "mode", "mode_ext", "protection",
+                 "frame_bytes", "channels")
 
     def __init__(self, word: int):
         if (word >> 21) & 0x7FF != 0x7FF:
@@ -79,6 +80,7 @@ class FrameHeader:
         br_idx = (word >> 12) & 0xF
         if br_idx in (0, 15):
             raise ValueError("free-format/forbidden bitrate")
+        self.bitrate_idx = br_idx
         self.bitrate_kbps = BITRATES[self.layer][br_idx]
         self.sr_idx = (word >> 10) & 3
         if self.sr_idx == 3:

@@ -114,3 +114,66 @@ def layer1_frame_mono(codes: np.ndarray, alloc: np.ndarray,
                 w.write(int(codes[s, sb]), nb)
     w.pad_to_bytes(nbytes)
     return w.bytes()
+
+
+def layer2_frame(digits: np.ndarray, alloc: np.ndarray, scfsi: np.ndarray,
+                 scf: np.ndarray, *, bitrate_idx: int, sr_idx: int = 1,
+                 mode: int = 3, mode_ext: int = 0) -> bytes:
+    """Compose one MPEG-1 Layer II frame (1152 samples).
+
+    digits: (36, sblimit, nch) per-sample quantization digits in [0, n)
+            (grouped classes are packed into base-n triplet codes here);
+    alloc:  (sblimit, nch) allocation codes (for joint stereo, subbands
+            >= bound read channel 0);
+    scfsi:  (sblimit, nch) scalefactor-selection codes 0..3;
+    scf:    (sblimit, nch, 3) scalefactor indices per part (slots beyond
+            the scfsi-transmitted count are ignored).
+    """
+    from ._mpeg_l2_tables import ALLOC_TABLES, QCLASS, select_table
+    from ._mp3_layer2 import SCFSI_MAP
+
+    nch = 1 if mode == 3 else 2
+    table = ALLOC_TABLES[select_table(sr_idx, nch == 1, bitrate_idx)]
+    sblimit = len(table)
+    bound = min((mode_ext + 1) * 4, sblimit) if mode == 1 else sblimit
+    assert digits.shape == (36, sblimit, nch)
+    sr = SAMPLE_RATES[sr_idx]
+    kbps = BITRATES_L2[bitrate_idx]
+    nbytes = 144 * kbps * 1000 // sr  # padding=0: floor frame size
+    w = BitWriter()
+    w.write(frame_header(2, bitrate_idx, sr_idx, mode=mode,
+                         mode_ext=mode_ext), 32)
+    for sb in range(sblimit):
+        nbal = table[sb][0]
+        for ch in range(1 if sb >= bound else nch):
+            a = int(alloc[sb, ch])
+            assert a < (1 << nbal)
+            w.write(a, nbal)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[sb, ch]:
+                w.write(int(scfsi[sb, ch]), 2)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[sb, ch]:
+                count, _ = SCFSI_MAP[int(scfsi[sb, ch])]
+                for slot in range(count):
+                    w.write(int(scf[sb, ch, slot]), 6)
+    for gr in range(12):
+        for sb in range(sblimit):
+            shared = sb >= bound
+            for ch in range(1 if shared else nch):
+                a = int(alloc[sb, ch])
+                if not a:
+                    continue
+                n = table[sb][1][a - 1]
+                bits, grouped = QCLASS[n]
+                v = digits[3 * gr:3 * gr + 3, sb, ch]
+                assert np.all((v >= 0) & (v < n)), (sb, n, v)
+                if grouped:
+                    w.write(int(v[0] + n * v[1] + n * n * v[2]), bits)
+                else:
+                    for i in range(3):
+                        w.write(int(v[i]), bits)
+    w.pad_to_bytes(nbytes)
+    return w.bytes()
