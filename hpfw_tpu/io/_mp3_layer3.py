@@ -1,14 +1,368 @@
-"""MPEG-1 Layer III frame decoding (ISO/IEC 11172-3 2.4.3.4)."""
+"""MPEG-1 Layer III frame decoding (ISO/IEC 11172-3 2.4.3.4).
+
+Pipeline per granule/channel: side info -> (bit reservoir) scalefactors ->
+Huffman spectrum -> requantize -> reorder (short blocks) -> stereo
+(MS/intensity) -> alias reduction -> IMDCT/window/overlap-add ->
+frequency inversion -> 18 x 32 subband samples for the shared polyphase
+synthesis in io/mp3.py.
+
+Numeric constants that the offline environment could not read from the
+spec (scalefactor-band edges, slen pairs, pretab, alias coefficients,
+window shapes) follow the hashprint of the standard as implemented here
+and are each pinned by a dedicated probe test against the system
+reference decoder (tests/test_mp3.py); the Huffman tables are recovered
+outright by tools/recover_mp3_huffman.py.
+"""
 
 from __future__ import annotations
 
 import numpy as np
 
+from ._mp3_huffman import BIG_VALUE_TABLES, COUNT1_TABLES, tree
+
+# Scalefactor band boundaries (23 entries long / 14 entries short) per
+# header sample-rate index 0=44100, 1=48000, 2=32000.
+SFB_LONG = (
+    (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134, 162,
+     196, 238, 288, 342, 418, 576),
+    (0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128, 156,
+     190, 230, 276, 330, 384, 576),
+    (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156, 194,
+     240, 296, 364, 448, 550, 576),
+)
+SFB_SHORT = (
+    (0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
+    (0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
+    (0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192),
+)
+
+SLEN = ((0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3))
+
+PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+
+_CI = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
+                -0.0037])
+_CS = 1.0 / np.sqrt(1.0 + _CI * _CI)
+_CA = _CI / np.sqrt(1.0 + _CI * _CI)
+
+# IMDCT basis: long (36 x 18) and short (12 x 6).
+_IMDCT36 = np.cos(np.pi / 72.0 * (2 * np.arange(36)[:, None] + 19)
+                  * (2 * np.arange(18)[None, :] + 1))
+_IMDCT12 = np.cos(np.pi / 24.0 * (2 * np.arange(12)[:, None] + 7)
+                  * (2 * np.arange(6)[None, :] + 1))
+
+
+def _windows():
+    i = np.arange(36)
+    w0 = np.sin(np.pi / 36.0 * (i + 0.5))
+    w1 = w0.copy()
+    w1[18:24] = 1.0
+    w1[24:30] = np.sin(np.pi / 12.0 * (i[24:30] - 18 + 0.5))
+    w1[30:] = 0.0
+    w3 = w0.copy()
+    w3[:6] = 0.0
+    w3[6:12] = np.sin(np.pi / 12.0 * (i[6:12] - 6 + 0.5))
+    w3[12:18] = 1.0
+    ws = np.sin(np.pi / 12.0 * (np.arange(12) + 0.5))
+    return {0: w0, 1: w1, 3: w3, "s": ws}
+
+
+_WIN = _windows()
+
+
+class GranuleInfo:
+    __slots__ = ("part2_3_length", "big_values", "global_gain",
+                 "scalefac_compress", "window_switching", "block_type",
+                 "mixed_block", "table_select", "subblock_gain",
+                 "region0_count", "region1_count", "preflag",
+                 "scalefac_scale", "count1table_select")
+
 
 class Layer3State:
+    MAX_RESERVOIR = 2048  # > 511-byte max main_data_begin + one frame
+
     def __init__(self, nch: int):
         self.nch = nch
+        self.reservoir = bytearray()
+        self.overlap = [np.zeros((32, 18)) for _ in range(nch)]
+
+
+def _read_side_info(h, br):
+    nch = h.channels
+    main_data_begin = br.read(9)
+    br.read(5 if nch == 1 else 3)  # private bits
+    scfsi = [[br.read(1) for _ in range(4)] for _ in range(nch)]
+    granules = []
+    for _gr in range(2):
+        chs = []
+        for _ch in range(nch):
+            g = GranuleInfo()
+            g.part2_3_length = br.read(12)
+            g.big_values = br.read(9)
+            g.global_gain = br.read(8)
+            g.scalefac_compress = br.read(4)
+            g.window_switching = br.read(1)
+            if g.window_switching:
+                g.block_type = br.read(2)
+                g.mixed_block = br.read(1)
+                g.table_select = [br.read(5), br.read(5), 0]
+                g.subblock_gain = [br.read(3) for _ in range(3)]
+                g.region0_count = 7   # implied under window switching:
+                g.region1_count = 36  # region0 = 36 lines, region1 = rest
+            else:
+                g.block_type = 0
+                g.mixed_block = 0
+                g.table_select = [br.read(5), br.read(5), br.read(5)]
+                g.subblock_gain = [0, 0, 0]
+                g.region0_count = br.read(4)
+                g.region1_count = br.read(3)
+            g.preflag = br.read(1)
+            g.scalefac_scale = br.read(1)
+            g.count1table_select = br.read(1)
+            chs.append(g)
+        granules.append(chs)
+    return main_data_begin, scfsi, granules
+
+
+def _read_scalefactors(br, g, sr_idx, scfsi_ch, prev):
+    """Returns (scf_long[22], scf_short[13][3], part2_bits)."""
+    slen1, slen2 = SLEN[g.scalefac_compress]
+    scf_l = np.zeros(22, int)
+    scf_s = np.zeros((13, 3), int)
+    bits = 0
+    if g.window_switching and g.block_type == 2:
+        if g.mixed_block:
+            for sfb in range(8):
+                scf_l[sfb] = br.read(slen1)
+                bits += slen1
+            for sfb in range(3, 12):
+                slen = slen1 if sfb < 6 else slen2
+                for w in range(3):
+                    scf_s[sfb, w] = br.read(slen)
+                    bits += slen
+        else:
+            for sfb in range(12):
+                slen = slen1 if sfb < 6 else slen2
+                for w in range(3):
+                    scf_s[sfb, w] = br.read(slen)
+                    bits += slen
+    else:
+        groups = ((0, 6), (6, 11), (11, 16), (16, 21))
+        for gi, (lo, hi) in enumerate(groups):
+            if prev is not None and scfsi_ch[gi]:
+                scf_l[lo:hi] = prev[0][lo:hi]
+            else:
+                slen = slen1 if gi < 2 else slen2
+                for sfb in range(lo, hi):
+                    scf_l[sfb] = br.read(slen)
+                    bits += slen
+    return scf_l, scf_s, bits
+
+
+def _decode_huffman(br, g, sr_idx, end_bit):
+    """Huffman-decode 576 spectral values (in coded order)."""
+    xs = np.zeros(576)
+    if g.window_switching:
+        r0_end = 36
+        r1_end = 576
+    else:
+        sfb = SFB_LONG[sr_idx]
+        r0_end = sfb[min(g.region0_count + 1, 22)]
+        r1_end = sfb[min(g.region0_count + 1 + g.region1_count + 1, 22)]
+    bv_end = 2 * g.big_values
+    i = 0
+    while i < bv_end:
+        if i < r0_end:
+            tsel = g.table_select[0]
+        elif i < r1_end:
+            tsel = g.table_select[1]
+        else:
+            tsel = g.table_select[2]
+        linbits, table = BIG_VALUE_TABLES[tsel]
+        if not table:
+            i += 2
+            continue
+        node = _TREES_BV[tsel]
+        while isinstance(node, dict):
+            node = node[br.read(1)]
+        x, y = node
+        if x == 15 and linbits:
+            x += br.read(linbits)
+        if x and br.read(1):
+            x = -x
+        if y == 15 and linbits:
+            y += br.read(linbits)
+        if y and br.read(1):
+            y = -y
+        xs[i] = x
+        if i + 1 < 576:
+            xs[i + 1] = y
+        i += 2
+        if br.pos > end_bit:
+            xs[i - 2:i] = 0
+            break
+    # count1 region
+    ctree = _TREES_C1[g.count1table_select]
+    while br.pos < end_bit and i + 3 < 576:
+        mark = br.pos
+        node = ctree
+        while isinstance(node, dict):
+            node = node[br.read(1)]
+        vals = list(node)
+        for j in range(4):
+            if vals[j] and br.read(1):
+                vals[j] = -vals[j]
+        if br.pos > end_bit:
+            br.pos = mark
+            break
+        xs[i:i + 4] = vals
+        i += 4
+    return xs
+
+
+def _requantize(xs, g, sr_idx, scf_l, scf_s):
+    """Coded-order values -> xr (reordered to subband-line order)."""
+    mag = np.abs(xs) ** (4.0 / 3.0) * np.sign(xs)
+    step = 0.5 * (1 + g.scalefac_scale)
+    xr = np.zeros(576)
+    short = g.window_switching and g.block_type == 2
+    long_end = 36 if (short and g.mixed_block) else (0 if short else 576)
+    sfb_l = SFB_LONG[sr_idx]
+    sfb_s = SFB_SHORT[sr_idx]
+    if long_end:
+        gain = 2.0 ** ((g.global_gain - 210) / 4.0)
+        exps = np.zeros(576)
+        for sfb in range(22):
+            lo, hi = sfb_l[sfb], sfb_l[sfb + 1]
+            exps[lo:hi] = -step * (scf_l[sfb]
+                                   + (PRETAB[sfb] if g.preflag else 0))
+        n = long_end
+        xr[:n] = mag[:n] * gain * 2.0 ** exps[:n]
+    if short:
+        start_sfb = 3 if g.mixed_block else 0
+        pos = long_end
+        for sfb in range(start_sfb, 13):
+            width = sfb_s[sfb + 1] - sfb_s[sfb]
+            for w in range(3):
+                gain = 2.0 ** ((g.global_gain - 210
+                                - 8 * g.subblock_gain[w]) / 4.0)
+                s = scf_s[sfb, w] if sfb < 12 else 0
+                scale = gain * 2.0 ** (-step * s)
+                # reorder: dest[3*l + w] within the sfb triple-block
+                # (3 * sfb_s[3] == 36 == long_end, so mixed lines up too)
+                src = mag[pos:pos + width] * scale
+                idx = 3 * sfb_s[sfb] + 3 * np.arange(width) + w
+                xr[idx] = src
+                pos += width
+    return xr
+
+
+def _alias_reduce(xr, n_boundaries):
+    for sb in range(n_boundaries):
+        lo = 18 * sb
+        for j in range(8):
+            a = xr[lo + 17 - j]
+            b = xr[lo + 18 + j]
+            xr[lo + 17 - j] = a * _CS[j] - b * _CA[j]
+            xr[lo + 18 + j] = b * _CS[j] + a * _CA[j]
+    return xr
+
+
+def _imdct_granule(xr, g, overlap_ch):
+    """xr (576,) -> (18, 32) time x subband; updates overlap_ch in place."""
+    out = np.zeros((18, 32))
+    short = g.window_switching and g.block_type == 2
+    for sb in range(32):
+        X = xr[18 * sb:18 * sb + 18]
+        is_short = short and not (g.mixed_block and sb < 2)
+        if is_short:
+            raw = np.zeros(36)
+            for w in range(3):
+                y = _IMDCT12 @ X[3 * np.arange(6) + w]
+                raw[6 + 6 * w:18 + 6 * w] += y * _WIN["s"]
+        else:
+            bt = 0 if short else g.block_type  # mixed low subbands: long/0
+            raw = (_IMDCT36 @ X) * _WIN[bt]
+        out[:, sb] = raw[:18] + overlap_ch[sb]
+        overlap_ch[sb] = raw[18:]
+    # frequency inversion: odd subbands, odd time samples
+    out[1::2, 1::2] *= -1.0
+    return out
+
+
+_TREES_BV = {}
+_TREES_C1 = {}
+
+
+def _rebuild_trees():
+    _TREES_BV.clear()
+    _TREES_C1.clear()
+    for t, (_lb, tab) in BIG_VALUE_TABLES.items():
+        if tab:
+            _TREES_BV[t] = tree(tab)
+    for t, tab in COUNT1_TABLES.items():
+        _TREES_C1[t] = tree(tab)
+
+
+_rebuild_trees()
 
 
 def _decode_layer3(h, frame, br, state):
-    raise NotImplementedError("Layer III decode lands next")
+    from .mp3 import BitReader
+
+    nch = h.channels
+    main_data_begin, scfsi, granules = _read_side_info(h, br)
+    side_bytes = (17 if nch == 1 else 32)
+    head = 4 + (2 if h.protection == 0 else 0) + side_bytes
+    main = frame[head:]
+    res_before = len(state.reservoir)
+    state.reservoir.extend(main)
+    start_byte = res_before - main_data_begin
+    if start_byte < 0:
+        # not enough reservoir (stream start / seek): granules undecodable
+        _trim(state)
+        return np.zeros((36, 32, nch))
+    mbr = BitReader(bytes(state.reservoir), start_byte * 8)
+    S = np.zeros((36, 32, nch))
+    prev_scf = [None] * nch
+    for gri in range(2):
+        xr_ch = []
+        for ch in range(nch):
+            g = granules[gri][ch]
+            gstart = mbr.pos
+            end_bit = gstart + g.part2_3_length
+            scf_l, scf_s, _bits = _read_scalefactors(
+                mbr, g, h.sr_idx, scfsi[ch],
+                prev_scf[ch] if gri == 1 else None)
+            if gri == 0:
+                prev_scf[ch] = (scf_l, scf_s)
+            xs = _decode_huffman(mbr, g, h.sr_idx, end_bit)
+            mbr.pos = end_bit
+            xr_ch.append(_requantize(xs, g, h.sr_idx, scf_l, scf_s))
+        if nch == 2:
+            xr_ch = _stereo(xr_ch, granules[gri], h, prev_scf)
+        for ch in range(nch):
+            g = granules[gri][ch]
+            short = g.window_switching and g.block_type == 2
+            nb = 1 if (short and g.mixed_block) else (0 if short else 31)
+            _alias_reduce(xr_ch[ch], nb)
+            S[18 * gri:18 * gri + 18, :, ch] = _imdct_granule(
+                xr_ch[ch], g, state.overlap[ch])
+    _trim(state)
+    return S
+
+
+def _stereo(xr_ch, gr_chs, h, prev_scf):
+    """MS stereo (mode_ext & 2). Intensity stereo lands with its probes."""
+    if h.mode == 1 and (h.mode_ext & 2):
+        m, s = xr_ch
+        inv = 1.0 / np.sqrt(2.0)
+        xr_ch = [(m + s) * inv, (m - s) * inv]
+    return xr_ch
+
+
+def _trim(state):
+    if len(state.reservoir) > Layer3State.MAX_RESERVOIR:
+        drop = len(state.reservoir) - Layer3State.MAX_RESERVOIR
+        del state.reservoir[:drop]

@@ -177,3 +177,91 @@ def layer2_frame(digits: np.ndarray, alloc: np.ndarray, scfsi: np.ndarray,
                         w.write(int(v[i]), bits)
     w.pad_to_bytes(nbytes)
     return w.bytes()
+
+
+def _default_granule() -> dict:
+    return dict(big_values=0, global_gain=210, scalefac_compress=0,
+                window_switching=0, block_type=0, mixed_block=0,
+                table_select=(0, 0, 0), subblock_gain=(0, 0, 0),
+                region0_count=0, region1_count=0, preflag=0,
+                scalefac_scale=0, count1table_select=0,
+                scf_bits=(), huff_bits="")
+
+
+def layer3_side(granules, w: BitWriter, *, bitrate_idx: int = 13,
+                sr_idx: int = 1, mode: int = 3, mode_ext: int = 0,
+                main_data_begin: int = 0, scfsi=None) -> None:
+    """Write the header + side info of one Layer III frame into `w`."""
+    nch = 1 if mode == 3 else 2
+    if scfsi is None:
+        scfsi = [[0] * 4 for _ in range(nch)]
+    w.write(frame_header(3, bitrate_idx, sr_idx, mode=mode,
+                         mode_ext=mode_ext), 32)
+    w.write(main_data_begin, 9)
+    w.write(0, 5 if nch == 1 else 3)
+    for ch in range(nch):
+        for b in scfsi[ch]:
+            w.write(b, 1)
+    for gr in range(2):
+        for ch in range(nch):
+            g = dict(_default_granule(), **granules[gr][ch])
+            part2_3 = sum(nb for _v, nb in g["scf_bits"]) \
+                + len(g["huff_bits"])
+            w.write(part2_3, 12)
+            w.write(g["big_values"], 9)
+            w.write(g["global_gain"], 8)
+            w.write(g["scalefac_compress"], 4)
+            w.write(g["window_switching"], 1)
+            if g["window_switching"]:
+                w.write(g["block_type"], 2)
+                w.write(g["mixed_block"], 1)
+                for r in range(2):
+                    w.write(g["table_select"][r], 5)
+                for sw in range(3):
+                    w.write(g["subblock_gain"][sw], 3)
+            else:
+                for r in range(3):
+                    w.write(g["table_select"][r], 5)
+                w.write(g["region0_count"], 4)
+                w.write(g["region1_count"], 3)
+            w.write(g["preflag"], 1)
+            w.write(g["scalefac_scale"], 1)
+            w.write(g["count1table_select"], 1)
+
+
+def layer3_main_bits(granules, mode: int = 3) -> "BitWriter":
+    """Write the main-data bits (scalefactors + Huffman) of a frame."""
+    nch = 1 if mode == 3 else 2
+    w = BitWriter()
+    for gr in range(2):
+        for ch in range(nch):
+            g = dict(_default_granule(), **granules[gr][ch])
+            for v, nb in g["scf_bits"]:
+                w.write(int(v), nb)
+            for bit in g["huff_bits"]:
+                w.write(int(bit), 1)
+    return w
+
+
+def layer3_frame(granules, *, bitrate_idx: int = 13, sr_idx: int = 1,
+                 mode: int = 3, mode_ext: int = 0, scfsi=None) -> bytes:
+    """Compose one self-contained MPEG-1 Layer III frame.
+
+    granules: [gr][ch] dicts (see _default_granule); `scf_bits` is a
+    sequence of (value, nbits) written verbatim as the scalefactor part,
+    `huff_bits` a '0'/'1' string written verbatim as the Huffman part —
+    part2_3_length is their sum, so probes control the spectrum bit
+    layout exactly. main_data_begin = 0: all main data in-frame; use
+    layer3_side/layer3_main_bits directly for bit-reservoir layouts.
+    """
+    sr = SAMPLE_RATES[sr_idx]
+    kbps = BITRATES_L3[bitrate_idx]
+    nbytes = 144 * kbps * 1000 // sr
+    w = BitWriter()
+    layer3_side(granules, w, bitrate_idx=bitrate_idx, sr_idx=sr_idx,
+                mode=mode, mode_ext=mode_ext, scfsi=scfsi)
+    mw = layer3_main_bits(granules, mode)
+    for bit in mw._bits:
+        w._bits.append(bit)
+    w.pad_to_bytes(nbytes)
+    return w.bytes()
