@@ -179,7 +179,152 @@ def layer2_frame(digits: np.ndarray, alloc: np.ndarray, scfsi: np.ndarray,
     return w.bytes()
 
 
-def _default_granule() -> dict:
+def encode_mp3(pcm: np.ndarray, sr: int, *, bitrate_idx: int = 14,
+               max_int: int = 13) -> bytes:
+    """Encode mono/stereo float PCM to MPEG-1 Layer III (fixture grade).
+
+    A real encoder in miniature: polyphase analysis (the adjoint of the
+    recovered synthesis filterbank — the QMF bank is near-paraunitary,
+    so the adjoint inverts it to ~60 dB), forward MDCT with TDAC, inverse
+    alias butterflies, per-granule global_gain selection, and Huffman
+    coding with the probe-recovered tables (table 13 pairs + count1 B
+    quads, long blocks, no reservoir). No psychoacoustics: fixtures need
+    spec validity and round-trip fidelity, not compression. sr must be
+    one of 44100/48000/32000.
+    """
+    from ._mp3_layer3 import _CA, _CS, _IMDCT36, _WIN
+    from ._mp3_huffman import BIG_VALUE_TABLES, COUNT1_TABLES
+    from .mp3 import SAMPLE_RATES, _N
+
+    sr_idx = SAMPLE_RATES.index(sr)
+    pcm = np.asarray(pcm, np.float64)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    nch = pcm.shape[1]
+    assert nch in (1, 2)
+    n_gr_samples = 576
+    total = ((pcm.shape[0] + 2 * n_gr_samples - 1)
+             // (2 * n_gr_samples)) * (2 * n_gr_samples)
+    pcm = np.pad(pcm, ((0, total - pcm.shape[0]), (0, 0)))
+
+    inv13 = {v: k for k, v in BIG_VALUE_TABLES[13][1].items()}
+    invB = {v: k for k, v in COUNT1_TABLES[1].items()}
+
+    frames = []
+    n_frames = total // (2 * n_gr_samples)
+    S_all = [_analysis(pcm[:, ch]) for ch in range(nch)]  # (T,32) each
+    prev = [np.zeros((32, 18)) for _ in range(nch)]
+    for fi in range(n_frames):
+        granules = [[None] * nch for _ in range(2)]
+        for gr in range(2):
+            for ch in range(nch):
+                t0 = fi * 36 + gr * 18
+                xr = _forward_mdct(S_all[ch], t0, prev[ch])
+                _alias_expand(xr)
+                granules[gr][ch] = _quantize_encode(xr, inv13, invB)
+        frames.append(layer3_frame(
+            granules, bitrate_idx=bitrate_idx, sr_idx=sr_idx,
+            mode=3 if nch == 1 else 0))
+    return b"".join(frames)
+
+
+def _analysis(x: np.ndarray) -> np.ndarray:
+    """Polyphase analysis: PCM (32T,) -> subband samples (T, 32).
+
+    Adjoint of io/mp3.py's synthesis (same window/matrix run backward),
+    scaled so synthesis(analysis(x)) ~ x with the filterbank's 481-sample
+    delay. Verified to ~60 dB reconstruction in tests.
+    """
+    from ._mpeg_window import SYNTH_WINDOW as D
+    from .mp3 import _N
+
+    T = len(x) // 32
+    blocks = x[:T * 32].reshape(T, 32)
+    Vadj = np.zeros((T, 64))
+    for q in range(8):
+        # synthesis: out[t] += V[t-2q, :32]*D0q + V[t-2q-1, 32:]*D1q
+        D0 = D[64 * q:64 * q + 32]
+        D1 = D[64 * q + 32:64 * q + 64]
+        Vadj[:T - 2 * q, :32] += blocks[2 * q:] * D0
+        if T - 2 * q - 1 > 0:
+            Vadj[:T - 2 * q - 1, 32:] += blocks[2 * q + 1:] * D1
+    S = Vadj @ _N  # adjoint of V = S @ N.T
+    return S / 32.0  # N columns have squared-norm 32
+
+
+def _forward_mdct(S: np.ndarray, t0: int, prev: list) -> np.ndarray:
+    """18 subband sample times starting at t0 -> 576 spectral lines.
+
+    TDAC: X = (2/36)*(win*frame) @ IMDCT basis; `prev` holds each
+    subband's previous 18 samples (50% overlap). Includes the encoder
+    side of frequency inversion (odd subband, odd time).
+    """
+    from ._mp3_layer3 import _IMDCT36, _WIN
+
+    xr = np.zeros(576)
+    cur = S[t0:t0 + 18]  # (18, 32)
+    for sb in range(32):
+        frame = np.concatenate([prev[sb], cur[:, sb]])
+        if sb % 2:
+            frame = frame * _FREQ_INV36
+        xr[18 * sb:18 * sb + 18] = \
+            (2.0 / 36.0) * ((_WIN[0] * frame) @ _IMDCT36)
+        prev[sb] = np.asarray(cur[:, sb]).copy()
+    return xr
+
+
+_FREQ_INV36 = np.where(np.arange(36) % 2 == 1, -1.0, 1.0)
+
+
+def _alias_expand(xr: np.ndarray) -> None:
+    """Inverse of the decoder's alias-reduction butterflies (det = 1)."""
+    from ._mp3_layer3 import _CA, _CS
+
+    for sb in range(31):
+        lo = 18 * sb
+        for j in range(8):
+            a = xr[lo + 17 - j]
+            b = xr[lo + 18 + j]
+            xr[lo + 17 - j] = a * _CS[j] + b * _CA[j]
+            xr[lo + 18 + j] = b * _CS[j] - a * _CA[j]
+
+
+def _quantize_encode(xr: np.ndarray, inv13: dict, invB: dict,
+                     max_int: int = 13) -> dict:
+    """xr (576,) -> composer granule fields (gg choice + Huffman bits)."""
+    peak = np.abs(xr).max()
+    if peak <= 0:
+        return dict()
+    # decoder: xr = v^(4/3) * 2^((gg-210)/4); choose gg so max v <= max_int
+    gg = 210 + int(np.ceil(4 * np.log2(peak / max_int ** (4.0 / 3.0))))
+    gg = min(max(gg, 0), 255)
+    scale = 2.0 ** ((gg - 210) / 4.0)
+    v = np.sign(xr) * np.round((np.abs(xr) / scale) ** 0.75)
+    v = np.clip(v, -15, 15).astype(int)
+    # split: big values (pairs) up to the last |v|>1, then count1 quads
+    nz = np.nonzero(np.abs(v) > 1)[0]
+    big_end = (int(nz[-1]) + 2) // 2 * 2 if len(nz) else 0
+    nz1 = np.nonzero(v)[0]
+    c1_end = (int(nz1[-1]) + 4 + 3) // 4 * 4 if len(nz1) else 0
+    c1_end = max(c1_end, big_end)
+    bits = []
+    for i in range(0, big_end, 2):
+        x, y = abs(v[i]), abs(v[i + 1])
+        bits.append(inv13[(x, y)])
+        if x:
+            bits.append("1" if v[i] < 0 else "0")
+        if y:
+            bits.append("1" if v[i + 1] < 0 else "0")
+    for i in range(big_end, c1_end, 4):
+        quad = tuple(abs(v[i + j]) if i + j < 576 else 0 for j in range(4))
+        bits.append(invB[quad])
+        for j in range(4):
+            if quad[j]:
+                bits.append("1" if v[i + j] < 0 else "0")
+    return dict(big_values=big_end // 2, global_gain=gg,
+                table_select=(13, 13, 13), region0_count=15,
+                region1_count=7, count1table_select=1,
+                huff_bits="".join(bits))
     return dict(big_values=0, global_gain=210, scalefac_compress=0,
                 window_switching=0, block_type=0, mixed_block=0,
                 table_select=(0, 0, 0), subblock_gain=(0, 0, 0),
