@@ -268,7 +268,7 @@ def _forward_mdct(S: np.ndarray, t0: int, prev: list) -> np.ndarray:
         if sb % 2:
             frame = frame * _FREQ_INV36
         xr[18 * sb:18 * sb + 18] = \
-            (2.0 / 36.0) * ((_WIN[0] * frame) @ _IMDCT36)
+            (4.0 / 36.0) * ((_WIN[0] * frame) @ _IMDCT36)
         prev[sb] = np.asarray(cur[:, sb]).copy()
     return xr
 
@@ -325,6 +325,9 @@ def _quantize_encode(xr: np.ndarray, inv13: dict, invB: dict,
                 table_select=(13, 13, 13), region0_count=15,
                 region1_count=7, count1table_select=1,
                 huff_bits="".join(bits))
+
+
+def _default_granule() -> dict:
     return dict(big_values=0, global_gain=210, scalefac_compress=0,
                 window_switching=0, block_type=0, mixed_block=0,
                 table_select=(0, 0, 0), subblock_gain=(0, 0, 0),

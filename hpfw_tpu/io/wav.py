@@ -8,8 +8,10 @@ correctness oracle for it.
 
 Supports WAV (PCM 8/16/24/32, float32/64, mu-law, A-law, and the
 WAVE_FORMAT_EXTENSIBLE wrapper), AIFF/AIFF-C (big-endian PCM), FLAC
-(full bitstream decode, io/flac.py + the C++ twin), and Ogg Vorbis
-(io/vorbis.py + the C++ twin — floors, residues, coupling, IMDCT), any
+(full bitstream decode, io/flac.py + the C++ twin), Ogg Vorbis
+(io/vorbis.py + the C++ twin — floors, residues, coupling, IMDCT), and
+MPEG-1 audio Layers I/II/III, i.e. MP3 (from-spec decode, io/mp3.py,
+validated against libmpg123 at the float32 floor), any
 channel count (downmixed to mono), resampled to the config rate with a
 polyphase windowed-sinc resampler (Kaiser, scipy.resample_poly-equivalent;
 linear is the opt-in fast path via cfg.resample="linear").
@@ -51,6 +53,8 @@ def load_wav(path: str, cfg: HpfwConfig | None = None) -> tuple[np.ndarray, int]
             from .vorbis import decode_vorbis
 
             pcm, sr = decode_vorbis(data)
+    elif _looks_like_mpeg(data):
+        pcm, sr = _decode_mpeg_bytes(data)
     elif native.available():
         try:
             pcm, sr = native.decode_wav(data)
@@ -63,6 +67,41 @@ def load_wav(path: str, cfg: HpfwConfig | None = None) -> tuple[np.ndarray, int]
                        kind=getattr(cfg, "resample", "sinc"))
         sr = cfg.sample_rate
     return pcm, sr
+
+
+def _looks_like_mpeg(data: bytes) -> bool:
+    """MPEG audio has no container magic; detect by an ID3 tag or a valid
+    frame header near the start whose length lands on a second valid
+    header (the classic two-frame heuristic, immune to random sync bytes
+    in other binary formats)."""
+    from .mp3 import FrameHeader, _find_sync, _skip_id3
+
+    pos = _skip_id3(data)
+    if pos > 0 and pos < len(data):
+        return True  # an ID3v2 tag is decisive
+    pos = _find_sync(data, pos)
+    if pos < 0 or pos > 4096:
+        return False
+    h = FrameHeader(int.from_bytes(data[pos:pos + 4], "big"))
+    nxt = pos + h.frame_bytes
+    if nxt + 4 <= len(data):
+        try:
+            FrameHeader(int.from_bytes(data[nxt:nxt + 4], "big"))
+            return True
+        except ValueError:
+            return False
+    return nxt >= len(data) - 4  # single-(possibly truncated-)frame stream
+
+
+def _decode_mpeg_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """MPEG-1 audio bytes -> (mono float32 PCM, sample_rate)."""
+    from .mp3 import decode_mp3
+
+    pcm, sr = decode_mp3(data)
+    if pcm.shape[0] == 0 or not sr:
+        raise ValueError("no decodable MPEG audio frames")
+    x = pcm.mean(axis=1) if pcm.shape[1] > 1 else pcm[:, 0]
+    return np.ascontiguousarray(x, dtype=np.float32), sr
 
 
 def _mulaw_table() -> np.ndarray:

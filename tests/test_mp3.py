@@ -1,0 +1,441 @@
+"""MPEG-1 audio (MP3) tests: from-spec decoder vs system libmpg123, in-repo
+composer/encoder roundtrips, and load_audio dispatch.
+
+Fixture strategy mirrors FLAC/Vorbis (tests/test_flac.py, test_vorbis.py):
+spec-valid streams are composed in-repo (io/mp3enc.py) with direct control
+over every bitstream field, so each decode path is exercised
+deterministically offline. When the system reference decoder (libmpg123)
+and encoder (libmp3lame) are present, every composed stream is additionally
+decoded by the reference and compared at the float32 floor, and real
+lame-encoded streams (bit reservoir, joint stereo, mixed block types) are
+decoded by both decoders and compared — the strongest available stand-in
+for the empty reference mount (SURVEY.md §2.1 row 1).
+
+mpg123 emits float32; our decoder computes in float64. The observed
+difference on identical streams is < 2e-6 (a couple of float32 ulps at
+full scale), which is the tolerance used throughout.
+"""
+
+import numpy as np
+import pytest
+
+from hpfw_tpu.config import HpfwConfig
+from hpfw_tpu.io import mpeg_ref, wav
+from hpfw_tpu.io._mpeg_l2_tables import ALLOC_TABLES, select_table
+from hpfw_tpu.io.mp3 import decode_mp3
+from hpfw_tpu.io.mp3enc import (
+    encode_mp3,
+    layer1_frame_mono,
+    layer2_frame,
+    layer3_frame,
+)
+
+needs_ref = pytest.mark.skipif(
+    not mpeg_ref.mpg123_available(), reason="system libmpg123 not present"
+)
+needs_lame = pytest.mark.skipif(
+    not mpeg_ref.available(), reason="system libmpg123/libmp3lame not present"
+)
+
+FLOAT32_FLOOR = 2e-6
+
+
+def _sig(n, sr, seed=0, noise=0.0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    x = (0.4 * np.sin(2 * np.pi * 440.0 * t)
+         + 0.2 * np.sin(2 * np.pi * 1870.0 * t)
+         + 0.1 * np.sin(2 * np.pi * 523.25 * t * (1 + 0.05 * t)))
+    if noise:
+        x = x + noise * rng.standard_normal(n)
+    return x.astype(np.float64)
+
+
+def _ref_diff(stream: bytes) -> float:
+    """Decode `stream` with both decoders; max abs difference, normalized
+    by the reference peak when it exceeds full scale (the exhaustive
+    allocation tests stack code extremes to ~10x full scale, where
+    mpg123's float32 ulp grows proportionally)."""
+    ours, sr_o = decode_mp3(stream)
+    ref, sr_r = mpeg_ref.mpg123_decode(stream)
+    assert sr_o == sr_r
+    assert ours.shape[1] == ref.shape[1]
+    # mpg123's feed API may hold back a final partial buffer; compare the
+    # common prefix but require it to be nearly everything.
+    n = min(ours.shape[0], ref.shape[0])
+    assert n >= ours.shape[0] - 1152 and n > 0
+    ref64 = ref[:n].astype(np.float64)
+    scale = max(1.0, float(np.abs(ref64).max()))
+    return float(np.abs(ours[:n] - ref64).max()) / scale
+
+
+def _snr(got, want):
+    n = min(len(got), len(want))
+    a, b = want[:n], got[:n]
+    err = a - b
+    return 10 * np.log10(np.sum(a ** 2) / (np.sum(err ** 2) + 1e-30))
+
+
+# --- Layer I ---------------------------------------------------------------
+
+
+def _layer1_frames_covering(pairs, rng):
+    """Frames (448 kbps @ 48 kHz: 3584-bit budget) covering every requested
+    (subband, allocation-code) pair, packed capacity-aware."""
+    budget = (12 * 448000 // 48000) * 4 * 8
+    frames = []
+    todo = list(pairs)
+    while todo:
+        used = 32 + 32 * 4  # header + allocation field
+        alloc = np.zeros(32, dtype=np.int64)
+        codes = np.zeros((12, 32), dtype=np.int64)
+        scf = rng.integers(0, 63, size=32)
+        taken = set()
+        rest = []
+        for sb, a in todo:
+            cost = 6 + 12 * (a + 1)
+            if sb in taken or used + cost > budget:
+                rest.append((sb, a))
+                continue
+            taken.add(sb)
+            used += cost
+            alloc[sb] = a
+            nb = a + 1
+            codes[:, sb] = rng.integers(0, (1 << nb) - 1, size=12)
+            codes[0, sb] = 0
+            codes[1, sb] = (1 << nb) - 2  # class extremes
+        frames.append(layer1_frame_mono(codes, alloc, scf,
+                                        bitrate_idx=14, sr_idx=1))
+        assert len(rest) < len(todo), "pair does not fit any frame"
+        todo = rest
+    return frames
+
+
+@needs_ref
+def test_layer1_every_allocation_code_vs_ref():
+    """Every (subband, allocation code 1..14) pair decodes identically to
+    mpg123, with sample codes hitting each class's extremes."""
+    rng = np.random.default_rng(0)
+    pairs = [(sb, a) for a in range(1, 15) for sb in range(32)]
+    frames = _layer1_frames_covering(pairs, rng)
+    assert _ref_diff(b"".join(frames)) < FLOAT32_FLOOR
+
+
+# --- Layer II --------------------------------------------------------------
+
+def _distinct_l2_tables():
+    """One representative (sr_idx, mono, bitrate_idx) per allocation table."""
+    seen = {}
+    for sr_idx in range(3):
+        for mono in (True, False):
+            for br in range(1, 15):
+                ti = select_table(sr_idx, mono, br)
+                if ti not in seen:
+                    seen[ti] = (sr_idx, mono, br)
+    return sorted(seen.items())
+
+
+def _l2_sample_bits(n):
+    from hpfw_tpu.io._mpeg_l2_tables import QCLASS
+
+    bits, grouped = QCLASS[n]
+    return bits if grouped else 3 * bits
+
+
+def _l2_frames_covering(ti, sr_idx, mono, br, rng):
+    """Frames covering every (subband, allocation code) pair of table `ti`
+    with random in-range digits, packed under the frame bit budget."""
+    from hpfw_tpu.io._mp3_layer2 import SCFSI_MAP
+
+    table = ALLOC_TABLES[ti]
+    sblimit = len(table)
+    nch = 1 if mono else 2
+    mode = 3 if mono else 0
+    sr = (44100, 48000, 32000)[sr_idx]
+    kbps = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+            320, 384)[br]
+    budget = (144 * kbps * 1000 // sr) * 8
+    fixed = 32 + nch * sum(row[0] for row in table)
+    todo = [(sb, a) for sb in range(sblimit)
+            for a in range(1, 1 << table[sb][0])]
+    frames = []
+    while todo:
+        used = fixed
+        alloc = np.zeros((sblimit, nch), dtype=np.int64)
+        digits = np.zeros((36, sblimit, nch), dtype=np.int64)
+        scfsi = rng.integers(0, 4, size=(sblimit, nch))
+        scf = rng.integers(0, 63, size=(sblimit, nch, 3))
+        taken = set()
+        rest = []
+        for sb, a in todo:
+            n = table[sb][1][a - 1]
+            cost = sum(2 + SCFSI_MAP[int(scfsi[sb, ch])][0] * 6
+                       + 12 * _l2_sample_bits(n) for ch in range(nch))
+            if sb in taken or used + cost > budget:
+                rest.append((sb, a))
+                continue
+            taken.add(sb)
+            used += cost
+            for ch in range(nch):
+                alloc[sb, ch] = a
+                digits[:, sb, ch] = rng.integers(0, n, size=36)
+                digits[0, sb, ch] = 0
+                digits[1, sb, ch] = n - 1  # class extremes
+        frames.append(layer2_frame(digits, alloc, scfsi, scf,
+                                   bitrate_idx=br, sr_idx=sr_idx, mode=mode))
+        assert len(rest) < len(todo), "pair does not fit any frame"
+        todo = rest
+    return frames
+
+
+@needs_ref
+@pytest.mark.parametrize("ti,rep", _distinct_l2_tables(),
+                         ids=[f"table{ti}" for ti, _ in _distinct_l2_tables()])
+def test_layer2_every_allocation_vs_ref(ti, rep):
+    """ISO Tables B.2a-d certification: every (subband, allocation code)
+    combination of each distinct table decodes identically to mpg123 —
+    the exhaustive check promised in io/_mpeg_l2_tables.py."""
+    sr_idx, mono, br = rep
+    rng = np.random.default_rng(ti)
+    frames = _l2_frames_covering(ti, sr_idx, mono, br, rng)
+    assert _ref_diff(b"".join(frames)) < FLOAT32_FLOOR
+
+
+@needs_ref
+def test_layer2_joint_stereo_bounds_vs_ref():
+    """Intensity-stereo mode: subbands above the mode_ext bound share one
+    allocation/sample set; all four bounds exercised."""
+    rng = np.random.default_rng(7)
+    sr_idx, br = 1, 12
+    ti = select_table(sr_idx, False, br)
+    table = ALLOC_TABLES[ti]
+    sblimit = len(table)
+    from hpfw_tpu.io._mp3_layer2 import SCFSI_MAP
+
+    sr = (44100, 48000, 32000)[sr_idx]
+    kbps = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+            320, 384)[br]
+    budget = (144 * kbps * 1000 // sr) * 8
+    frames = []
+    for mode_ext in range(4):
+        bound = min((mode_ext + 1) * 4, sblimit)
+        fixed = 32 + sum(row[0] * (2 if sb < bound else 1)
+                         for sb, row in enumerate(table))
+        used = fixed
+        alloc = np.zeros((sblimit, 2), dtype=np.int64)
+        digits = np.zeros((36, sblimit, 2), dtype=np.int64)
+        scfsi = rng.integers(0, 4, size=(sblimit, 2))
+        scf = rng.integers(0, 63, size=(sblimit, 2, 3))
+        for sb in rng.permutation(sblimit):
+            a = int(rng.integers(1, 1 << table[sb][0]))
+            n = table[sb][1][a - 1]
+            shared = sb >= bound
+            cost = sum(2 + SCFSI_MAP[int(scfsi[sb, ch])][0] * 6
+                       for ch in range(2))
+            cost += 12 * _l2_sample_bits(n) * (1 if shared else 2)
+            if used + cost > budget:
+                continue
+            used += cost
+            for ch in range(2):
+                alloc[sb, ch] = a
+                digits[:, sb, ch] = rng.integers(0, n, size=36)
+        frames.append(layer2_frame(digits, alloc, scfsi, scf,
+                                   bitrate_idx=br, sr_idx=sr_idx,
+                                   mode=1, mode_ext=mode_ext))
+    assert _ref_diff(b"".join(frames)) < FLOAT32_FLOOR
+
+
+# --- Layer III: real reference streams (lame) ------------------------------
+
+
+LAME_CASES = [
+    ("mono_128", dict(bitrate_kbps=128), False, 44100),
+    ("mono_320", dict(bitrate_kbps=320), False, 44100),
+    ("mono_32k_sr", dict(bitrate_kbps=96), False, 32000),
+    ("mono_48k_sr", dict(bitrate_kbps=128), False, 48000),
+    ("mono_no_reservoir", dict(bitrate_kbps=128, reservoir=False), False,
+     44100),
+    ("joint_stereo", dict(bitrate_kbps=160), True, 44100),
+    ("dual_stereo", dict(bitrate_kbps=192, stereo=True), True, 44100),
+    # low bitrate forces short/mixed block switching on transients
+    ("mono_transients", dict(bitrate_kbps=64), False, 44100),
+]
+
+
+@needs_lame
+@pytest.mark.parametrize("name,kw,stereo,sr", LAME_CASES,
+                         ids=[c[0] for c in LAME_CASES])
+def test_layer3_lame_stream_vs_ref(name, kw, stereo, sr):
+    """Real lame-encoded streams (bit reservoir, ms/intensity stereo, block
+    switching) decode identically to mpg123 at the float32 floor."""
+    x = _sig(sr, sr, seed=11, noise=0.01).astype(np.float32)
+    if name == "mono_transients":
+        # click train: forces window switching (short/mixed blocks)
+        x = x * 0.1
+        x[::4096] = 0.95
+    if stereo:
+        x = np.stack([x, np.roll(x, 97) * -0.8], axis=1)
+    stream = mpeg_ref.lame_encode(x, sr, **kw)
+    assert _ref_diff(stream) < FLOAT32_FLOOR
+
+
+# --- Layer III: in-repo encoder -------------------------------------------
+
+
+def test_encoder_roundtrip_snr():
+    """encode_mp3 -> decode_mp3 reconstructs tonal audio above 20 dB SNR at
+    the filterbank's 576-sample encode+decode delay (fixture-grade: table-13
+    Huffman, no psychoacoustics)."""
+    sr = 44100
+    x = _sig(2 * sr, sr, seed=3) * np.hanning(2 * sr)
+    stream = encode_mp3(x, sr)
+    pcm, osr = decode_mp3(stream)
+    assert osr == sr
+    y = pcm[:, 0]
+    d = 576
+    n = min(len(x), len(y) - d)
+    assert _snr(y[d + 2000:d + n - 2000], x[2000:n - 2000]) > 20.0
+
+
+@needs_ref
+def test_encoder_stream_vs_ref():
+    """The in-repo encoder emits spec-valid streams: mpg123 accepts them and
+    produces the same PCM as our decoder (mono and stereo)."""
+    sr = 44100
+    x = _sig(sr, sr, seed=5) * np.hanning(sr)
+    assert _ref_diff(encode_mp3(x, sr)) < FLOAT32_FLOOR
+    xs = np.stack([x, -0.5 * x], axis=1)
+    assert _ref_diff(encode_mp3(xs, sr)) < FLOAT32_FLOOR
+
+
+@needs_ref
+def test_layer3_composed_sparse_spectrum_vs_ref():
+    """Hand-composed Layer III frames (count1-only and big-value granules)
+    decode identically in both decoders — direct bit-level control of the
+    side info + Huffman part, independent of the encoder."""
+    from hpfw_tpu.io._mp3_huffman import BIG_VALUE_TABLES, COUNT1_TABLES
+
+    inv13 = {v: k for k, v in BIG_VALUE_TABLES[13][1].items()}
+    invB = {v: k for k, v in COUNT1_TABLES[1].items()}
+    # granule A: four big-value pairs then count1 quads
+    bits = []
+    for (xv, yv), (sx, sy) in zip([(3, 1), (0, 2), (5, 5), (1, 0)],
+                                  [(0, 1), (0, 0), (1, 1), (1, 0)]):
+        bits.append(inv13[(xv, yv)])
+        if xv:
+            bits.append(str(sx))
+        if yv:
+            bits.append(str(sy))
+    for quad in [(1, 0, 1, 0), (0, 0, 0, 1)]:
+        bits.append(invB[quad])
+        for q in quad:
+            if q:
+                bits.append("0")
+    ga = dict(big_values=4, global_gain=200, table_select=(13, 13, 13),
+              region0_count=15, region1_count=7, count1table_select=1,
+              huff_bits="".join(bits))
+    # granule B: silent
+    gb = dict()
+    stream = layer3_frame([[ga], [gb]], bitrate_idx=13, sr_idx=1, mode=3)
+    assert _ref_diff(stream * 3) < FLOAT32_FLOOR
+
+
+# --- Stream handling -------------------------------------------------------
+
+
+def test_id3_tag_skipped():
+    sr = 44100
+    x = _sig(sr // 2, sr, seed=9) * 0.5
+    stream = encode_mp3(x, sr)
+    body = b"x" * 100
+    tag = b"ID3\x04\x00\x00" + bytes(
+        [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+         (len(body) >> 7) & 0x7F, len(body) & 0x7F]) + body
+    a, sra = decode_mp3(stream)
+    b, srb = decode_mp3(tag + stream)
+    assert sra == srb and a.shape == b.shape
+    np.testing.assert_array_equal(a, b)
+
+
+def test_garbage_prefix_resync():
+    """Leading junk before the first sync word is skipped."""
+    sr = 44100
+    x = _sig(sr // 2, sr, seed=9) * 0.5
+    stream = encode_mp3(x, sr)
+    a, _ = decode_mp3(stream)
+    b, _ = decode_mp3(b"\x00\x12junk" + stream)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_truncated_final_frame():
+    """A mid-frame truncation drops only the incomplete frame."""
+    sr = 44100
+    x = _sig(sr // 2, sr, seed=9) * 0.5
+    stream = encode_mp3(x, sr)
+    full, _ = decode_mp3(stream)
+    cut, _ = decode_mp3(stream[:-100])
+    assert cut.shape[0] == full.shape[0] - 1152
+    np.testing.assert_array_equal(full[:cut.shape[0]], cut)
+
+
+# --- load_audio dispatch ---------------------------------------------------
+
+
+def test_load_audio_dispatch_mp3(tmp_path):
+    """load_audio detects headerless MP3 by the two-frame heuristic,
+    downmixes to mono float32, and resamples to the config rate."""
+    sr = 44100
+    x = _sig(sr, sr, seed=13) * 0.5
+    xs = np.stack([x, np.roll(x, 50)], axis=1)
+    p = tmp_path / "clip.mp3"
+    p.write_bytes(encode_mp3(xs, sr))
+    cfg = HpfwConfig()
+    pcm, got_sr = wav.load_audio(str(p), cfg)
+    assert got_sr == cfg.sample_rate
+    assert pcm.dtype == np.float32 and pcm.ndim == 1
+    # duration preserved through decode+resample (filterbank delay aside)
+    assert abs(pcm.shape[0] - x.shape[0] * cfg.sample_rate / sr) < 0.1 * sr
+
+    # ID3-tagged variant dispatches too
+    p2 = tmp_path / "tagged.mp3"
+    p2.write_bytes(b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+                   + encode_mp3(x, sr))
+    pcm2, sr2 = wav.load_audio(str(p2), cfg)
+    assert sr2 == cfg.sample_rate and pcm2.ndim == 1
+
+
+def test_looks_like_mpeg_rejects_other_binaries():
+    rng = np.random.default_rng(0)
+    assert not wav._looks_like_mpeg(rng.integers(0, 256, 8192,
+                                                 dtype=np.uint8).tobytes())
+    assert not wav._looks_like_mpeg(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 64)
+    assert not wav._looks_like_mpeg(b"\xff\xfb" + b"\x00" * 64)  # bad header
+
+
+def test_fingerprint_identical_across_codecs(tmp_path):
+    """The full pipeline contract: the same audio through WAV and MP3 paths
+    yields overwhelmingly similar hashprints (lossy codec, same config)."""
+    from hpfw_tpu import api
+
+    cfg = HpfwConfig()
+    sr = cfg.sample_rate
+    x = _sig(6 * sr, sr, seed=21, noise=0.005).astype(np.float32) * 0.5
+    pw = tmp_path / "a.wav"
+    wav.save_wav(str(pw), x, sr)
+    pm = tmp_path / "a.mp3"
+    # 44.1k encode (MPEG-1 has no 22.05k); load resamples back to cfg rate
+    x44 = wav.resample(x, sr, 44100)
+    pm.write_bytes(encode_mp3(x44.astype(np.float64), 44100))
+    rng = np.random.default_rng(0)
+    filters = rng.standard_normal(
+        (cfg.n_bins * cfg.context_w, 64)).astype(np.float32)
+    pcm_w, _ = wav.load_audio(str(pw), cfg)
+    pcm_m, _ = wav.load_audio(str(pm), cfg)
+    fp_w = np.asarray(api.fingerprint(pcm_w, filters, cfg))
+    fp_m = np.asarray(api.fingerprint(pcm_m, filters, cfg))
+    n = min(len(fp_w), len(fp_m))
+    assert n > 0
+    diff = np.bitwise_xor(fp_w[:n], fp_m[:n])
+    bits = int(np.bitwise_count(diff).sum())
+    frac = bits / (64.0 * n)
+    assert frac < 0.35, f"hashprint bit disagreement {frac:.2f}"
