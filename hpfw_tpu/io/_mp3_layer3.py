@@ -328,6 +328,7 @@ def _decode_layer3(h, frame, br, state):
     prev_scf = [None] * nch
     for gri in range(2):
         xr_ch = []
+        cur_scf = []
         for ch in range(nch):
             g = granules[gri][ch]
             gstart = mbr.pos
@@ -337,11 +338,12 @@ def _decode_layer3(h, frame, br, state):
                 prev_scf[ch] if gri == 1 else None)
             if gri == 0:
                 prev_scf[ch] = (scf_l, scf_s)
+            cur_scf.append((scf_l, scf_s))
             xs = _decode_huffman(mbr, g, h.sr_idx, end_bit)
             mbr.pos = end_bit
             xr_ch.append(_requantize(xs, g, h.sr_idx, scf_l, scf_s))
         if nch == 2:
-            xr_ch = _stereo(xr_ch, granules[gri], h, prev_scf)
+            xr_ch = _stereo(xr_ch, granules[gri], h, cur_scf)
         for ch in range(nch):
             g = granules[gri][ch]
             short = g.window_switching and g.block_type == 2
@@ -353,13 +355,97 @@ def _decode_layer3(h, frame, br, state):
     return S
 
 
-def _stereo(xr_ch, gr_chs, h, prev_scf):
-    """MS stereo (mode_ext & 2). Intensity stereo lands with its probes."""
-    if h.mode == 1 and (h.mode_ext & 2):
-        m, s = xr_ch
-        inv = 1.0 / np.sqrt(2.0)
-        xr_ch = [(m + s) * inv, (m - s) * inv]
-    return xr_ch
+# Intensity-stereo split factors: is_ratio = tan(is_pos * pi / 12);
+# left' = xr * ratio/(1+ratio), right' = xr / (1+ratio). Position 6 is the
+# exact all-left pole; position 7 is "illegal" (MS or passthrough instead).
+# Semantics probe-pinned against mpg123 (tests/test_mp3.py intensity cases).
+_IS_TAN = np.tan(np.arange(7) * np.pi / 12.0)
+_IS_LEFT = np.concatenate([_IS_TAN[:6] / (1.0 + _IS_TAN[:6]), [1.0]])
+_IS_RIGHT = np.concatenate([1.0 / (1.0 + _IS_TAN[:6]), [0.0]])
+
+
+def _is_band_seq(g, sr_idx):
+    """Intensity band layout of a granule as (window, lo, hi, sfb) tuples
+    in spectral (reordered) order, where window < 0 marks long bands.
+    Short-band slices are strided by 3 starting at lo + window."""
+    short = g.window_switching and g.block_type == 2
+    sfb_l = SFB_LONG[sr_idx]
+    sfb_s = SFB_SHORT[sr_idx]
+    bands = []
+    if not short or g.mixed_block:
+        n_long = 8 if short else 22
+        for sfb in range(n_long):
+            bands.append((-1, sfb_l[sfb], sfb_l[sfb + 1], sfb))
+    if short:
+        start = 3 if g.mixed_block else 0
+        for sfb in range(start, 13):
+            for w in range(3):
+                bands.append((w, 3 * sfb_s[sfb], 3 * sfb_s[sfb + 1], sfb))
+    return bands
+
+
+def _band_slice(xr, band):
+    w, lo, hi, _sfb = band
+    if w < 0:
+        return xr[lo:hi]
+    return xr[lo + w:hi:3]
+
+
+def _stereo(xr_ch, gr_chs, h, cur_scf):
+    """Joint-stereo processing: MS (mode_ext & 2) and intensity
+    (mode_ext & 1), ISO 11172-3 2.4.3.4.9. Intensity applies per
+    scalefactor band (per window for short blocks) strictly above the
+    right channel's last nonzero value; is_pos is the right channel's
+    scalefactor in that band (the untransmitted last band inherits the
+    previous band's position); is_pos == 7 is illegal and falls back to
+    MS when MS is on, else leaves the band untouched."""
+    if h.mode != 1 or h.mode_ext == 0:
+        return xr_ch
+    ms = bool(h.mode_ext & 2)
+    intensity = bool(h.mode_ext & 1)
+    m, s = xr_ch
+    inv = 1.0 / np.sqrt(2.0)
+    if not intensity:
+        return [(m + s) * inv, (m - s) * inv] if ms else xr_ch
+    g_r = gr_chs[1]
+    scf_l_r, scf_s_r = cur_scf[1]
+    bands = _is_band_seq(g_r, h.sr_idx)
+    # Last nonzero right-channel band per window (-1 = long "window").
+    last_nz = {}
+    for bi, band in enumerate(bands):
+        if np.any(_band_slice(s, band) != 0.0):
+            last_nz[band[0]] = bi
+    # In mixed blocks a nonzero short part keeps the whole long part out
+    # of the zero region (the zero part is a suffix of the spectrum).
+    if g_r.window_switching and g_r.block_type == 2 and g_r.mixed_block:
+        if any(w >= 0 for w in last_nz):
+            last_nz[-1] = max(bi for bi, b in enumerate(bands)
+                              if b[0] == -1)
+    left = m.copy()
+    right = s.copy()
+    for bi, band in enumerate(bands):
+        w, lo, hi, sfb = band
+        if bi <= last_nz.get(w, -1):
+            if ms:
+                mm = _band_slice(m, band)
+                ss = _band_slice(s, band)
+                _band_slice(left, band)[:] = (mm + ss) * inv
+                _band_slice(right, band)[:] = (mm - ss) * inv
+            continue
+        if w < 0:
+            is_pos = int(scf_l_r[min(sfb, 20)])
+        else:
+            is_pos = int(scf_s_r[min(sfb, 11), w])
+        mm = _band_slice(m, band)
+        if is_pos == 7:
+            if ms:
+                ss = _band_slice(s, band)
+                _band_slice(left, band)[:] = (mm + ss) * inv
+                _band_slice(right, band)[:] = (mm - ss) * inv
+            continue
+        _band_slice(left, band)[:] = mm * _IS_LEFT[is_pos]
+        _band_slice(right, band)[:] = mm * _IS_RIGHT[is_pos]
+    return [left, right]
 
 
 def _trim(state):

@@ -340,6 +340,89 @@ def test_layer3_composed_sparse_spectrum_vs_ref():
     assert _ref_diff(stream * 3) < FLOAT32_FLOOR
 
 
+# --- Layer III: intensity stereo (probe-composed; ISO 2.4.3.4.9.3) ---------
+
+
+def _hl3_pairs(coded_vals):
+    """coded position -> signed value dict, as table-13 big-value bits."""
+    from hpfw_tpu.io._mp3_huffman import BIG_VALUE_TABLES
+
+    inv13 = {v: k for k, v in BIG_VALUE_TABLES[13][1].items()}
+    if not coded_vals:
+        return 0, ""
+    n_pairs = (max(coded_vals) + 2) // 2
+    bits = []
+    for i in range(n_pairs):
+        x = coded_vals.get(2 * i, 0)
+        y = coded_vals.get(2 * i + 1, 0)
+        bits.append(inv13[(abs(x), abs(y))])
+        if x:
+            bits.append("1" if x < 0 else "0")
+        if y:
+            bits.append("1" if y < 0 else "0")
+    return n_pairs, "".join(bits)
+
+
+def _l3_granule(coded_vals, scf_bits, kind="long", gg=210):
+    n_pairs, bits = _hl3_pairs(coded_vals)
+    g = dict(big_values=n_pairs, global_gain=gg, scalefac_compress=13,
+             table_select=(13, 13, 13), region0_count=15, region1_count=7,
+             count1table_select=0, scf_bits=scf_bits, huff_bits=bits)
+    if kind != "long":
+        g.update(window_switching=1, block_type=2,
+                 mixed_block=1 if kind == "mixed" else 0,
+                 table_select=(13, 13, 0), subblock_gain=(0, 0, 0))
+    return g
+
+
+_IS_CASES = [(kind, mode_ext, variant)
+             for kind in ("long", "short", "mixed")
+             for mode_ext in (1, 3)
+             for variant in range(4)]
+
+
+@needs_ref
+@pytest.mark.parametrize("kind,mode_ext,variant", _IS_CASES,
+                         ids=[f"{k}-me{m}-v{v}" for k, m, v in _IS_CASES])
+def test_intensity_stereo_vs_ref(kind, mode_ext, variant):
+    """Intensity (and MS+intensity) streams decode identically to mpg123:
+    random is_pos per band incl. the illegal 7, zero boundaries at varied
+    positions, per-window short-block positions, mixed-block long parts,
+    and the untransmitted last band inheriting its predecessor."""
+    rng = np.random.default_rng(97 * variant + mode_ext + len(kind))
+    n_scf = {"long": 21, "short": 36, "mixed": 35}[kind]
+    left = {2 * i: int(rng.integers(-7, 8)) for i in range(40)}
+    left[140] = 5
+    if kind == "long":
+        left[400] = 3
+    right = [{}, {2 * i: int(rng.integers(-3, 4)) for i in range(20)},
+             {130: 1}, {120: 1}][variant]
+    gl = _l3_granule(left, [(0, 3)] * n_scf, kind)
+    gr = _l3_granule(right, [(int(rng.integers(0, 8)), 3)
+                             for _ in range(n_scf)], kind)
+    granules = [[gl, gr], [dict(gl), dict(gr)]]
+    stream = layer3_frame(granules, bitrate_idx=13, sr_idx=1, mode=1,
+                          mode_ext=mode_ext) * 3
+    assert _ref_diff(stream) < FLOAT32_FLOOR
+
+
+def test_intensity_split_matches_tan_law():
+    """Offline analytical check: a lone left-channel line in an intensity
+    band splits by l/r = tan(is_pos*pi/12) with unchanged total energy."""
+    for p in (1, 2, 3, 4, 5):
+        gl = _l3_granule({140: 5}, [(0, 3)] * 21)
+        gr = _l3_granule({}, [(p if j == 15 else 0, 3) for j in range(21)])
+        granules = [[gl, gr], [dict(gl), dict(gr)]]
+        stream = layer3_frame(granules, bitrate_idx=13, sr_idx=1, mode=1,
+                              mode_ext=1) * 3
+        pcm, _ = decode_mp3(stream)
+        seg = pcm[1152:2304]
+        al = np.abs(seg[:, 0]).max()
+        ar = np.abs(seg[:, 1]).max()
+        np.testing.assert_allclose(al / ar, np.tan(p * np.pi / 12.0),
+                                   rtol=1e-9)
+
+
 # --- Stream handling -------------------------------------------------------
 
 
