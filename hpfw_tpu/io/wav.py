@@ -94,7 +94,14 @@ def _looks_like_mpeg(data: bytes) -> bool:
 
 
 def _decode_mpeg_bytes(data: bytes) -> tuple[np.ndarray, int]:
-    """MPEG-1 audio bytes -> (mono float32 PCM, sample_rate)."""
+    """MPEG-1 audio bytes -> (mono float32 PCM, sample_rate).
+
+    Prefers the C++ twin (native/hpfw_mp3.cc, bit-identical at float32
+    output — tests/test_mp3.py); NumPy fallback otherwise."""
+    from . import native
+
+    if native.available():
+        return native.decode_mp3(data)
     from .mp3 import decode_mp3
 
     pcm, sr = decode_mp3(data)

@@ -461,6 +461,87 @@ def test_truncated_final_frame():
     np.testing.assert_array_equal(full[:cut.shape[0]], cut)
 
 
+# --- C++ twin (native/hpfw_mp3.cc) -----------------------------------------
+
+from hpfw_tpu.io import native  # noqa: E402
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native library unavailable")
+
+
+def _mono32(pcm):
+    """The NumPy decoder's output through the documented downmix."""
+    x = pcm.mean(axis=1) if pcm.shape[1] > 1 else pcm[:, 0]
+    return x.astype(np.float32)
+
+
+def _twin_identical(stream):
+    a, sra = native.decode_mp3(stream)
+    braw, srb = decode_mp3(stream)
+    b = _mono32(braw)
+    assert sra == srb
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a, b)
+
+
+@needs_native
+def test_native_twin_layer1_layer2():
+    """The C++ decoder is bit-identical (float32 output) to the NumPy twin
+    on the exhaustive Layer I/II allocation streams."""
+    rng = np.random.default_rng(0)
+    pairs = [(sb, a) for a in range(1, 15) for sb in range(32)]
+    _twin_identical(b"".join(_layer1_frames_covering(pairs, rng)))
+    for ti, rep in _distinct_l2_tables():
+        rng = np.random.default_rng(ti)
+        _twin_identical(b"".join(_l2_frames_covering(ti, *rep, rng)))
+
+
+@needs_native
+@pytest.mark.parametrize("kind,mode_ext",
+                         [(k, m) for k in ("long", "short", "mixed")
+                          for m in (1, 3)])
+def test_native_twin_intensity(kind, mode_ext):
+    rng = np.random.default_rng(5)
+    n_scf = {"long": 21, "short": 36, "mixed": 35}[kind]
+    left = {2 * i: int(rng.integers(-7, 8)) for i in range(40)}
+    left[140] = 5
+    gl = _l3_granule(left, [(0, 3)] * n_scf, kind)
+    gr = _l3_granule({120: 1}, [(int(rng.integers(0, 8)), 3)
+                                for _ in range(n_scf)], kind)
+    granules = [[gl, gr], [dict(gl), dict(gr)]]
+    _twin_identical(layer3_frame(granules, bitrate_idx=13, sr_idx=1,
+                                 mode=1, mode_ext=mode_ext) * 3)
+
+
+@needs_native
+def test_native_twin_layer3_streams():
+    """Encoder output, ID3 tags, garbage prefixes, and truncated final
+    frames take identical paths in both decoders."""
+    sr = 44100
+    x = _sig(sr, sr, seed=7) * np.hanning(sr)
+    s = encode_mp3(x, sr)
+    _twin_identical(s)
+    tag = b"ID3\x03\x00\x00\x00\x00\x00\x05" + b"\x00" * 5
+    _twin_identical(tag + s)
+    _twin_identical(s[:-100])
+    _twin_identical(b"\x01\x02junk" + s)
+    xs = np.stack([x, -0.5 * x], axis=1)
+    _twin_identical(encode_mp3(xs, sr))
+
+
+@needs_native
+@needs_lame
+def test_native_twin_lame_streams():
+    sr = 44100
+    x = _sig(sr, sr, seed=11, noise=0.01).astype(np.float32)
+    _twin_identical(mpeg_ref.lame_encode(x, sr, 128))
+    xc = (x * 0.1).copy()
+    xc[::4096] = 0.95  # transients: short/mixed blocks
+    _twin_identical(mpeg_ref.lame_encode(xc, sr, 64))
+    xs = np.stack([x, np.roll(x, 97) * -0.8], axis=1)
+    _twin_identical(mpeg_ref.lame_encode(xs, sr, 96))
+
+
 # --- load_audio dispatch ---------------------------------------------------
 
 
