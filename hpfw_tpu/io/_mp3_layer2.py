@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ._mpeg_l2_tables import ALLOC_TABLES, QCLASS, select_table
+from ._mpeg_l2_tables import ALLOC_TABLES, LSF_TABLE, QCLASS, select_table
 
 # Scalefactor index sets per scfsi value, per 12-sample part (0, 1, 2):
 # value -> (number transmitted, part -> transmitted slot)
@@ -31,7 +31,8 @@ def _decode_layer2(h, br):
     from .mp3 import SCALEFACTORS  # late import avoids a cycle
 
     nch = h.channels
-    table = ALLOC_TABLES[select_table(h.sr_idx, nch == 1, h.bitrate_idx)]
+    table = ALLOC_TABLES[LSF_TABLE if h.lsf else
+                         select_table(h.sr_idx, nch == 1, h.bitrate_idx)]
     sblimit = len(table)
     bound = min((h.mode_ext + 1) * 4, sblimit) if h.mode == 1 else sblimit
 

@@ -54,13 +54,37 @@ def _table_lbr(sblimit):
     return rows
 
 
-# id 0..3 = ISO Tables B.2a (27), B.2b (30), B.2c (8), B.2d (12)
+_LSF_HI = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+           16383)
+
+
+def _table_lsf():
+    """ISO 13818-3 Table B.1: the single MPEG-2 LSF Layer II allocation
+    table (sblimit 30). Class lists recovered by candidate sweep against
+    the reference decoder over twolame streams (only this combination
+    reaches the float32 floor) and certified exhaustively per
+    (subband, allocation) in tests/test_mp3.py."""
+    rows = []
+    for sb in range(30):
+        if sb < 4:
+            rows.append((4, _LSF_HI))
+        elif sb < 11:
+            rows.append((3, _LBR_LOW))
+        else:
+            rows.append((2, (3, 5, 9)))
+    return rows
+
+
+# id 0..3 = ISO Tables B.2a (27), B.2b (30), B.2c (8), B.2d (12);
+# id 4 = the MPEG-2 LSF table (13818-3 B.1)
 ALLOC_TABLES = (
     _table_a(27),
     _table_a(30),
     _table_lbr(8),
     _table_lbr(12),
+    _table_lsf(),
 )
+LSF_TABLE = 4
 
 # Allocation-table selection by (header sr index, mono?, bitrate index):
 # ISO 2.4.2.3's bitrate-per-channel rule expressed directly over header

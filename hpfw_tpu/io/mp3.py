@@ -1,4 +1,6 @@
-"""From-spec MPEG-1 audio decoder (ISO/IEC 11172-3): Layers I, II, III.
+"""From-spec MPEG audio decoder: Layers I, II, III; MPEG-1 (ISO/IEC
+11172-3), MPEG-2 LSF (ISO/IEC 13818-3), and MPEG-2.5 (quarter rates) —
+every sample rate from 8 to 48 kHz.
 
 Standalone NumPy decoder — no system codec library is touched. The
 constants that the offline environment could not read from the spec text
@@ -29,7 +31,15 @@ BITRATES = {
     2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
     3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
 }
+# MPEG-2 LSF (and 2.5): Layer I has its own table; Layers II/III share one.
+BITRATES_LSF = {
+    1: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
 SAMPLE_RATES = (44100, 48000, 32000)
+SAMPLE_RATES_V2 = (22050, 24000, 16000)
+SAMPLE_RATES_V25 = (11025, 12000, 8000)
 
 # ISO Table B.1: scalefactor idx 0..62 -> 2^(1 - idx/3).
 SCALEFACTORS = 2.0 ** (1.0 - np.arange(64) / 3.0)
@@ -64,14 +74,17 @@ class BitReader:
 class FrameHeader:
     __slots__ = ("layer", "bitrate_kbps", "bitrate_idx", "sample_rate",
                  "sr_idx", "padding", "mode", "mode_ext", "protection",
-                 "frame_bytes", "channels")
+                 "frame_bytes", "channels", "lsf", "mpeg25")
 
     def __init__(self, word: int):
         if (word >> 21) & 0x7FF != 0x7FF:
             raise ValueError("bad sync")
         version = (word >> 19) & 3
-        if version != 3:
-            raise ValueError("only MPEG-1 supported")
+        if version == 1:
+            raise ValueError("reserved MPEG version")
+        # 3 = MPEG-1, 2 = MPEG-2 LSF, 0 = MPEG-2.5 (quarter rates)
+        self.lsf = version != 3
+        self.mpeg25 = version == 0
         layer_bits = (word >> 17) & 3
         if layer_bits == 0:
             raise ValueError("reserved layer")
@@ -81,11 +94,14 @@ class FrameHeader:
         if br_idx in (0, 15):
             raise ValueError("free-format/forbidden bitrate")
         self.bitrate_idx = br_idx
-        self.bitrate_kbps = BITRATES[self.layer][br_idx]
+        self.bitrate_kbps = (BITRATES_LSF if self.lsf
+                             else BITRATES)[self.layer][br_idx]
         self.sr_idx = (word >> 10) & 3
         if self.sr_idx == 3:
             raise ValueError("reserved sample rate")
-        self.sample_rate = SAMPLE_RATES[self.sr_idx]
+        self.sample_rate = (SAMPLE_RATES_V25 if self.mpeg25
+                            else SAMPLE_RATES_V2 if self.lsf
+                            else SAMPLE_RATES)[self.sr_idx]
         self.padding = (word >> 9) & 1
         self.mode = (word >> 6) & 3
         self.mode_ext = (word >> 4) & 3
@@ -93,6 +109,9 @@ class FrameHeader:
         br = self.bitrate_kbps * 1000
         if self.layer == 1:
             self.frame_bytes = (12 * br // self.sample_rate + self.padding) * 4
+        elif self.layer == 3 and self.lsf:
+            # LSF Layer III frames carry one granule (576 samples)
+            self.frame_bytes = 72 * br // self.sample_rate + self.padding
         else:
             self.frame_bytes = 144 * br // self.sample_rate + self.padding
 

@@ -59,12 +59,15 @@ class BitWriter:
 
 
 def frame_header(layer: int, bitrate_idx: int, sr_idx: int, *,
-                 mode: int = 3, padding: int = 0, mode_ext: int = 0) -> int:
-    """32-bit MPEG-1 frame header. mode 3 = single channel."""
+                 mode: int = 3, padding: int = 0, mode_ext: int = 0,
+                 version: int = 3) -> int:
+    """32-bit MPEG frame header. mode 3 = single channel; version 3 =
+    MPEG-1, 2 = MPEG-2 LSF, 0 = MPEG-2.5."""
     assert layer in (1, 2, 3)
+    assert version in (0, 2, 3)
     layer_bits = {1: 0b11, 2: 0b10, 3: 0b01}[layer]
     h = 0x7FF
-    h = (h << 2) | 0b11          # MPEG-1
+    h = (h << 2) | version
     h = (h << 2) | layer_bits
     h = (h << 1) | 1             # protection_bit=1: no CRC
     h = (h << 4) | bitrate_idx
@@ -79,10 +82,14 @@ def frame_header(layer: int, bitrate_idx: int, sr_idx: int, *,
     return h
 
 
+BITRATES_L1_LSF = (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
+                   192, 224, 256)
+
+
 def layer1_frame_mono(codes: np.ndarray, alloc: np.ndarray,
                       scf: np.ndarray, *, bitrate_idx: int = 14,
-                      sr_idx: int = 1) -> bytes:
-    """Compose one MPEG-1 Layer I mono frame (384 samples).
+                      sr_idx: int = 1, lsf: bool = False) -> bytes:
+    """Compose one MPEG-1 (or MPEG-2 LSF) Layer I mono frame (384 samples).
 
     codes: (12, 32) unsigned sample codes (only allocated subbands read);
     alloc: (32,) allocation codes (0 = silent, 1..14 -> nb = code+1 bits);
@@ -92,13 +99,13 @@ def layer1_frame_mono(codes: np.ndarray, alloc: np.ndarray,
     alloc = np.asarray(alloc)
     scf = np.asarray(scf)
     assert codes.shape == (12, 32) and alloc.shape == (32,)
-    sr = SAMPLE_RATES[sr_idx]
-    kbps = BITRATES_L1[bitrate_idx]
+    sr = (SAMPLE_RATES_V2 if lsf else SAMPLE_RATES)[sr_idx]
+    kbps = (BITRATES_L1_LSF if lsf else BITRATES_L1)[bitrate_idx]
     slots = (12 * kbps * 1000) // sr  # 4-byte slots
-    assert 12 * kbps * 1000 % sr == 0, "pick sr/bitrate with no padding"
     nbytes = slots * 4
     w = BitWriter()
-    w.write(frame_header(1, bitrate_idx, sr_idx), 32)
+    w.write(frame_header(1, bitrate_idx, sr_idx,
+                         version=2 if lsf else 3), 32)
     for sb in range(32):
         a = int(alloc[sb])
         assert 0 <= a <= 14
@@ -116,10 +123,15 @@ def layer1_frame_mono(codes: np.ndarray, alloc: np.ndarray,
     return w.bytes()
 
 
+BITRATES_L2_LSF = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                   144, 160)
+SAMPLE_RATES_V2 = (22050, 24000, 16000)
+
+
 def layer2_frame(digits: np.ndarray, alloc: np.ndarray, scfsi: np.ndarray,
                  scf: np.ndarray, *, bitrate_idx: int, sr_idx: int = 1,
-                 mode: int = 3, mode_ext: int = 0) -> bytes:
-    """Compose one MPEG-1 Layer II frame (1152 samples).
+                 mode: int = 3, mode_ext: int = 0, lsf: bool = False) -> bytes:
+    """Compose one MPEG-1 (or MPEG-2 LSF) Layer II frame (1152 samples).
 
     digits: (36, sblimit, nch) per-sample quantization digits in [0, n)
             (grouped classes are packed into base-n triplet codes here);
@@ -129,20 +141,21 @@ def layer2_frame(digits: np.ndarray, alloc: np.ndarray, scfsi: np.ndarray,
     scf:    (sblimit, nch, 3) scalefactor indices per part (slots beyond
             the scfsi-transmitted count are ignored).
     """
-    from ._mpeg_l2_tables import ALLOC_TABLES, QCLASS, select_table
+    from ._mpeg_l2_tables import ALLOC_TABLES, LSF_TABLE, QCLASS, select_table
     from ._mp3_layer2 import SCFSI_MAP
 
     nch = 1 if mode == 3 else 2
-    table = ALLOC_TABLES[select_table(sr_idx, nch == 1, bitrate_idx)]
+    table = ALLOC_TABLES[LSF_TABLE if lsf else
+                         select_table(sr_idx, nch == 1, bitrate_idx)]
     sblimit = len(table)
     bound = min((mode_ext + 1) * 4, sblimit) if mode == 1 else sblimit
     assert digits.shape == (36, sblimit, nch)
-    sr = SAMPLE_RATES[sr_idx]
-    kbps = BITRATES_L2[bitrate_idx]
+    sr = (SAMPLE_RATES_V2 if lsf else SAMPLE_RATES)[sr_idx]
+    kbps = (BITRATES_L2_LSF if lsf else BITRATES_L2)[bitrate_idx]
     nbytes = 144 * kbps * 1000 // sr  # padding=0: floor frame size
     w = BitWriter()
     w.write(frame_header(2, bitrate_idx, sr_idx, mode=mode,
-                         mode_ext=mode_ext), 32)
+                         mode_ext=mode_ext, version=2 if lsf else 3), 32)
     for sb in range(sblimit):
         nbal = table[sb][0]
         for ch in range(1 if sb >= bound else nch):
@@ -338,19 +351,24 @@ def _default_granule() -> dict:
 
 def layer3_side(granules, w: BitWriter, *, bitrate_idx: int = 13,
                 sr_idx: int = 1, mode: int = 3, mode_ext: int = 0,
-                main_data_begin: int = 0, scfsi=None) -> None:
-    """Write the header + side info of one Layer III frame into `w`."""
+                main_data_begin: int = 0, scfsi=None,
+                version: int = 3) -> None:
+    """Write the header + side info of one Layer III frame into `w`.
+    version 3 = MPEG-1 (2 granules, scfsi, 4-bit scalefac_compress,
+    preflag bit); 2/0 = LSF/2.5 (1 granule, 9-bit scalefac_compress)."""
     nch = 1 if mode == 3 else 2
+    lsf = version != 3
     if scfsi is None:
         scfsi = [[0] * 4 for _ in range(nch)]
     w.write(frame_header(3, bitrate_idx, sr_idx, mode=mode,
-                         mode_ext=mode_ext), 32)
-    w.write(main_data_begin, 9)
-    w.write(0, 5 if nch == 1 else 3)
-    for ch in range(nch):
-        for b in scfsi[ch]:
-            w.write(b, 1)
-    for gr in range(2):
+                         mode_ext=mode_ext, version=version), 32)
+    w.write(main_data_begin, 8 if lsf else 9)
+    w.write(0, (1 if lsf else 5) if nch == 1 else (2 if lsf else 3))
+    if not lsf:
+        for ch in range(nch):
+            for b in scfsi[ch]:
+                w.write(b, 1)
+    for gr in range(1 if lsf else 2):
         for ch in range(nch):
             g = dict(_default_granule(), **granules[gr][ch])
             part2_3 = sum(nb for _v, nb in g["scf_bits"]) \
@@ -358,7 +376,7 @@ def layer3_side(granules, w: BitWriter, *, bitrate_idx: int = 13,
             w.write(part2_3, 12)
             w.write(g["big_values"], 9)
             w.write(g["global_gain"], 8)
-            w.write(g["scalefac_compress"], 4)
+            w.write(g["scalefac_compress"], 9 if lsf else 4)
             w.write(g["window_switching"], 1)
             if g["window_switching"]:
                 w.write(g["block_type"], 2)
@@ -372,16 +390,17 @@ def layer3_side(granules, w: BitWriter, *, bitrate_idx: int = 13,
                     w.write(g["table_select"][r], 5)
                 w.write(g["region0_count"], 4)
                 w.write(g["region1_count"], 3)
-            w.write(g["preflag"], 1)
+            if not lsf:
+                w.write(g["preflag"], 1)
             w.write(g["scalefac_scale"], 1)
             w.write(g["count1table_select"], 1)
 
 
-def layer3_main_bits(granules, mode: int = 3) -> "BitWriter":
+def layer3_main_bits(granules, mode: int = 3, n_gr: int = 2) -> "BitWriter":
     """Write the main-data bits (scalefactors + Huffman) of a frame."""
     nch = 1 if mode == 3 else 2
     w = BitWriter()
-    for gr in range(2):
+    for gr in range(n_gr):
         for ch in range(nch):
             g = dict(_default_granule(), **granules[gr][ch])
             for v, nb in g["scf_bits"]:
@@ -392,7 +411,8 @@ def layer3_main_bits(granules, mode: int = 3) -> "BitWriter":
 
 
 def layer3_frame(granules, *, bitrate_idx: int = 13, sr_idx: int = 1,
-                 mode: int = 3, mode_ext: int = 0, scfsi=None) -> bytes:
+                 mode: int = 3, mode_ext: int = 0, scfsi=None,
+                 version: int = 3) -> bytes:
     """Compose one self-contained MPEG-1 Layer III frame.
 
     granules: [gr][ch] dicts (see _default_granule); `scf_bits` is a
@@ -402,13 +422,19 @@ def layer3_frame(granules, *, bitrate_idx: int = 13, sr_idx: int = 1,
     layout exactly. main_data_begin = 0: all main data in-frame; use
     layer3_side/layer3_main_bits directly for bit-reservoir layouts.
     """
-    sr = SAMPLE_RATES[sr_idx]
-    kbps = BITRATES_L3[bitrate_idx]
-    nbytes = 144 * kbps * 1000 // sr
+    lsf = version != 3
+    from .mp3 import SAMPLE_RATES_V25
+
+    if version == 0:
+        sr = SAMPLE_RATES_V25[sr_idx]
+    else:
+        sr = (SAMPLE_RATES_V2 if lsf else SAMPLE_RATES)[sr_idx]
+    kbps = (BITRATES_L2_LSF if lsf else BITRATES_L3)[bitrate_idx]
+    nbytes = (72 if lsf else 144) * kbps * 1000 // sr
     w = BitWriter()
     layer3_side(granules, w, bitrate_idx=bitrate_idx, sr_idx=sr_idx,
-                mode=mode, mode_ext=mode_ext, scfsi=scfsi)
-    mw = layer3_main_bits(granules, mode)
+                mode=mode, mode_ext=mode_ext, scfsi=scfsi, version=version)
+    mw = layer3_main_bits(granules, mode, 1 if lsf else 2)
     for bit in mw._bits:
         w._bits.append(bit)
     w.pad_to_bytes(nbytes)

@@ -39,6 +39,7 @@ def _load(name):
 
 _mpg123 = _load("libmpg123.so.0")
 _lame = _load("libmp3lame.so.0")
+_twolame = _load("libtwolame.so.0")
 
 
 def available() -> bool:
@@ -115,6 +116,51 @@ def mpg123_decode(data: bytes):
 
 def lame_available() -> bool:
     return _lame is not None
+
+
+def twolame_available() -> bool:
+    return _twolame is not None
+
+
+def twolame_encode(pcm: np.ndarray, sr: int, bitrate_kbps: int = 64,
+                   mode: int | None = None) -> bytes:
+    """Encode float PCM (n,) or (n, 2) to MPEG Layer II with system
+    libtwolame (MPEG-1 at 32/44.1/48 kHz, MPEG-2 LSF at 16/22.05/24 kHz).
+    mode: twolame constant (0 stereo, 1 joint, 2 dual, 3 mono)."""
+    l = _twolame
+    if l is None:
+        raise RuntimeError("libtwolame not available")
+    pcm = np.asarray(pcm, np.float32)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    if mode is None:
+        mode = 3 if ch == 1 else 1
+    l.twolame_init.restype = C.c_void_p
+    g = C.c_void_p(l.twolame_init())
+    try:
+        l.twolame_set_in_samplerate(g, sr)
+        l.twolame_set_out_samplerate(g, sr)
+        l.twolame_set_num_channels(g, ch)
+        l.twolame_set_bitrate(g, bitrate_kbps)
+        l.twolame_set_mode(g, mode)
+        if l.twolame_init_params(g) != 0:
+            raise RuntimeError("twolame_init_params failed")
+        inter = np.ascontiguousarray(pcm.reshape(-1))
+        out = C.create_string_buffer(int(1.25 * n + 7200) + (1 << 14))
+        l.twolame_encode_buffer_float32_interleaved.argtypes = [
+            C.c_void_p, C.c_void_p, C.c_int, C.c_char_p, C.c_int]
+        nb = l.twolame_encode_buffer_float32_interleaved(
+            g, inter.ctypes.data_as(C.c_void_p), n, out, len(out))
+        if nb < 0:
+            raise RuntimeError(f"twolame_encode_buffer failed: {nb}")
+        data = out.raw[:nb]
+        nb = l.twolame_encode_flush(g, out, len(out))
+        if nb < 0:
+            raise RuntimeError(f"twolame_encode_flush failed: {nb}")
+        return data + out.raw[:nb]
+    finally:
+        l.twolame_close(C.byref(g))
 
 
 def lame_encode(pcm: np.ndarray, sr: int, bitrate_kbps: int = 128,

@@ -10,8 +10,9 @@ Supports WAV (PCM 8/16/24/32, float32/64, mu-law, A-law, and the
 WAVE_FORMAT_EXTENSIBLE wrapper), AIFF/AIFF-C (big-endian PCM), FLAC
 (full bitstream decode, io/flac.py + the C++ twin), Ogg Vorbis
 (io/vorbis.py + the C++ twin — floors, residues, coupling, IMDCT), and
-MPEG-1 audio Layers I/II/III, i.e. MP3 (from-spec decode, io/mp3.py,
-validated against libmpg123 at the float32 floor), any
+MPEG audio Layers I/II/III, i.e. MP3 — MPEG-1, MPEG-2 LSF, and MPEG-2.5,
+all nine sample rates (from-spec decode, io/mp3.py, validated against
+libmpg123 at the float32 floor), any
 channel count (downmixed to mono), resampled to the config rate with a
 polyphase windowed-sinc resampler (Kaiser, scipy.resample_poly-equivalent;
 linear is the opt-in fast path via cfg.resample="linear").

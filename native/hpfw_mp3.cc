@@ -62,6 +62,7 @@ struct BitR2 {
 struct Header {
   int layer, bitrate_kbps, bitrate_idx, sample_rate, sr_idx;
   int padding, mode, mode_ext, protection, frame_bytes, channels;
+  bool lsf, mpeg25;
 };
 
 const int kBitratesL1[15] = {0, 32, 64, 96, 128, 160, 192, 224, 256,
@@ -70,11 +71,20 @@ const int kBitratesL2[15] = {0, 32, 48, 56, 64, 80, 96, 112, 128,
                              160, 192, 224, 256, 320, 384};
 const int kBitratesL3[15] = {0, 32, 40, 48, 56, 64, 80, 96, 112,
                              128, 160, 192, 224, 256, 320};
+const int kBitratesL1Lsf[15] = {0, 32, 48, 56, 64, 80, 96, 112, 128,
+                                144, 160, 176, 192, 224, 256};
+const int kBitratesL23Lsf[15] = {0, 8, 16, 24, 32, 40, 48, 56, 64,
+                                 80, 96, 112, 128, 144, 160};
 const int kSampleRates[3] = {44100, 48000, 32000};
+const int kSampleRatesV2[3] = {22050, 24000, 16000};
+const int kSampleRatesV25[3] = {11025, 12000, 8000};
 
 bool parse_header(uint32_t word, Header* h) {
   if (((word >> 21) & 0x7FF) != 0x7FF) return false;
-  if (((word >> 19) & 3) != 3) return false;  // MPEG-1 only
+  int version = (word >> 19) & 3;
+  if (version == 1) return false;  // reserved
+  h->lsf = version != 3;
+  h->mpeg25 = version == 0;
   int layer_bits = (word >> 17) & 3;
   if (layer_bits == 0) return false;
   h->layer = (layer_bits == 3) ? 1 : (layer_bits == 2) ? 2 : 3;
@@ -82,12 +92,18 @@ bool parse_header(uint32_t word, Header* h) {
   int br_idx = (word >> 12) & 0xF;
   if (br_idx == 0 || br_idx == 15) return false;
   h->bitrate_idx = br_idx;
-  h->bitrate_kbps = (h->layer == 1 ? kBitratesL1
-                     : h->layer == 2 ? kBitratesL2
-                                     : kBitratesL3)[br_idx];
+  if (h->lsf)
+    h->bitrate_kbps = (h->layer == 1 ? kBitratesL1Lsf
+                                     : kBitratesL23Lsf)[br_idx];
+  else
+    h->bitrate_kbps = (h->layer == 1 ? kBitratesL1
+                       : h->layer == 2 ? kBitratesL2
+                                       : kBitratesL3)[br_idx];
   h->sr_idx = (word >> 10) & 3;
   if (h->sr_idx == 3) return false;
-  h->sample_rate = kSampleRates[h->sr_idx];
+  h->sample_rate = (h->mpeg25 ? kSampleRatesV25
+                    : h->lsf ? kSampleRatesV2
+                             : kSampleRates)[h->sr_idx];
   h->padding = (word >> 9) & 1;
   h->mode = (word >> 6) & 3;
   h->mode_ext = (word >> 4) & 3;
@@ -95,9 +111,25 @@ bool parse_header(uint32_t word, Header* h) {
   int br = h->bitrate_kbps * 1000;
   if (h->layer == 1)
     h->frame_bytes = (12 * br / h->sample_rate + h->padding) * 4;
+  else if (h->layer == 3 && h->lsf)
+    h->frame_bytes = 72 * br / h->sample_rate + h->padding;
   else
     h->frame_bytes = 144 * br / h->sample_rate + h->padding;
   return true;
+}
+
+// (long 23-edge, short 14-edge) boundary tables for a frame header.
+void sfb_tables(const Header& h, const int** sfb_l, const int** sfb_s) {
+  if (h.lsf) {
+    for (int i = 0; i < 6; ++i)
+      if (kLsfRates[i] == h.sample_rate) {
+        *sfb_l = kSfbLongLsf[i];
+        *sfb_s = kSfbShortLsf[i];
+        return;
+      }
+  }
+  *sfb_l = kSfbLong[h.sr_idx];
+  *sfb_s = kSfbShort[h.sr_idx];
 }
 
 // --- polyphase synthesis ---------------------------------------------------
@@ -192,7 +224,8 @@ const int kScfsiPart[4][3] = {{0, 1, 2}, {0, 0, 1}, {0, 0, 0}, {0, 1, 1}};
 // S: (36, 32, nch)
 bool decode_layer2(const Header& h, BitR2* br, double* S) {
   int nch = h.channels;
-  int ti = kL2Translate[h.sr_idx][nch == 1 ? 1 : 0][h.bitrate_idx];
+  int ti = h.lsf ? kL2NumTables - 1  // the single ISO 13818-3 B.1 table
+                 : kL2Translate[h.sr_idx][nch == 1 ? 1 : 0][h.bitrate_idx];
   int t0 = kL2TableOff[ti];
   int sblimit = kL2TableOff[ti + 1] - t0;
   int bound = h.mode == 1 ? (h.mode_ext + 1) * 4 : sblimit;
@@ -358,17 +391,19 @@ struct L3State {
 void read_side_info(const Header& h, BitR2* br, int* main_data_begin,
                     int scfsi[2][4], Granule gr[2][2]) {
   int nch = h.channels;
-  *main_data_begin = br->read(9);
-  br->read(nch == 1 ? 5 : 3);
+  int n_gr = h.lsf ? 1 : 2;
+  *main_data_begin = br->read(h.lsf ? 8 : 9);
+  br->read(nch == 1 ? (h.lsf ? 1 : 5) : (h.lsf ? 2 : 3));
   for (int ch = 0; ch < nch; ++ch)
-    for (int i = 0; i < 4; ++i) scfsi[ch][i] = br->read(1);
-  for (int g = 0; g < 2; ++g)
+    for (int i = 0; i < 4; ++i)
+      scfsi[ch][i] = h.lsf ? 0 : int(br->read(1));
+  for (int g = 0; g < n_gr; ++g)
     for (int ch = 0; ch < nch; ++ch) {
       Granule& gi = gr[g][ch];
       gi.part2_3_length = br->read(12);
       gi.big_values = br->read(9);
       gi.global_gain = br->read(8);
-      gi.scalefac_compress = br->read(4);
+      gi.scalefac_compress = br->read(h.lsf ? 9 : 4);
       gi.window_switching = br->read(1);
       if (gi.window_switching) {
         gi.block_type = br->read(2);
@@ -387,10 +422,88 @@ void read_side_info(const Header& h, BitR2* br, int* main_data_begin,
         gi.region0_count = br->read(4);
         gi.region1_count = br->read(3);
       }
-      gi.preflag = br->read(1);
+      gi.preflag = h.lsf ? 0 : int(br->read(1));
       gi.scalefac_scale = br->read(1);
       gi.count1table_select = br->read(1);
     }
+}
+
+// LSF decomposition of the 9-bit scalefac_compress (ISO 13818-3
+// 2.4.3.2); mirrors io/_mp3_layer3.py _lsf_slen.
+void lsf_slen(const Granule& g, bool is_ch, int slen[4], int* bn,
+              int* preflag, int* int_scale) {
+  int sc = g.scalefac_compress;
+  *preflag = 0;
+  *int_scale = 0;
+  if (is_ch) {
+    *int_scale = sc & 1;
+    sc >>= 1;
+    if (sc < 180) {
+      slen[0] = sc / 36; slen[1] = (sc % 36) / 6; slen[2] = sc % 6;
+      slen[3] = 0;
+      *bn = 3;
+    } else if (sc < 244) {
+      sc -= 180;
+      slen[0] = (sc & 63) >> 4; slen[1] = (sc & 15) >> 2; slen[2] = sc & 3;
+      slen[3] = 0;
+      *bn = 4;
+    } else {
+      sc -= 244;
+      slen[0] = sc / 3; slen[1] = sc % 3; slen[2] = 0; slen[3] = 0;
+      *bn = 5;
+    }
+  } else {
+    if (sc < 400) {
+      slen[0] = (sc >> 4) / 5; slen[1] = (sc >> 4) % 5;
+      slen[2] = (sc & 15) >> 2; slen[3] = sc & 3;
+      *bn = 0;
+    } else if (sc < 500) {
+      sc -= 400;
+      slen[0] = (sc >> 2) / 5; slen[1] = (sc >> 2) % 5; slen[2] = sc & 3;
+      slen[3] = 0;
+      *bn = 1;
+    } else {
+      sc -= 500;
+      slen[0] = sc / 3; slen[1] = sc % 3; slen[2] = 0; slen[3] = 0;
+      *bn = 2;
+      *preflag = 1;
+    }
+  }
+}
+
+// LSF scalefactor reading; max_* carry each slot's (2^slen - 1) marker
+// (the LSF illegal intensity position). Sets g's preflag via *preflag.
+void read_scalefactors_lsf(BitR2* br, Granule* g, bool is_ch,
+                           int* scf_l, int* scf_s, int* max_l,
+                           int* max_s) {
+  int slen[4], bn, preflag, int_scale;
+  lsf_slen(*g, is_ch, slen, &bn, &preflag, &int_scale);
+  g->preflag = preflag;
+  bool is_short = g->window_switching && g->block_type == 2;
+  int cls = (is_short && g->mixed_block) ? 2 : (is_short ? 1 : 0);
+  const int* counts = kNrOfSfb[bn][cls];
+  int vals[40], maxes[40], nv = 0;
+  for (int i = 0; i < 4; ++i)
+    for (int k = 0; k < counts[i]; ++k) {
+      vals[nv] = br->read(slen[i]);
+      maxes[nv] = (1 << slen[i]) - 1;
+      ++nv;
+    }
+  std::memset(scf_l, 0, sizeof(int) * 22);
+  std::memset(scf_s, 0, sizeof(int) * 13 * 3);
+  std::memset(max_l, 0, sizeof(int) * 22);
+  std::memset(max_s, 0, sizeof(int) * 13 * 3);
+  if (cls == 0) {
+    for (int i = 0; i < 21; ++i) { scf_l[i] = vals[i]; max_l[i] = maxes[i]; }
+  } else if (cls == 1) {
+    for (int i = 0; i < 36; ++i) { scf_s[i] = vals[i]; max_s[i] = maxes[i]; }
+  } else {
+    for (int i = 0; i < 6; ++i) { scf_l[i] = vals[i]; max_l[i] = maxes[i]; }
+    for (int i = 0; i < 27; ++i) {
+      scf_s[9 + i] = vals[6 + i];
+      max_s[9 + i] = maxes[6 + i];
+    }
+  }
 }
 
 void read_scalefactors(BitR2* br, const Granule& g,
@@ -428,19 +541,27 @@ void read_scalefactors(BitR2* br, const Granule& g,
   }
 }
 
-void decode_huffman(BitR2* br, const Granule& g, int sr_idx,
-                    int64_t end_bit, double* xs /* 576 */) {
+void decode_huffman(BitR2* br, const Granule& g, const Header& h,
+                    const int* sfb_l, int64_t end_bit,
+                    double* xs /* 576 */) {
   std::memset(xs, 0, sizeof(double) * 576);
   int r0_end, r1_end;
   if (g.window_switching) {
-    r0_end = 36;
+    // Implied regions (probe-pinned vs the reference decoder): MPEG-1
+    // 36 lines; LSF 36 (short) / 54 (start/stop); 2.5 from the band
+    // table (sfb 6 pure short, sfb 8 otherwise).
+    if (h.mpeg25)
+      r0_end = sfb_l[(g.block_type == 2 && !g.mixed_block) ? 6 : 8];
+    else if (h.lsf && g.block_type != 2)
+      r0_end = 54;
+    else
+      r0_end = 36;
     r1_end = 576;
   } else {
-    const int* sfb = kSfbLong[sr_idx];
     int a = g.region0_count + 1;
     int b = a + g.region1_count + 1;
-    r0_end = sfb[a < 22 ? a : 22];
-    r1_end = sfb[b < 22 ? b : 22];
+    r0_end = sfb_l[a < 22 ? a : 22];
+    r1_end = sfb_l[b < 22 ? b : 22];
   }
   int bv_end = 2 * g.big_values;
   if (bv_end > 576) bv_end = 576;  // malformed big_values: clamp
@@ -491,8 +612,9 @@ void decode_huffman(BitR2* br, const Granule& g, int sr_idx,
   }
 }
 
-void requantize(const double* xs, const Granule& g, int sr_idx,
-                const int* scf_l, const int* scf_s, double* xr) {
+void requantize(const double* xs, const Granule& g, const int* sfb_l,
+                const int* sfb_s, const int* scf_l, const int* scf_s,
+                double* xr) {
   std::memset(xr, 0, sizeof(double) * 576);
   double mag[576];
   for (int i = 0; i < 576; ++i) {
@@ -502,9 +624,9 @@ void requantize(const double* xs, const Granule& g, int sr_idx,
   }
   double step = 0.5 * (1 + g.scalefac_scale);
   bool is_short = g.window_switching && g.block_type == 2;
-  int long_end = (is_short && g.mixed_block) ? 36 : (is_short ? 0 : 576);
-  const int* sfb_l = kSfbLong[sr_idx];
-  const int* sfb_s = kSfbShort[sr_idx];
+  // mixed long part ends where short sfb 3 starts (72 at 8 kHz LSF)
+  int long_end = (is_short && g.mixed_block) ? 3 * sfb_s[3]
+                                             : (is_short ? 0 : 576);
   if (long_end) {
     double gain = std::pow(2.0, (g.global_gain - 210) / 4.0);
     for (int sfb = 0; sfb < 22; ++sfb) {
@@ -552,14 +674,13 @@ struct Band {
   int w, lo, hi, sfb;  // w < 0 marks long bands
 };
 
-int band_seq(const Granule& g, int sr_idx, Band* bands /* cap 64 */) {
+int band_seq(const Granule& g, const int* sfb_l, const int* sfb_s,
+             Band* bands /* cap 64 */) {
   bool is_short = g.window_switching && g.block_type == 2;
-  const int* sfb_l = kSfbLong[sr_idx];
-  const int* sfb_s = kSfbShort[sr_idx];
   int n = 0;
   if (!is_short || g.mixed_block) {
-    int n_long = is_short ? 8 : 22;
-    for (int sfb = 0; sfb < n_long; ++sfb)
+    int long_end = is_short ? 3 * sfb_s[3] : 576;
+    for (int sfb = 0; sfb < 22 && sfb_l[sfb] < long_end; ++sfb)
       bands[n++] = {-1, sfb_l[sfb], sfb_l[sfb + 1], sfb};
   }
   if (is_short) {
@@ -571,8 +692,30 @@ int band_seq(const Granule& g, int sr_idx, Band* bands /* cap 64 */) {
   return n;
 }
 
+// LSF intensity factors (ISO 13818-3 2.4.3.4; probe-pinned): p = 0 copies
+// to both; odd p scales left by io^((p+1)/2); even p scales right by
+// io^(p/2); io = 2^-1/4 (intensity_scale 0) or 2^-1/2 (1).
+void lsf_is_factors(int is_pos, int int_scale, double* kl, double* kr) {
+  if (is_pos == 0) {
+    *kl = 1.0;
+    *kr = 1.0;
+    return;
+  }
+  double io = std::pow(2.0, -0.25 * (1 + int_scale));
+  double k = std::pow(io, (is_pos + 1) / 2);
+  if (is_pos % 2) {
+    *kl = k;
+    *kr = 1.0;
+  } else {
+    *kl = 1.0;
+    *kr = k;
+  }
+}
+
 void stereo_process(const Header& h, const Granule& g_r,
+                    const int* sfb_l, const int* sfb_s,
                     const int* scf_l_r, const int* scf_s_r,
+                    const int* max_l_r, const int* max_s_r,
                     double* xr0, double* xr1) {
   if (h.mode != 1 || h.mode_ext == 0) return;
   bool ms = (h.mode_ext & 2) != 0;
@@ -587,8 +730,13 @@ void stereo_process(const Header& h, const Granule& g_r,
       }
     return;
   }
+  int int_scale = 0;
+  if (h.lsf) {
+    int slen[4], bn, pre;
+    lsf_slen(g_r, true, slen, &bn, &pre, &int_scale);
+  }
   Band bands[64];
-  int nb = band_seq(g_r, h.sr_idx, bands);
+  int nb = band_seq(g_r, sfb_l, sfb_s, bands);
   int last_nz[4] = {-1, -1, -1, -1};  // index 0 = long (-1), 1..3 = w 0..2
   for (int bi = 0; bi < nb; ++bi) {
     const Band& b = bands[bi];
@@ -611,26 +759,38 @@ void stereo_process(const Header& h, const Granule& g_r,
   for (int bi = 0; bi < nb; ++bi) {
     const Band& b = bands[bi];
     bool below = bi <= last_nz[b.w + 1];
-    int is_pos = 7;
+    int is_pos = 7, illegal = 7;
     if (!below) {
-      if (b.w < 0)
-        is_pos = scf_l_r[b.sfb < 20 ? b.sfb : 20];
-      else
-        is_pos = scf_s_r[(b.sfb < 11 ? b.sfb : 11) * 3 + b.w];
+      if (b.w < 0) {
+        int i = b.sfb < 20 ? b.sfb : 20;
+        is_pos = scf_l_r[i];
+        illegal = h.lsf ? max_l_r[i] : 7;
+      } else {
+        int i = (b.sfb < 11 ? b.sfb : 11) * 3 + b.w;
+        is_pos = scf_s_r[i];
+        illegal = h.lsf ? max_s_r[i] : 7;
+      }
     }
-    bool do_is = !below && is_pos != 7;
+    bool do_is = !below && is_pos != illegal;
     if (do_is) {
+      double kl, kr;
+      if (h.lsf) {
+        lsf_is_factors(is_pos, int_scale, &kl, &kr);
+      } else {
+        kl = kIs.l[is_pos];
+        kr = kIs.r[is_pos];
+      }
       if (b.w < 0) {
         for (int i = b.lo; i < b.hi; ++i) {
           double m = xr0[i];
-          xr0[i] = m * kIs.l[is_pos];
-          xr1[i] = m * kIs.r[is_pos];
+          xr0[i] = m * kl;
+          xr1[i] = m * kr;
         }
       } else {
         for (int i = b.lo + b.w; i < b.hi; i += 3) {
           double m = xr0[i];
-          xr0[i] = m * kIs.l[is_pos];
-          xr1[i] = m * kIs.r[is_pos];
+          xr0[i] = m * kl;
+          xr1[i] = m * kr;
         }
       }
     } else if (ms) {
@@ -664,13 +824,15 @@ void alias_reduce(double* xr, int n_boundaries) {
 }
 
 // xr (576,) -> out (18, 32) [t][sb]; updates overlap[32][18] in place.
+// n_long_sb: subbands of the mixed long part (2 except 8 kHz LSF's 4).
 void imdct_granule(const double* xr, const Granule& g,
-                   double overlap[32][18], double out[18][32]) {
+                   double overlap[32][18], double out[18][32],
+                   int n_long_sb) {
   bool is_short = g.window_switching && g.block_type == 2;
   for (int sb = 0; sb < 32; ++sb) {
     const double* X = xr + 18 * sb;
     double raw[36] = {};
-    bool sb_short = is_short && !(g.mixed_block && sb < 2);
+    bool sb_short = is_short && !(g.mixed_block && sb < n_long_sb);
     if (sb_short) {
       for (int w = 0; w < 3; ++w) {
         for (int i = 0; i < 12; ++i) {
@@ -699,13 +861,14 @@ void imdct_granule(const double* xr, const Granule& g,
 bool decode_layer3(const Header& h, const uint8_t* frame, L3State* st,
                    double* S) {
   int nch = h.channels;
+  int n_gr = h.lsf ? 1 : 2;
   BitR2 br(frame, h.frame_bytes, (32 + (h.protection == 0 ? 16 : 0)));
   int main_data_begin;
   int scfsi[2][4];
   Granule gr[2][2];
   read_side_info(h, &br, &main_data_begin, scfsi, gr);
   if (br.fail) return false;
-  int side_bytes = nch == 1 ? 17 : 32;
+  int side_bytes = h.lsf ? (nch == 1 ? 9 : 17) : (nch == 1 ? 17 : 32);
   int head = 4 + (h.protection == 0 ? 2 : 0) + side_bytes;
   size_t res_before = st->reservoir.size();
   st->reservoir.insert(st->reservoir.end(), frame + head,
@@ -718,38 +881,51 @@ bool decode_layer3(const Header& h, const uint8_t* frame, L3State* st,
           st->reservoir.begin() +
               (st->reservoir.size() - L3State::kMaxReservoir));
   };
-  std::memset(S, 0, sizeof(double) * 36 * 32 * nch);
+  std::memset(S, 0, sizeof(double) * size_t(18 * n_gr) * 32 * nch);
   if (start_byte < 0) {
     trim();
     return true;  // undecodable granules at stream start: silence
   }
   BitR2 mbr(st->reservoir.data(), st->reservoir.size(), start_byte * 8);
+  const int* sfb_l;
+  const int* sfb_s;
+  sfb_tables(h, &sfb_l, &sfb_s);
+  int n_long_sb = (3 * sfb_s[3]) / 18;
   int prev_scf_l[2][22];
-  for (int g = 0; g < 2; ++g) {
+  for (int g = 0; g < n_gr; ++g) {
     double xr[2][576];
     int cur_l[2][22], cur_s[2][13 * 3];
+    int max_l[2][22], max_s[2][13 * 3];
     for (int ch = 0; ch < nch; ++ch) {
-      const Granule& gi = gr[g][ch];
+      Granule& gi = gr[g][ch];
       int64_t end_bit = mbr.pos + gi.part2_3_length;
-      read_scalefactors(&mbr, gi, scfsi[ch],
-                        g == 1 ? prev_scf_l[ch] : nullptr,
-                        cur_l[ch], cur_s[ch]);
+      if (h.lsf) {
+        bool is_ch = ch == 1 && h.mode == 1 && (h.mode_ext & 1);
+        read_scalefactors_lsf(&mbr, &gi, is_ch, cur_l[ch], cur_s[ch],
+                              max_l[ch], max_s[ch]);
+      } else {
+        read_scalefactors(&mbr, gi, scfsi[ch],
+                          g == 1 ? prev_scf_l[ch] : nullptr,
+                          cur_l[ch], cur_s[ch]);
+      }
       if (g == 0)
         std::memcpy(prev_scf_l[ch], cur_l[ch], sizeof(int) * 22);
       double xs[576];
-      decode_huffman(&mbr, gi, h.sr_idx, end_bit, xs);
+      decode_huffman(&mbr, gi, h, sfb_l, end_bit, xs);
       mbr.pos = end_bit;
-      requantize(xs, gi, h.sr_idx, cur_l[ch], cur_s[ch], xr[ch]);
+      requantize(xs, gi, sfb_l, sfb_s, cur_l[ch], cur_s[ch], xr[ch]);
     }
     if (nch == 2)
-      stereo_process(h, gr[g][1], cur_l[1], cur_s[1], xr[0], xr[1]);
+      stereo_process(h, gr[g][1], sfb_l, sfb_s, cur_l[1], cur_s[1],
+                     max_l[1], max_s[1], xr[0], xr[1]);
     for (int ch = 0; ch < nch; ++ch) {
       const Granule& gi = gr[g][ch];
       bool is_short = gi.window_switching && gi.block_type == 2;
-      int nbd = (is_short && gi.mixed_block) ? 1 : (is_short ? 0 : 31);
+      int nbd = (is_short && gi.mixed_block) ? n_long_sb - 1
+                                             : (is_short ? 0 : 31);
       alias_reduce(xr[ch], nbd);
       double out[18][32];
-      imdct_granule(xr[ch], gi, st->overlap[ch], out);
+      imdct_granule(xr[ch], gi, st->overlap[ch], out, n_long_sb);
       for (int t = 0; t < 18; ++t)
         for (int sb = 0; sb < 32; ++sb)
           S[((18 * g + t) * 32 + sb) * nch + ch] = out[t][sb];
@@ -813,7 +989,9 @@ int hpfw_mp3_decode(const uint8_t* data, int64_t size, float* out,
       break;  // format change mid-stream
     }
     const uint8_t* frame = data + pos;
-    int T = h.layer == 1 ? 12 : 36;
+    // samples per frame / 32: Layer I 12; Layers II/III 36, except LSF
+    // Layer III's single 576-sample granule (18)
+    int T = h.layer == 1 ? 12 : (h.layer == 3 && h.lsf) ? 18 : 36;
     S.assign(size_t(T) * 32 * nch, 0.0);
     bool ok;
     if (h.layer == 1) {

@@ -461,6 +461,207 @@ def test_truncated_final_frame():
     np.testing.assert_array_equal(full[:cut.shape[0]], cut)
 
 
+# --- MPEG-2 LSF / MPEG-2.5 -------------------------------------------------
+
+
+LSF_RATES = (22050, 24000, 16000)
+V25_RATES = (11025, 12000, 8000)
+
+
+@needs_lame
+@pytest.mark.parametrize("sr", LSF_RATES + V25_RATES)
+def test_lsf_lame_streams_vs_ref(sr):
+    """MPEG-2 LSF (and 2.5) Layer III lame streams decode at the float32
+    floor: all 6 low/quarter sample rates, long + window-switching frames,
+    joint and dual stereo, with and without the bit reservoir."""
+    rng = np.random.default_rng(sr)
+    t = np.arange(2 * sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 1870 * t * (sr / 22050))
+         + 0.01 * rng.standard_normal(2 * sr)).astype(np.float32)
+    assert _ref_diff(mpeg_ref.lame_encode(x, sr, 32)) < FLOAT32_FLOOR
+    xc = (x * 0.1).copy()
+    xc[::2048] = 0.95  # transients: short blocks + start/stop blocks
+    assert _ref_diff(mpeg_ref.lame_encode(xc, sr, 24)) < FLOAT32_FLOOR
+    xs = np.stack([x, np.roll(x, 97) * -0.8], axis=1)
+    assert _ref_diff(mpeg_ref.lame_encode(xs, sr, 48)) < FLOAT32_FLOOR
+    assert _ref_diff(
+        mpeg_ref.lame_encode(x, sr, 32, reservoir=False)) < FLOAT32_FLOOR
+
+
+needs_twolame = pytest.mark.skipif(
+    not (mpeg_ref.mpg123_available() and mpeg_ref.twolame_available()),
+    reason="system libmpg123/libtwolame not present")
+
+
+@needs_twolame
+@pytest.mark.parametrize("sr", (44100, 48000, 32000) + LSF_RATES)
+def test_layer2_twolame_streams_vs_ref(sr):
+    """Real Layer II encoder streams (twolame): MPEG-1 and MPEG-2 LSF,
+    mono/joint/dual stereo, decode at the float32 floor."""
+    rng = np.random.default_rng(sr)
+    t = np.arange(2 * sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 1870 * t * (sr / 22050))
+         + 0.01 * rng.standard_normal(2 * sr)).astype(np.float32)
+    br = 64 if sr < 32000 else 128
+    assert _ref_diff(mpeg_ref.twolame_encode(x, sr, br)) < FLOAT32_FLOOR
+    xs = np.stack([x, np.roll(x, 97) * -0.8], axis=1)
+    assert _ref_diff(
+        mpeg_ref.twolame_encode(xs, sr, 2 * br, mode=1)) < FLOAT32_FLOOR
+    assert _ref_diff(
+        mpeg_ref.twolame_encode(xs, sr, 2 * br, mode=0)) < FLOAT32_FLOOR
+
+
+@needs_ref
+def test_lsf_layer2_every_allocation_vs_ref():
+    """ISO 13818-3 Table B.1 certification: every (subband, allocation)
+    pair of the LSF Layer II table decodes identically to mpg123."""
+    from hpfw_tpu.io._mpeg_l2_tables import LSF_TABLE
+
+    table = ALLOC_TABLES[LSF_TABLE]
+    sblimit = len(table)
+    budget = (144 * 160 * 1000 // 16000) * 8
+    fixed = 32 + sum(r[0] for r in table)
+    todo = [(sb, a) for sb in range(sblimit)
+            for a in range(1, 1 << table[sb][0])]
+    rng = np.random.default_rng(3)
+    frames = []
+    while todo:
+        used = fixed
+        alloc = np.zeros((sblimit, 1), dtype=np.int64)
+        digits = np.zeros((36, sblimit, 1), dtype=np.int64)
+        scfsi = rng.integers(0, 4, size=(sblimit, 1))
+        scf = rng.integers(0, 63, size=(sblimit, 1, 3))
+        taken = set()
+        rest = []
+        for sb, a in todo:
+            from hpfw_tpu.io._mp3_layer2 import SCFSI_MAP
+
+            n = table[sb][1][a - 1]
+            cost = 2 + SCFSI_MAP[int(scfsi[sb, 0])][0] * 6 \
+                + 12 * _l2_sample_bits(n)
+            if sb in taken or used + cost > budget:
+                rest.append((sb, a))
+                continue
+            taken.add(sb)
+            used += cost
+            alloc[sb, 0] = a
+            digits[:, sb, 0] = rng.integers(0, n, size=36)
+            digits[0, sb, 0] = 0
+            digits[1, sb, 0] = n - 1
+        frames.append(layer2_frame(digits, alloc, scfsi, scf,
+                                   bitrate_idx=14, sr_idx=2, lsf=True))
+        assert len(rest) < len(todo)
+        todo = rest
+    assert _ref_diff(b"".join(frames)) < FLOAT32_FLOOR
+
+
+@needs_ref
+def test_lsf_layer1_every_allocation_vs_ref():
+    """LSF Layer I: every (subband, allocation code) pair vs mpg123."""
+    rng = np.random.default_rng(0)
+    budget = (12 * 256000 // 16000) * 4 * 8
+    todo = [(sb, a) for a in range(1, 15) for sb in range(32)]
+    frames = []
+    while todo:
+        used = 32 + 128
+        alloc = np.zeros(32, dtype=np.int64)
+        codes = np.zeros((12, 32), dtype=np.int64)
+        scf = rng.integers(0, 63, size=32)
+        taken = set()
+        rest = []
+        for sb, a in todo:
+            cost = 6 + 12 * (a + 1)
+            if sb in taken or used + cost > budget:
+                rest.append((sb, a))
+                continue
+            taken.add(sb)
+            used += cost
+            alloc[sb] = a
+            nb = a + 1
+            codes[:, sb] = rng.integers(0, (1 << nb) - 1, size=12)
+            codes[0, sb] = 0
+            codes[1, sb] = (1 << nb) - 2
+        frames.append(layer1_frame_mono(codes, alloc, scf, bitrate_idx=14,
+                                        sr_idx=2, lsf=True))
+        assert len(rest) < len(todo)
+        todo = rest
+    assert _ref_diff(b"".join(frames)) < FLOAT32_FLOOR
+
+
+def _lsf_granule(coded_vals, sc, scf_bits, kind="long", gg=210):
+    n_pairs, bits = _hl3_pairs(coded_vals)
+    g = dict(big_values=n_pairs, global_gain=gg, scalefac_compress=sc,
+             table_select=(13, 13, 13), region0_count=15, region1_count=7,
+             count1table_select=0, scf_bits=scf_bits, huff_bits=bits)
+    if kind != "long":
+        g.update(window_switching=1, block_type=2,
+                 mixed_block=1 if kind == "mixed" else 0,
+                 table_select=(13, 13, 0), subblock_gain=(0, 0, 0))
+    return g
+
+
+@needs_ref
+@pytest.mark.parametrize("kind,mode_ext,int_scale",
+                         [(k, m, i) for k in ("long", "short")
+                          for m in (1, 3) for i in (0, 1)])
+def test_lsf_intensity_vs_ref(kind, mode_ext, int_scale):
+    """LSF intensity stereo (ISO 13818-3 2.4.3.4): io^ceil(p/2) law with
+    io selected by intensity_scale, illegal = the slot's all-ones value,
+    MS fallback — composed probes decode identically to mpg123.
+
+    Mixed blocks are deliberately excluded: mpg123 approximates the mixed
+    short part with window-independent long-style bands, which cannot
+    express the ISO per-window is_pos semantics; this decoder follows the
+    spec there (no real encoder emits LSF mixed intensity streams), and
+    the C++ twin matches it bit-for-bit (test_native_twin_lsf)."""
+    rng = np.random.default_rng(mode_ext * 7 + int_scale)
+    n_scf = {"long": 21, "short": 36}[kind]
+    sc_r = 258 + int_scale  # IS-channel decomposition: slen (3,3,3)
+    for variant in range(3):
+        left = {2 * i: int(rng.integers(-7, 8)) for i in range(40)}
+        left[200] = 5
+        right = [{}, {2 * i: int(rng.integers(-3, 4)) for i in range(15)},
+                 {100: 1}][variant]
+        gl = _lsf_granule(left, 0,
+                          [(0, 0)] * (21 if kind == "long" else 36), kind)
+        gr = _lsf_granule(right, sc_r,
+                          [(int(rng.integers(0, 8)), 3)
+                           for _ in range(n_scf)], kind)
+        stream = layer3_frame([[gl, gr]], bitrate_idx=14, sr_idx=0,
+                              mode=1, mode_ext=mode_ext, version=2) * 4
+        assert _ref_diff(stream) < FLOAT32_FLOOR
+
+
+@needs_ref
+def test_lsf_scalefactor_partitions_vs_ref():
+    """LSF 9-bit scalefac_compress decomposition: one composed stream per
+    partition class (sc < 400 / < 500 / >= 500, incl. the implied
+    preflag), each certified against mpg123."""
+    rng = np.random.default_rng(1)
+    coded = {2 * i: int(rng.integers(-7, 8)) for i in range(40)}
+    for sc in (101, 303, 399, 404, 460, 499, 500, 505, 511):
+        from hpfw_tpu.io._mp3_layer3 import _NR_OF_SFB, _lsf_slen
+
+        class _G:
+            scalefac_compress = sc
+            window_switching = 0
+            block_type = 0
+            mixed_block = 0
+
+        slen, bn, _pre, _ = _lsf_slen(_G, False)
+        counts = _NR_OF_SFB[bn][0]
+        scf_bits = []
+        for i in range(4):
+            scf_bits += [(int(rng.integers(0, 1 << slen[i])), slen[i])
+                         for _ in range(counts[i])]
+        g = _lsf_granule(coded, sc, scf_bits)
+        stream = layer3_frame([[g]], bitrate_idx=14, sr_idx=0, mode=3,
+                              version=2) * 4
+        assert _ref_diff(stream) < FLOAT32_FLOOR, f"sc={sc}"
+
+
 # --- C++ twin (native/hpfw_mp3.cc) -----------------------------------------
 
 from hpfw_tpu.io import native  # noqa: E402
@@ -527,6 +728,47 @@ def test_native_twin_layer3_streams():
     _twin_identical(b"\x01\x02junk" + s)
     xs = np.stack([x, -0.5 * x], axis=1)
     _twin_identical(encode_mp3(xs, sr))
+
+
+@needs_native
+@needs_lame
+def test_native_twin_lsf():
+    """LSF/2.5 parity between the decoders: lame streams at all 6 low
+    rates, plus composed LSF intensity streams for every block kind —
+    including the mixed-block case where both follow ISO rather than
+    mpg123's long-band approximation."""
+    rng = np.random.default_rng(2)
+    for sr in LSF_RATES + V25_RATES:
+        t = np.arange(sr) / sr
+        x = (0.4 * np.sin(2 * np.pi * 440 * t)
+             + 0.01 * rng.standard_normal(sr)).astype(np.float32)
+        _twin_identical(mpeg_ref.lame_encode(x, sr, 32))
+        xs = np.stack([x, -0.7 * x], axis=1)
+        _twin_identical(mpeg_ref.lame_encode(xs, sr, 48))
+    for kind, n_scf in (("long", 21), ("short", 36), ("mixed", 33)):
+        for mode_ext in (1, 3):
+            left = {2 * i: int(rng.integers(-7, 8)) for i in range(40)}
+            gl = _lsf_granule(left, 0, [(0, 0)] * n_scf, kind)
+            gr = _lsf_granule({100: 1}, 259,
+                              [(int(rng.integers(0, 8)), 3)
+                               for _ in range(n_scf)], kind)
+            _twin_identical(layer3_frame([[gl, gr]], bitrate_idx=14,
+                                         sr_idx=0, mode=1,
+                                         mode_ext=mode_ext, version=2) * 4)
+
+
+@needs_native
+@needs_twolame
+def test_native_twin_twolame():
+    rng = np.random.default_rng(4)
+    for sr in (44100, 22050, 16000):
+        t = np.arange(sr) / sr
+        x = (0.4 * np.sin(2 * np.pi * 440 * t)
+             + 0.01 * rng.standard_normal(sr)).astype(np.float32)
+        br = 64 if sr < 32000 else 128
+        _twin_identical(mpeg_ref.twolame_encode(x, sr, br))
+        xs = np.stack([x, -0.6 * x], axis=1)
+        _twin_identical(mpeg_ref.twolame_encode(xs, sr, 2 * br, mode=1))
 
 
 @needs_native
