@@ -319,9 +319,11 @@ def _decode_huffman(br, g, sfb_l, end_bit, h=None):
         sfb = sfb_l
         r0_end = sfb[min(g.region0_count + 1, 22)]
         r1_end = sfb[min(g.region0_count + 1 + g.region1_count + 1, 22)]
-    bv_end = 2 * g.big_values
+    bv_end = min(2 * g.big_values, 576)  # malformed big_values: clamp
     i = 0
     while i < bv_end:
+        if br.overrun:
+            break
         if i < r0_end:
             tsel = g.table_select[0]
         elif i < r1_end:
@@ -353,7 +355,7 @@ def _decode_huffman(br, g, sfb_l, end_bit, h=None):
             break
     # count1 region
     ctree = _TREES_C1[g.count1table_select]
-    while br.pos < end_bit and i + 3 < 576:
+    while br.pos < end_bit and i + 3 < 576 and not br.overrun:
         mark = br.pos
         node = ctree
         while isinstance(node, dict):
@@ -468,6 +470,8 @@ def _decode_layer3(h, frame, br, state):
     sfb_l, sfb_s = _sfb_tables(h)
     n_gr = 1 if h.lsf else 2
     main_data_begin, scfsi, granules = _read_side_info(h, br)
+    if br.overrun:
+        return None  # frame too small for its side info: skip it
     side_bytes = (9 if nch == 1 else 17) if h.lsf else (17 if nch == 1
                                                         else 32)
     head = 4 + (2 if h.protection == 0 else 0) + side_bytes
@@ -526,9 +530,16 @@ def _decode_layer3(h, frame, br, state):
 # left' = xr * ratio/(1+ratio), right' = xr / (1+ratio). Position 6 is the
 # exact all-left pole; position 7 is "illegal" (MS or passthrough instead).
 # Semantics probe-pinned against mpg123 (tests/test_mp3.py intensity cases).
-_IS_TAN = np.tan(np.arange(7) * np.pi / 12.0)
-_IS_LEFT = np.concatenate([_IS_TAN[:6] / (1.0 + _IS_TAN[:6]), [1.0]])
-_IS_RIGHT = np.concatenate([1.0 / (1.0 + _IS_TAN[:6]), [0.0]])
+# Positions 8..15 are out-of-spec but encodable when slen > 3; the
+# reference decoder applies its table's raw tan-law extension there, so
+# the table runs to 16 entries (at the p=9 pole tan = -1 and the
+# reference emits NaN; the float64 pole value here is equally garbage but
+# finite).
+_IS_TAN = np.tan(np.arange(16) * np.pi / 12.0)
+_IS_LEFT = _IS_TAN / (1.0 + _IS_TAN)
+_IS_RIGHT = 1.0 / (1.0 + _IS_TAN)
+_IS_LEFT[6], _IS_RIGHT[6] = 1.0, 0.0  # exact all-left pole
+_IS_LEFT[12], _IS_RIGHT[12] = 0.0, 1.0  # tan(pi) rounding
 
 
 def _is_band_seq(g, sfb_l, sfb_s):

@@ -51,24 +51,35 @@ _N = np.cos((16 + np.arange(64))[:, None]
 
 
 class BitReader:
-    """MSB-first bit reader over a byte buffer."""
+    """MSB-first bit reader over a byte buffer.
+
+    Reads past the end return zero bits without advancing and set
+    `overrun` (mirroring the C++ twin's fail flag), so malformed frames
+    degrade instead of raising; callers check `overrun` to skip them."""
 
     def __init__(self, data: bytes, pos_bits: int = 0):
         self.data = data
         self.pos = pos_bits
+        self.nbits = len(data) * 8
+        self.overrun = False
 
     def read(self, n: int) -> int:
         v = 0
         p = self.pos
         d = self.data
+        end = self.nbits
         for _ in range(n):
+            if p >= end:
+                self.pos = p
+                self.overrun = True
+                return 0
             v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
             p += 1
         self.pos = p
         return v
 
     def bits_left(self) -> int:
-        return len(self.data) * 8 - self.pos
+        return self.nbits - self.pos
 
 
 class FrameHeader:
@@ -241,6 +252,8 @@ def decode_mp3(data: bytes):
             if l3 is None:
                 l3 = Layer3State(nch)
             S = _decode_layer3(h, frame, body, l3)
+        if body.overrun:
+            S = None  # malformed frame: skip, like the C++ twin
         if S is not None and S.shape[0]:
             pcm = np.zeros((S.shape[0] * 32, nch))
             for ch in range(nch):

@@ -21,14 +21,11 @@ from __future__ import annotations
 
 import numpy as np
 
-# MPEG-1 bitrate tables, kbps, index 1..14 (0 = free, 15 = forbidden).
-BITRATES_L1 = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
-               416, 448)
-BITRATES_L2 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
-               320, 384)
-BITRATES_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
-               256, 320)
-SAMPLE_RATES = (44100, 48000, 32000)  # header sampling_frequency index 0..2
+# Bitrate/sample-rate tables come from the decoder (the source of truth).
+from .mp3 import BITRATES, BITRATES_LSF, SAMPLE_RATES, SAMPLE_RATES_V2
+
+BITRATES_L1, BITRATES_L2, BITRATES_L3 = BITRATES[1], BITRATES[2], BITRATES[3]
+BITRATES_L1_LSF, BITRATES_L2_LSF = BITRATES_LSF[1], BITRATES_LSF[2]  # header sampling_frequency index 0..2
 
 
 class BitWriter:
@@ -82,10 +79,6 @@ def frame_header(layer: int, bitrate_idx: int, sr_idx: int, *,
     return h
 
 
-BITRATES_L1_LSF = (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
-                   192, 224, 256)
-
-
 def layer1_frame_mono(codes: np.ndarray, alloc: np.ndarray,
                       scf: np.ndarray, *, bitrate_idx: int = 14,
                       sr_idx: int = 1, lsf: bool = False) -> bytes:
@@ -121,11 +114,6 @@ def layer1_frame_mono(codes: np.ndarray, alloc: np.ndarray,
                 w.write(int(codes[s, sb]), nb)
     w.pad_to_bytes(nbytes)
     return w.bytes()
-
-
-BITRATES_L2_LSF = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
-                   144, 160)
-SAMPLE_RATES_V2 = (22050, 24000, 16000)
 
 
 def layer2_frame(digits: np.ndarray, alloc: np.ndarray, scfsi: np.ndarray,

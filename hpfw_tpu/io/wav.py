@@ -80,7 +80,9 @@ def _looks_like_mpeg(data: bytes) -> bool:
     pos = _skip_id3(data)
     if pos > 0 and pos < len(data):
         return True  # an ID3v2 tag is decisive
-    pos = _find_sync(data, pos)
+    # sync beyond 4 KiB is rejected below, so only scan that prefix —
+    # keeps the sniff O(1) on large sync-free WAV/AIFF files
+    pos = _find_sync(data[:4096 + 4], pos)
     if pos < 0 or pos > 4096:
         return False
     h = FrameHeader(int.from_bytes(data[pos:pos + 4], "big"))

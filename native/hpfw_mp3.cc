@@ -656,16 +656,21 @@ void requantize(const double* xs, const Granule& g, const int* sfb_l,
 }
 
 // Intensity-stereo factors (io/_mp3_layer3.py _IS_LEFT/_IS_RIGHT).
+// 16 entries: positions 8..15 are out-of-spec but encodable when
+// slen > 3; the reference decoder applies its table's raw tan-law
+// extension there, mirrored here (poles at 6 and 12 pinned exactly).
 struct IsTab {
-  double l[7], r[7];
+  double l[16], r[16];
   IsTab() {
-    for (int i = 0; i < 6; ++i) {
+    for (int i = 0; i < 16; ++i) {
       double t = std::tan(i * kPi / 12.0);
       l[i] = t / (1.0 + t);
       r[i] = 1.0 / (1.0 + t);
     }
     l[6] = 1.0;
     r[6] = 0.0;
+    l[12] = 0.0;
+    r[12] = 1.0;
   }
 };
 const IsTab kIs;

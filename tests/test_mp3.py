@@ -423,6 +423,78 @@ def test_intensity_split_matches_tan_law():
                                    rtol=1e-9)
 
 
+# --- Malformed / out-of-spec streams ---------------------------------------
+
+
+@needs_ref
+def test_out_of_spec_intensity_positions_vs_ref():
+    """MPEG-1 is_pos 8..15 (encodable when slen > 3) are out-of-spec; the
+    reference decoder applies its table's raw tan-law extension and so do
+    we (position 9 excluded: the reference hits the tan pole and emits
+    NaN; ours yields the finite float64 pole value — both garbage)."""
+    for p in (7, 8, 10, 12, 15):
+        scf_bits = [(p if sfb == 8 else 0, 4 if sfb < 11 else 2)
+                    for sfb in range(21)]
+        gr = dict(big_values=0, global_gain=210, scalefac_compress=14,
+                  table_select=(0, 0, 0), region0_count=0, region1_count=0,
+                  count1table_select=0, scf_bits=scf_bits, huff_bits="")
+        gl = _l3_granule({38: 5}, [(0, 0)] * 21)
+        stream = layer3_frame([[gl, gr], [dict(gl), dict(gr)]],
+                              bitrate_idx=13, sr_idx=1, mode=1,
+                              mode_ext=1) * 3
+        assert _ref_diff(stream) < FLOAT32_FLOOR, f"is_pos={p}"
+
+
+def test_malformed_frames_degrade_gracefully():
+    """Spec-illegal field values must not crash either decoder: oversized
+    big_values (> 288 pairs), part2_3_length past the reservoir, and
+    frames too small for their side info all decode to (possibly shorter)
+    finite PCM, identically in the NumPy and C++ paths."""
+    import struct
+
+    def both(stream):
+        a, _ = decode_mp3(stream)
+        assert np.isfinite(a).all()
+        if native.available():
+            b, _ = native.decode_mp3(stream)
+            assert np.isfinite(b).all()
+            m = _mono32(a)
+            assert m.shape == b.shape
+            np.testing.assert_array_equal(m, b)
+        return a
+
+    bad = dict(_l3_granule({38: 5}, ()), big_values=400)
+    both(layer3_frame([[bad], [dict()]], bitrate_idx=13, sr_idx=1,
+                      mode=3) * 2)
+
+    # patch part2_3_length (12 bits at offset 54 in a mono MPEG-1 frame)
+    # to 4095 so the granule claims main data far past the reservoir
+    g = dict(big_values=100, global_gain=210, table_select=(13, 13, 13),
+             region0_count=15, region1_count=7, count1table_select=0,
+             huff_bits="")
+    s = bytearray(layer3_frame([[dict(g)], [dict(g)]], bitrate_idx=1,
+                               sr_idx=1, mode=3))
+    for i in range(12):
+        s[(54 + i) >> 3] |= 1 << (7 - ((54 + i) & 7))
+    both(bytes(s) * 2)
+
+    hdr = (0xFFE00000 | (2 << 19) | (1 << 17) | (1 << 16) | (1 << 12)
+           | (1 << 10))  # LSF Layer III 8 kbps 24 kHz stereo
+    frame = struct.pack(">I", hdr) + b"\x00" * (72 * 8000 // 24000 - 4)
+    both(frame * 3)
+
+
+def test_large_wav_sniff_is_fast():
+    """_looks_like_mpeg must not scan whole sync-free files (it rejects
+    syncs past 4 KiB anyway)."""
+    import time
+
+    data = b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * (20 << 20)
+    t0 = time.perf_counter()
+    assert not wav._looks_like_mpeg(data)
+    assert time.perf_counter() - t0 < 0.1
+
+
 # --- Stream handling -------------------------------------------------------
 
 
