@@ -158,9 +158,21 @@ def pallas_coarse_scan(
             jax.ShapeDtypeStruct((t, 1), jnp.int32),
             jax.ShapeDtypeStruct((t, 1), jnp.int32),
         ],
+        compiler_params=_compiler_params(tt, lcw, k_pad, s),
         interpret=interpret,
     )(w, db_c_flat)
     return best[:, 0], idx[:, 0]
+
+
+def _compiler_params(tt, lcw, k_pad, lanes):
+    """Raise the Mosaic vmem limit when the double-buffered tile needs
+    more than the default ~16 MB arena (big tiles amortize grid-step
+    overhead; the chip has 128 MB of VMEM)."""
+    need = 2 * tt * lcw + 2 * k_pad * lanes + 4 * tt * max(lanes, 128) \
+        + (4 << 20)
+    if need <= (16 << 20):
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=min(need, 120 << 20))
 
 
 # Phase shifts for the query-stacked batch kernel. Swept on hardware at
