@@ -42,3 +42,19 @@ def test_cli_stream(cfg, tmp_path, capsys):
 def test_cli_match_requires_db_or_cache(cfg, tmp_path):
     _, qp = _setup(cfg, tmp_path)
     assert cli.main(["match", qp]) == 2
+
+
+def test_cli_match_mp3_query(cfg, tmp_path, capsys):
+    """The CLI accepts lossy-codec queries transparently via load_audio
+    (here: an MP3 at 44.1 kHz, resampled on ingest)."""
+    from hpfw_tpu.io.mp3enc import encode_mp3
+    from hpfw_tpu.io.wav import load_wav, resample
+
+    dbp, qp = _setup(cfg, tmp_path)
+    q, sr = load_wav(qp)
+    q44 = resample(q, sr, 44100)
+    mp = str(tmp_path / "q.mp3")
+    with open(mp, "wb") as f:
+        f.write(encode_mp3(q44.astype(np.float64), 44100))
+    assert cli.main(["match", mp, "--db", dbp, "--top-k", "2"]) == 0
+    assert "#1 3 " in capsys.readouterr().out
