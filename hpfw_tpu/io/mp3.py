@@ -1,6 +1,6 @@
 """From-spec MPEG audio decoder: Layers I, II, III; MPEG-1 (ISO/IEC
 11172-3), MPEG-2 LSF (ISO/IEC 13818-3), and MPEG-2.5 (quarter rates) —
-every sample rate from 8 to 48 kHz.
+every sample rate from 8 to 48 kHz, free-format streams included.
 
 Standalone NumPy decoder — no system codec library is touched. The
 constants that the offline environment could not read from the spec text
@@ -102,9 +102,11 @@ class FrameHeader:
         self.layer = {3: 1, 2: 2, 1: 3}[layer_bits]
         self.protection = (word >> 16) & 1
         br_idx = (word >> 12) & 0xF
-        if br_idx in (0, 15):
-            raise ValueError("free-format/forbidden bitrate")
+        if br_idx == 15:
+            raise ValueError("forbidden bitrate index")
         self.bitrate_idx = br_idx
+        # br_idx 0 = free format: the frame size is measured from the
+        # next sync at stream level (decode_mp3) and set on this header.
         self.bitrate_kbps = (BITRATES_LSF if self.lsf
                              else BITRATES)[self.layer][br_idx]
         self.sr_idx = (word >> 10) & 3
@@ -118,7 +120,9 @@ class FrameHeader:
         self.mode_ext = (word >> 4) & 3
         self.channels = 1 if self.mode == 3 else 2
         br = self.bitrate_kbps * 1000
-        if self.layer == 1:
+        if br == 0:
+            self.frame_bytes = 0  # free format: filled by the stream loop
+        elif self.layer == 1:
             self.frame_bytes = (12 * br // self.sample_rate + self.padding) * 4
         elif self.layer == 3 and self.lsf:
             # LSF Layer III frames carry one granule (576 samples)
@@ -209,6 +213,28 @@ def _find_sync(data: bytes, start: int) -> int:
     return -1
 
 
+def _free_format_size(data: bytes, pos: int, h: "FrameHeader") -> int:
+    """Free-format (bitrate index 0) base frame size: the distance to the
+    next sync with a matching header, minus the first frame's padding
+    slot. Free-format frames are constant-size by spec (padding aside);
+    the scan is capped at the format's largest plausible frame."""
+    unit = 4 if h.layer == 1 else 1
+    limit = min(len(data) - 4, pos + 5000)
+    i = pos + 16
+    while i <= limit:
+        if data[i] == 0xFF and (data[i + 1] & 0xE0) == 0xE0:
+            try:
+                h2 = FrameHeader(int.from_bytes(data[i:i + 4], "big"))
+            except ValueError:
+                i += 1
+                continue
+            if (h2.layer == h.layer and h2.sample_rate == h.sample_rate
+                    and h2.channels == h.channels and h2.bitrate_idx == 0):
+                return (i - pos) - h.padding * unit
+        i += 1
+    return -1
+
+
 def _skip_id3(data: bytes) -> int:
     if data[:3] == b"ID3" and len(data) >= 10:
         size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
@@ -230,11 +256,19 @@ def decode_mp3(data: bytes):
     sr = None
     nch = None
     l3 = None  # Layer III persistent state (bit reservoir, overlap)
+    free_size = None  # free-format base frame size, measured once
     while True:
         pos = _find_sync(data, pos)
         if pos < 0:
             break
         h = FrameHeader(int.from_bytes(data[pos:pos + 4], "big"))
+        if h.bitrate_idx == 0:  # free format: measure the frame size
+            if free_size is None:
+                free_size = _free_format_size(data, pos, h)
+            if free_size <= 0:
+                break
+            h.frame_bytes = free_size + h.padding * (4 if h.layer == 1
+                                                     else 1)
         if pos + h.frame_bytes > len(data):
             break  # truncated final frame
         frame = data[pos:pos + h.frame_bytes]

@@ -86,6 +86,10 @@ def _looks_like_mpeg(data: bytes) -> bool:
     if pos < 0 or pos > 4096:
         return False
     h = FrameHeader(int.from_bytes(data[pos:pos + 4], "big"))
+    if h.frame_bytes == 0:  # free format: needs a measurable next sync
+        from .mp3 import _free_format_size
+
+        return _free_format_size(data, pos, h) > 0
     nxt = pos + h.frame_bytes
     if nxt + 4 <= len(data):
         try:

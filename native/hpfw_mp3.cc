@@ -90,8 +90,8 @@ bool parse_header(uint32_t word, Header* h) {
   h->layer = (layer_bits == 3) ? 1 : (layer_bits == 2) ? 2 : 3;
   h->protection = (word >> 16) & 1;
   int br_idx = (word >> 12) & 0xF;
-  if (br_idx == 0 || br_idx == 15) return false;
-  h->bitrate_idx = br_idx;
+  if (br_idx == 15) return false;
+  h->bitrate_idx = br_idx;  // 0 = free format: size measured at stream level
   if (h->lsf)
     h->bitrate_kbps = (h->layer == 1 ? kBitratesL1Lsf
                                      : kBitratesL23Lsf)[br_idx];
@@ -109,13 +109,35 @@ bool parse_header(uint32_t word, Header* h) {
   h->mode_ext = (word >> 4) & 3;
   h->channels = h->mode == 3 ? 1 : 2;
   int br = h->bitrate_kbps * 1000;
-  if (h->layer == 1)
+  if (br == 0)
+    h->frame_bytes = 0;  // free format: filled by the stream loop
+  else if (h->layer == 1)
     h->frame_bytes = (12 * br / h->sample_rate + h->padding) * 4;
   else if (h->layer == 3 && h->lsf)
     h->frame_bytes = 72 * br / h->sample_rate + h->padding;
   else
     h->frame_bytes = 144 * br / h->sample_rate + h->padding;
   return true;
+}
+
+// Free-format base frame size: distance to the next matching sync minus
+// the first frame's padding slot (io/mp3.py _free_format_size twin).
+int64_t free_format_size(const uint8_t* d, int64_t size, int64_t pos,
+                         const Header& h) {
+  int unit = h.layer == 1 ? 4 : 1;
+  int64_t limit = size - 4 < pos + 5000 ? size - 4 : pos + 5000;
+  for (int64_t i = pos + 16; i <= limit; ++i) {
+    if (d[i] == 0xFF && (d[i + 1] & 0xE0) == 0xE0) {
+      Header h2;
+      uint32_t word = (uint32_t(d[i]) << 24) | (uint32_t(d[i + 1]) << 16) |
+                      (uint32_t(d[i + 2]) << 8) | d[i + 3];
+      if (!parse_header(word, &h2)) continue;
+      if (h2.layer == h.layer && h2.sample_rate == h.sample_rate &&
+          h2.channels == h.channels && h2.bitrate_idx == 0)
+        return (i - pos) - int64_t(h.padding) * unit;
+    }
+  }
+  return -1;
 }
 
 // (long 23-edge, short 14-edge) boundary tables for a frame header.
@@ -978,6 +1000,7 @@ int hpfw_mp3_decode(const uint8_t* data, int64_t size, float* out,
   SynthState synth[2];
   L3State* l3 = nullptr;
   std::vector<double> S;
+  int64_t free_size = -2;  // free-format base size, measured once
   while (true) {
     pos = find_sync(data, size, pos);
     if (pos < 0) break;
@@ -986,7 +1009,14 @@ int hpfw_mp3_decode(const uint8_t* data, int64_t size, float* out,
                     (uint32_t(data[pos + 1]) << 16) |
                     (uint32_t(data[pos + 2]) << 8) | data[pos + 3];
     parse_header(word, &h);
-    if (pos + h.frame_bytes > size) break;  // truncated final frame
+    if (h.bitrate_idx == 0) {  // free format
+      if (free_size == -2) free_size = free_format_size(data, size, pos, h);
+      if (free_size <= 0) break;
+      h.frame_bytes = int(free_size + int64_t(h.padding) *
+                                          (h.layer == 1 ? 4 : 1));
+    }
+    if (h.frame_bytes <= 0 || pos + h.frame_bytes > size)
+      break;  // truncated final frame
     if (sr == 0) {
       sr = h.sample_rate;
       nch = h.channels;

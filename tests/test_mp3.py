@@ -22,7 +22,7 @@ import pytest
 from hpfw_tpu.config import HpfwConfig
 from hpfw_tpu.io import mpeg_ref, wav
 from hpfw_tpu.io._mpeg_l2_tables import ALLOC_TABLES, select_table
-from hpfw_tpu.io.mp3 import decode_mp3
+from hpfw_tpu.io.mp3 import FrameHeader, decode_mp3
 from hpfw_tpu.io.mp3enc import (
     encode_mp3,
     layer1_frame_mono,
@@ -36,6 +36,9 @@ needs_ref = pytest.mark.skipif(
 needs_lame = pytest.mark.skipif(
     not mpeg_ref.available(), reason="system libmpg123/libmp3lame not present"
 )
+needs_twolame = pytest.mark.skipif(
+    not (mpeg_ref.mpg123_available() and mpeg_ref.twolame_available()),
+    reason="system libmpg123/libtwolame not present")
 
 FLOAT32_FLOOR = 2e-6
 
@@ -484,6 +487,94 @@ def test_malformed_frames_degrade_gracefully():
     both(frame * 3)
 
 
+def _strip_bitrate(stream):
+    """Rewrite every frame header's bitrate field to 0 (free format);
+    the bytes are otherwise unchanged, so a free-format-capable decoder
+    must produce the identical PCM."""
+    b = bytearray(stream)
+    pos = 0
+    while pos + 4 <= len(b):
+        try:
+            h = FrameHeader(int.from_bytes(b[pos:pos + 4], "big"))
+        except ValueError:
+            break
+        if h.frame_bytes == 0:
+            break
+        b[pos + 2] &= 0x0F
+        pos += h.frame_bytes
+    return bytes(b)
+
+
+@needs_lame
+def test_free_format_streams():
+    """Free format (bitrate index 0): the frame size is measured from the
+    next matching sync (padding-adjusted, Layer I in 4-byte slots). A
+    bitrate-stripped stream must decode byte-identically to the original
+    in our decoder AND in mpg123, and the twins must agree."""
+    sr = 44100  # 417/418-byte padding alternation exercises the slot logic
+    x = (0.4 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(
+        np.float32)
+    orig = mpeg_ref.lame_encode(x, sr, 128)
+    free = _strip_bitrate(orig)
+    a, sra = decode_mp3(orig)
+    b, srb = decode_mp3(free)
+    assert sra == srb and a.shape == b.shape
+    np.testing.assert_array_equal(a, b)
+    assert _ref_diff(free) < FLOAT32_FLOOR
+    if native.available():
+        na, _ = native.decode_mp3(free)
+        np.testing.assert_array_equal(na, _mono32(b))
+    # LSF free format too
+    x2 = (0.4 * np.sin(2 * np.pi * 440 * np.arange(22050) / 22050)).astype(
+        np.float32)
+    free2 = _strip_bitrate(mpeg_ref.lame_encode(x2, 22050, 64))
+    assert _ref_diff(free2) < FLOAT32_FLOOR
+    assert wav._looks_like_mpeg(free)
+
+
+@needs_twolame
+def test_free_format_layer2():
+    x = (0.4 * np.sin(2 * np.pi * 440 * np.arange(48000) / 48000)).astype(
+        np.float32)
+    orig = mpeg_ref.twolame_encode(x, 48000, 192)
+    free = _strip_bitrate(orig)
+    a, _ = decode_mp3(orig)
+    b, _ = decode_mp3(free)
+    np.testing.assert_array_equal(a, b)
+    assert _ref_diff(free) < FLOAT32_FLOOR
+
+
+def test_mp3_fuzz_no_crash():
+    """Random corruptions and random bytes must decode (possibly to less
+    audio) or raise ValueError — never crash, hang, or emit non-finite
+    PCM — in both decoders."""
+    rng = np.random.default_rng(8)
+    sr = 44100
+    x = 0.4 * np.sin(2 * np.pi * 440 * np.arange(sr // 2) / sr)
+    blob = bytearray(encode_mp3(x, sr))
+    cases = []
+    for _ in range(40):
+        b = bytearray(blob)
+        for _ in range(int(rng.integers(1, 6))):
+            b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+        cases.append(bytes(b))
+    for _ in range(20):
+        cases.append(rng.integers(0, 256, int(rng.integers(10, 4000)),
+                                  dtype=np.uint8).tobytes())
+    for data in cases:
+        try:
+            pcm, _ = decode_mp3(data)
+            assert np.isfinite(pcm).all()
+        except ValueError:
+            pass
+        if native.available():
+            try:
+                pcm, _ = native.decode_mp3(data)
+                assert np.isfinite(pcm).all()
+            except ValueError:
+                pass
+
+
 def test_large_wav_sniff_is_fast():
     """_looks_like_mpeg must not scan whole sync-free files (it rejects
     syncs past 4 KiB anyway)."""
@@ -559,11 +650,6 @@ def test_lsf_lame_streams_vs_ref(sr):
     assert _ref_diff(mpeg_ref.lame_encode(xs, sr, 48)) < FLOAT32_FLOOR
     assert _ref_diff(
         mpeg_ref.lame_encode(x, sr, 32, reservoir=False)) < FLOAT32_FLOOR
-
-
-needs_twolame = pytest.mark.skipif(
-    not (mpeg_ref.mpg123_available() and mpeg_ref.twolame_available()),
-    reason="system libmpg123/libtwolame not present")
 
 
 @needs_twolame
