@@ -1,0 +1,117 @@
+"""StreamingPool: batched concurrent live-ID streams.
+
+Equivalence anchor: a pool stream fed the same chunk schedule as a lone
+StreamingSession must reach the same hypothesis (the batched extraction
+is the same jitted step vmapped, and match_batch returns per-query
+results equal to match()).
+"""
+
+import numpy as np
+import pytest
+
+from hpfw_tpu import api
+from hpfw_tpu.io import synth
+from hpfw_tpu.match.scaled import TwoStageDB
+from hpfw_tpu.streaming.pool import StreamingPool
+from hpfw_tpu.streaming.session import StreamingSession
+from tests.test_persist import _filters
+
+
+@pytest.fixture(scope="module")
+def setup(cfg):
+    tracks = synth.synth_catalog(6, 6.0, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    return tracks, filters, db
+
+
+def _chunks(pcm, size):
+    return [pcm[i:i + size] for i in range(0, len(pcm), size)]
+
+
+def test_pool_identifies_concurrent_streams(cfg, setup):
+    tracks, filters, db = setup
+    pool = StreamingPool(db, filters, cfg, capacity=4, query_prints=64,
+                         chunk_prints=16)
+    plan = {"a": 1, "b": 3, "c": 5}
+    for sid in plan:
+        pool.add_stream(sid)
+    rng = np.random.default_rng(0)
+    feeds = {}
+    for sid, t in plan.items():
+        audio = tracks[t][int(0.5 * cfg.sample_rate):]
+        audio = audio + 0.02 * rng.standard_normal(audio.shape[0]).astype(
+            np.float32)
+        feeds[sid] = _chunks(audio, 4096)
+    n = min(len(f) for f in feeds.values())
+    out = {}
+    for i in range(n):
+        out = pool.feed({sid: feeds[sid][i] for sid in plan})
+    for sid, t in plan.items():
+        assert out[sid] is not None, sid
+        assert out[sid].track_id == str(t), (sid, out[sid])
+        assert out[sid].confidence > 0.5
+    stats = pool.latency_stats()
+    assert stats["n_matches"] > 0
+
+
+def test_pool_stream_equals_session(cfg, setup):
+    """One pool stream == a lone StreamingSession on the same schedule."""
+    tracks, filters, db = setup
+    audio = tracks[2][int(0.3 * cfg.sample_rate):int(4.0 * cfg.sample_rate)]
+    chunks = _chunks(audio, 4096)
+
+    sess = StreamingSession(db, filters, cfg, query_prints=64,
+                            chunk_prints=16)
+    for c in chunks:
+        h_sess = sess.feed(c)
+
+    pool = StreamingPool(db, filters, cfg, capacity=2, query_prints=64,
+                         chunk_prints=16)
+    pool.add_stream("x")
+    for c in chunks:
+        h_pool = pool.feed({"x": c})["x"]
+
+    assert h_pool is not None and h_sess is not None
+    assert h_pool.track_id == h_sess.track_id == "2"
+    assert h_pool.score == h_sess.score
+    assert h_pool.offset == h_sess.offset
+
+
+def test_pool_capacity_and_lifecycle(cfg, setup):
+    tracks, filters, db = setup
+    pool = StreamingPool(db, filters, cfg, capacity=2, query_prints=64,
+                         chunk_prints=16)
+    pool.add_stream("a")
+    pool.add_stream("b")
+    with pytest.raises(ValueError):
+        pool.add_stream("c")
+    with pytest.raises(ValueError):
+        pool.add_stream("a")
+    pool.remove_stream("a")
+    pool.add_stream("c")
+    assert sorted(pool.stream_ids) == ["b", "c"]
+
+
+def test_pool_two_stage_buckets(cfg, setup):
+    """The grouped-bucket path against a TwoStageDB (match_batch): two
+    streams started at different times occupy different buckets in the
+    same tick and both identify correctly."""
+    tracks, filters, db = setup
+    ts = TwoStageDB(db, use_pallas_fine=True, use_pallas_coarse=False,
+                    pallas_interpret=True, keep_host=True)
+    pool = StreamingPool(ts, filters, cfg, capacity=2, query_prints=64,
+                         chunk_prints=16)
+    pool.add_stream("early")
+    feeds_e = _chunks(tracks[0][: int(5.0 * cfg.sample_rate)], 8192)
+    feeds_l = _chunks(tracks[4][: int(5.0 * cfg.sample_rate)], 8192)
+    out = {}
+    for i, c in enumerate(feeds_e):
+        chunk = {"early": c}
+        if i == 3:
+            pool.add_stream("late")
+        if i >= 3 and i - 3 < len(feeds_l):
+            chunk["late"] = feeds_l[i - 3]
+        out = pool.feed(chunk)
+    assert out["early"].track_id == "0"
+    assert out["late"].track_id == "4"
