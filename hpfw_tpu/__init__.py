@@ -11,6 +11,7 @@ Public surface (mirrors the reference, SURVEY.md §1.2):
     match(query, db)      -> ranked track IDs
     build_db / learn_filters / FingerprintDB.save/load
     streaming.StreamingSession for live song ID
+    streaming.StreamingPool for batched concurrent live streams
     artist.ArtistDB for per-artist filter banks (known-artist song ID)
 """
 
