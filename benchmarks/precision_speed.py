@@ -89,11 +89,15 @@ def worker(algo: str, n_tracks: int, seconds: float) -> None:
 
 
 def main() -> None:
-    n_tracks = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    seconds = float(sys.argv[3]) if len(sys.argv) > 3 else 60.0
     if len(sys.argv) > 1 and sys.argv[1] in ALGOS:
+        # child convention: <algo> [n_tracks] [seconds]
+        n_tracks = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        seconds = float(sys.argv[3]) if len(sys.argv) > 3 else 60.0
         worker(sys.argv[1], n_tracks, seconds)
         return
+    # parent convention (documented): [n_tracks] [seconds]
+    n_tracks = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 60.0
     for algo in ALGOS:
         subprocess.run([sys.executable, __file__, algo, str(n_tracks),
                         str(seconds)], check=True)
@@ -101,7 +105,7 @@ def main() -> None:
     for algo in ALGOS[1:]:
         got = np.load(f"/tmp/prints_{algo}.npy")
         diff = np.bitwise_xor(ref, got)
-        bits = int(np.bitwise_count(diff).sum())
+        bits = int(np.unpackbits(diff.view(np.uint8)).sum())
         total = ref.size * 32
         log(f"{algo} vs x6: {bits} differing bits / {total} "
             f"({bits / total:.2e})")

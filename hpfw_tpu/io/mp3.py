@@ -264,9 +264,14 @@ def decode_mp3(data: bytes):
         h = FrameHeader(int.from_bytes(data[pos:pos + 4], "big"))
         if h.bitrate_idx == 0:  # free format: measure the frame size
             if free_size is None:
-                free_size = _free_format_size(data, pos, h)
-            if free_size <= 0:
-                break
+                measured = _free_format_size(data, pos, h)
+                if measured <= 0:
+                    # unmeasurable: a spurious sync in junk (or a lone
+                    # trailing frame) — resync past it like any other
+                    # false sync instead of aborting the stream
+                    pos += 1
+                    continue
+                free_size = measured
             h.frame_bytes = free_size + h.padding * (4 if h.layer == 1
                                                      else 1)
         if pos + h.frame_bytes > len(data):

@@ -77,27 +77,35 @@ def _looks_like_mpeg(data: bytes) -> bool:
     in other binary formats)."""
     from .mp3 import FrameHeader, _find_sync, _skip_id3
 
+    from .mp3 import _free_format_size
+
     pos = _skip_id3(data)
     if pos > 0 and pos < len(data):
         return True  # an ID3v2 tag is decisive
-    # sync beyond 4 KiB is rejected below, so only scan that prefix —
-    # keeps the sniff O(1) on large sync-free WAV/AIFF files
-    pos = _find_sync(data[:4096 + 4], pos)
-    if pos < 0 or pos > 4096:
-        return False
-    h = FrameHeader(int.from_bytes(data[pos:pos + 4], "big"))
-    if h.frame_bytes == 0:  # free format: needs a measurable next sync
-        from .mp3 import _free_format_size
-
-        return _free_format_size(data, pos, h) > 0
-    nxt = pos + h.frame_bytes
-    if nxt + 4 <= len(data):
-        try:
-            FrameHeader(int.from_bytes(data[nxt:nxt + 4], "big"))
-            return True
-        except ValueError:
+    # Sync beyond 4 KiB is rejected anyway, so only scan that prefix
+    # (keeps the sniff O(1) on large sync-free WAV/AIFF files); a sync
+    # that fails verification is skipped, not fatal — junk bytes can
+    # contain spurious sync patterns ahead of the real first frame.
+    prefix = data[:4096 + 4]
+    while True:
+        pos = _find_sync(prefix, pos)
+        if pos < 0 or pos > 4096:
             return False
-    return nxt >= len(data) - 4  # single-(possibly truncated-)frame stream
+        h = FrameHeader(int.from_bytes(data[pos:pos + 4], "big"))
+        if h.frame_bytes == 0:  # free format: needs a measurable next sync
+            if _free_format_size(data, pos, h) > 0:
+                return True
+        else:
+            nxt = pos + h.frame_bytes
+            if nxt + 4 <= len(data):
+                try:
+                    FrameHeader(int.from_bytes(data[nxt:nxt + 4], "big"))
+                    return True
+                except ValueError:
+                    pass
+            elif nxt >= len(data) - 4:
+                return True  # single-(possibly truncated-)frame stream
+        pos += 1
 
 
 def _decode_mpeg_bytes(data: bytes) -> tuple[np.ndarray, int]:

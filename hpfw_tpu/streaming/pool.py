@@ -43,7 +43,7 @@ from .session import StreamHypothesis
 class _StreamState:
     __slots__ = ("buf", "ring", "votes", "last", "best", "chunks")
 
-    def __init__(self, query_prints: int):
+    def __init__(self):
         self.buf = np.zeros(0, dtype=np.float32)
         self.ring = np.zeros((0, 2), dtype=np.uint32)
         self.votes: dict[str, float] = {}
@@ -80,6 +80,8 @@ class StreamingPool:
             buckets.append(query_prints)
             query_buckets = tuple(buckets)
         self.query_buckets = tuple(sorted(set(query_buckets)))
+        assert self.query_buckets[-1] <= query_prints, \
+            "query_buckets must fit within query_prints"
         halo = c.context_w + c.delta_lag - 1
         self.frames_per_step = chunk_prints + halo
         self.window_samples = c.frame_len + (self.frames_per_step - 1) * c.hop
@@ -102,7 +104,7 @@ class StreamingPool:
             raise ValueError(f"stream {sid!r} already exists")
         if len(self._streams) >= self.capacity:
             raise ValueError("pool at capacity")
-        self._streams[sid] = _StreamState(self.query_prints)
+        self._streams[sid] = _StreamState()
 
     def remove_stream(self, sid: str) -> None:
         self._streams.pop(sid, None)
@@ -121,15 +123,21 @@ class StreamingPool:
             st = self._streams[sid]
             st.buf = np.concatenate(
                 [st.buf, np.asarray(pcm, dtype=np.float32).reshape(-1)])
-        # Streams may have buffered several windows; drain until no stream
-        # has a full window left so slow feeders can't stall fast ones.
+        # Streams may have buffered several windows; drain every full
+        # window (batched extraction) so slow feeders can't stall fast
+        # ones, then match AT MOST ONCE per feed call — the same cadence
+        # as StreamingSession (one vote per feed keeps a pool stream's
+        # hypothesis identical to a lone session's on the same schedule).
+        advanced: set = set()
         while True:
             ready = [sid for sid, st in self._streams.items()
                      if st.buf.shape[0] >= self.window_samples]
             if not ready:
                 break
             self._extract_tick(ready)
-            self._match_tick(ready)
+            advanced.update(ready)
+        if advanced:
+            self._match_tick(sorted(advanced))
         self.tick_latencies_ms.append((time.perf_counter() - t0) * 1e3)
         return {sid: st.best for sid, st in self._streams.items()}
 
@@ -163,13 +171,6 @@ class StreamingPool:
         for bucket, sids in sorted(groups.items()):
             queries = np.stack([self._streams[s].ring[-bucket:]
                                 for s in sids])
-            # Pad to capacity with the first query so every bucket has ONE
-            # compiled batch shape; padded rows are discarded.
-            if queries.shape[0] < self.capacity:
-                pad = np.broadcast_to(
-                    queries[:1], (self.capacity - queries.shape[0],)
-                    + queries.shape[1:])
-                queries = np.concatenate([queries, pad])
             t0 = time.perf_counter()
             results = self._match_batch(queries)
             self.match_latencies_ms.append(
@@ -178,9 +179,20 @@ class StreamingPool:
                 self._integrate(sid, ids, scores, offs, bucket)
 
     def _match_batch(self, queries: np.ndarray):
-        if hasattr(self.db, "match_batch"):
-            return self.db.match_batch(queries, top_k=1)
-        # dense FingerprintDB / ShardedDB fallback: per-query match
+        # TwoStageDB with the Pallas fine path: one batched dispatch.
+        # (match_batch exists but raises off-TPU; gate on the capability.)
+        if (hasattr(self.db, "match_batch")
+                and getattr(self.db, "use_pallas_fine", False)):
+            n = queries.shape[0]
+            if n < self.capacity:
+                # Pad to capacity with the first query so every bucket has
+                # ONE compiled batch shape; padded rows are discarded.
+                pad = np.broadcast_to(
+                    queries[:1], (self.capacity - n,) + queries.shape[1:])
+                queries = np.concatenate([queries, pad])
+            return self.db.match_batch(queries, top_k=1)[:n]
+        # dense FingerprintDB / ShardedDB / XLA TwoStageDB fallback:
+        # per-query match, no padding (each row costs a full match)
         from .. import api
 
         out = []

@@ -1010,8 +1010,15 @@ int hpfw_mp3_decode(const uint8_t* data, int64_t size, float* out,
                     (uint32_t(data[pos + 2]) << 8) | data[pos + 3];
     parse_header(word, &h);
     if (h.bitrate_idx == 0) {  // free format
-      if (free_size == -2) free_size = free_format_size(data, size, pos, h);
-      if (free_size <= 0) break;
+      if (free_size == -2) {
+        int64_t measured = free_format_size(data, size, pos, h);
+        if (measured <= 0) {
+          // spurious sync in junk / lone trailing frame: resync past it
+          ++pos;
+          continue;
+        }
+        free_size = measured;
+      }
       h.frame_bytes = int(free_size + int64_t(h.padding) *
                                           (h.layer == 1 ? 4 : 1));
     }

@@ -544,6 +544,23 @@ def test_free_format_layer2():
     assert _ref_diff(free) < FLOAT32_FLOOR
 
 
+def test_spurious_free_sync_resyncs():
+    """A junk prefix that happens to parse as a free-format header must be
+    skipped like any other false sync — the real stream decodes fully in
+    both decoders and the sniff still routes the file (review finding)."""
+    sr = 44100
+    x = 0.4 * np.sin(2 * np.pi * 440 * np.arange(sr // 2) / sr)
+    stream = encode_mp3(x, sr)
+    junk = bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 32  # bitrate-0 sync
+    a, _ = decode_mp3(stream)
+    b, _ = decode_mp3(junk + stream)
+    np.testing.assert_array_equal(a, b)
+    if native.available():
+        na, _ = native.decode_mp3(junk + stream)
+        np.testing.assert_array_equal(na, _mono32(a))
+    assert wav._looks_like_mpeg(junk + stream)
+
+
 def test_mp3_fuzz_no_crash():
     """Random corruptions and random bytes must decode (possibly to less
     audio) or raise ValueError — never crash, hang, or emit non-finite

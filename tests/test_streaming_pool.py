@@ -77,6 +77,21 @@ def test_pool_stream_equals_session(cfg, setup):
     assert h_pool.score == h_sess.score
     assert h_pool.offset == h_sess.offset
 
+    # Big chunks spanning several windows: both match once per feed, so
+    # the vote tallies (hence confidence) still agree.
+    big = _chunks(audio, 5 * 4096)
+    sess2 = StreamingSession(db, filters, cfg, query_prints=64,
+                             chunk_prints=16)
+    pool2 = StreamingPool(db, filters, cfg, capacity=2, query_prints=64,
+                          chunk_prints=16)
+    pool2.add_stream("y")
+    for c in big:
+        h_s2 = sess2.feed(c)
+        h_p2 = pool2.feed({"y": c})["y"]
+    assert h_p2.track_id == h_s2.track_id == "2"
+    assert h_p2.score == h_s2.score
+    assert abs(h_p2.confidence - h_s2.confidence) < 1e-9
+
 
 def test_pool_capacity_and_lifecycle(cfg, setup):
     tracks, filters, db = setup
