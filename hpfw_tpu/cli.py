@@ -228,6 +228,53 @@ def cmd_stream(args):
     return 0
 
 
+def cmd_pool(args):
+    """Simulate concurrent live streams: each audio file becomes one pool
+    stream, fed in lockstep 100 ms chunks through one StreamingPool."""
+    from . import api
+    from .io.wav import load_wav
+    from .streaming.pool import StreamingPool
+
+    if not args.cache and not args.db:
+        print("error: provide --db or --cache", file=sys.stderr)
+        return 2
+    if args.cache:
+        from .match.scaled import TwoStageDB
+
+        dbobj = TwoStageDB.load(args.cache)
+        cfg, filters = dbobj.db.cfg, dbobj.db.filters
+    else:
+        db = api.FingerprintDB.load(args.db)
+        dbobj, cfg, filters = db, db.cfg, db.filters
+    pcms = {}
+    for path in args.audio:
+        pcm, _ = load_wav(path, cfg)
+        pcms[path] = pcm
+    pool = StreamingPool(dbobj, filters, cfg, capacity=len(pcms),
+                         query_prints=args.query_prints)
+    for sid in pcms:
+        pool.add_stream(sid)
+    chunk = cfg.sample_rate // 10
+    n = max(len(p) for p in pcms.values())
+    out = {}
+    for pos in range(0, n, chunk):
+        out = pool.feed({sid: p[pos:pos + chunk]
+                         for sid, p in pcms.items() if pos < len(p)})
+    rc = 0
+    for sid in pcms:
+        h = out.get(sid)
+        if h is None:
+            print(f"{sid}: no hypothesis (stream too short?)")
+            rc = 1
+        else:
+            print(f"{sid}: {h.track_id}  score={h.score}  "
+                  f"offset={h.offset}  confidence {h.confidence:.2f}")
+    stats = pool.latency_stats()
+    print(f"[tick p50 {stats['tick_p50_ms']:.1f} ms, "
+          f"{stats['n_matches']} batched matches]")
+    return rc
+
+
 def cmd_build_artist_db(args):
     """Each positional arg is a directory of one artist's WAV files."""
     import os
@@ -388,6 +435,14 @@ def main(argv=None):
     st.add_argument("--cache")
     st.add_argument("--query-prints", type=int, default=128)
     st.set_defaults(fn=cmd_stream)
+
+    pl = sub.add_parser("pool", help="concurrent live-ID simulation over "
+                        "several files (one batched pool)")
+    pl.add_argument("audio", nargs="+")
+    pl.add_argument("--db")
+    pl.add_argument("--cache")
+    pl.add_argument("--query-prints", type=int, default=128)
+    pl.set_defaults(fn=cmd_pool)
 
     ab = sub.add_parser("build-artist-db",
                         help="per-artist filter banks from WAV directories")

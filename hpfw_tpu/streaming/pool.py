@@ -138,7 +138,8 @@ class StreamingPool:
             advanced.update(ready)
         if advanced:
             self._match_tick(sorted(advanced))
-        self.tick_latencies_ms.append((time.perf_counter() - t0) * 1e3)
+            # only ticks that extracted+matched count toward tick latency
+            self.tick_latencies_ms.append((time.perf_counter() - t0) * 1e3)
         return {sid: st.best for sid, st in self._streams.items()}
 
     def _extract_tick(self, ready: list) -> None:

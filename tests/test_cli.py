@@ -44,6 +44,22 @@ def test_cli_match_requires_db_or_cache(cfg, tmp_path):
     assert cli.main(["match", qp]) == 2
 
 
+def test_cli_pool(cfg, tmp_path, capsys):
+    dbp, qp = _setup(cfg, tmp_path)
+    # second stream: another catalog track
+    from hpfw_tpu import api
+    from hpfw_tpu.io import synth
+
+    tracks = synth.synth_catalog(6, 4.0, cfg)
+    q2 = synth.make_query(tracks[1], 0.5, 2.2, cfg, noise_db=-15.0, seed=2)
+    qp2 = str(tmp_path / "q2.wav")
+    save_wav(qp2, q2, cfg.sample_rate)
+    assert cli.main(["pool", qp, qp2, "--db", dbp,
+                     "--query-prints", "64"]) == 0
+    out = capsys.readouterr().out
+    assert f"{qp}: 3" in out and f"{qp2}: 1" in out
+
+
 def test_cli_match_mp3_query(cfg, tmp_path, capsys):
     """The CLI accepts lossy-codec queries transparently via load_audio
     (here: an MP3 at 44.1 kHz, resampled on ingest)."""
