@@ -108,6 +108,32 @@ def test_pool_capacity_and_lifecycle(cfg, setup):
     assert sorted(pool.stream_ids) == ["b", "c"]
 
 
+def test_pool_sharded_mesh(cfg, setup):
+    """The pool against a mesh-sharded TwoStageDB (the v4-8 production
+    shape): two concurrent streams over the 8-device CPU-sim mesh both
+    identify correctly through the sharded match_batch dispatch."""
+    import jax
+
+    from hpfw_tpu.parallel import mesh as meshlib
+
+    assert len(jax.devices()) == 8
+    tracks, filters, db = setup
+    ts = TwoStageDB(db, stride=4, mesh=meshlib.db_mesh(8),
+                    use_pallas_fine=True, coarse_tile=8,
+                    pallas_interpret=True)
+    pool = StreamingPool(ts, filters, cfg, capacity=2, query_prints=64,
+                         chunk_prints=16, query_buckets=(64,))
+    pool.add_stream("a")
+    pool.add_stream("b")
+    fa = _chunks(tracks[1][: int(4.0 * cfg.sample_rate)], 8192)
+    fb = _chunks(tracks[5][: int(4.0 * cfg.sample_rate)], 8192)
+    out = {}
+    for ca, cb in zip(fa, fb):
+        out = pool.feed({"a": ca, "b": cb})
+    assert out["a"].track_id == "1"
+    assert out["b"].track_id == "5"
+
+
 def test_pool_two_stage_buckets(cfg, setup):
     """The grouped-bucket path against a TwoStageDB (match_batch): two
     streams started at different times occupy different buckets in the
