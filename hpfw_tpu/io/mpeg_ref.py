@@ -123,10 +123,12 @@ def twolame_available() -> bool:
 
 
 def twolame_encode(pcm: np.ndarray, sr: int, bitrate_kbps: int = 64,
-                   mode: int | None = None) -> bytes:
+                   mode: int | None = None,
+                   error_protection: bool = False) -> bytes:
     """Encode float PCM (n,) or (n, 2) to MPEG Layer II with system
     libtwolame (MPEG-1 at 32/44.1/48 kHz, MPEG-2 LSF at 16/22.05/24 kHz).
-    mode: twolame constant (0 stereo, 1 joint, 2 dual, 3 mono)."""
+    mode: twolame constant (0 stereo, 1 joint, 2 dual, 3 mono);
+    error_protection adds the 16-bit CRC after each header."""
     l = _twolame
     if l is None:
         raise RuntimeError("libtwolame not available")
@@ -144,6 +146,8 @@ def twolame_encode(pcm: np.ndarray, sr: int, bitrate_kbps: int = 64,
         l.twolame_set_num_channels(g, ch)
         l.twolame_set_bitrate(g, bitrate_kbps)
         l.twolame_set_mode(g, mode)
+        if error_protection:
+            l.twolame_set_error_protection(g, 1)
         if l.twolame_init_params(g) != 0:
             raise RuntimeError("twolame_init_params failed")
         inter = np.ascontiguousarray(pcm.reshape(-1))

@@ -533,6 +533,21 @@ def test_free_format_streams():
 
 
 @needs_twolame
+def test_crc_protected_frames():
+    """protection=0 streams carry a 16-bit CRC after the header; the
+    decoder skips it (like a reference decoder with a passing check) and
+    decodes at the float32 floor, in both twins."""
+    x = (0.4 * np.sin(2 * np.pi * 440 * np.arange(44100) / 44100)).astype(
+        np.float32)
+    stream = mpeg_ref.twolame_encode(x, 44100, 128, error_protection=True)
+    assert FrameHeader(int.from_bytes(stream[:4], "big")).protection == 0
+    assert _ref_diff(stream) < FLOAT32_FLOOR
+    if native.available():
+        na, _ = native.decode_mp3(stream)
+        np.testing.assert_array_equal(na, _mono32(decode_mp3(stream)[0]))
+
+
+@needs_twolame
 def test_free_format_layer2():
     x = (0.4 * np.sin(2 * np.pi * 440 * np.arange(48000) / 48000)).astype(
         np.float32)
