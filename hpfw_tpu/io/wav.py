@@ -7,7 +7,8 @@ io/native.py) with this pure-NumPy path as the always-available fallback and
 correctness oracle for it.
 
 Supports WAV (PCM 8/16/24/32, float32/64, mu-law, A-law, and the
-WAVE_FORMAT_EXTENSIBLE wrapper), AIFF/AIFF-C (big-endian PCM), FLAC
+WAVE_FORMAT_EXTENSIBLE wrapper), AIFF/AIFF-C (big-endian PCM, sowt,
+G.711 ulaw/alaw), Sun/NeXT .au (G.711 + big-endian PCM/float), FLAC
 (full bitstream decode, io/flac.py + the C++ twin), Ogg Vorbis
 (io/vorbis.py + the C++ twin — floors, residues, coupling, IMDCT), and
 MPEG audio Layers I/II/III, i.e. MP3 — MPEG-1, MPEG-2 LSF, and MPEG-2.5,
@@ -54,6 +55,8 @@ def load_wav(path: str, cfg: HpfwConfig | None = None) -> tuple[np.ndarray, int]
             from .vorbis import decode_vorbis
 
             pcm, sr = decode_vorbis(data)
+    elif data[:4] == b".snd":
+        pcm, sr = _decode_au_bytes(data)
     elif _looks_like_mpeg(data):
         pcm, sr = _decode_mpeg_bytes(data)
     elif native.available():
@@ -182,6 +185,16 @@ def _decode_aiff_bytes(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)
     if raw is None or n_ch <= 0 or sr <= 0:
         raise ValueError("missing COMM/SSND chunk")
+    if comp in (b"ulaw", b"ULAW"):
+        x = _mulaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+        if n_ch > 1:
+            x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+        return np.ascontiguousarray(x, dtype=np.float32), sr
+    if comp in (b"alaw", b"ALAW"):
+        x = _alaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+        if n_ch > 1:
+            x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+        return np.ascontiguousarray(x, dtype=np.float32), sr
     if comp not in (b"NONE", b"sowt"):
         raise ValueError(f"unsupported AIFF-C compression {comp!r}")
     endian = "<" if comp == b"sowt" else ">"
@@ -207,6 +220,40 @@ def _decode_aiff_bytes(data: bytes) -> tuple[np.ndarray, int]:
     return np.ascontiguousarray(x, dtype=np.float32), sr
 
 
+def _decode_au_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Sun/NeXT .au (magic '.snd'): big-endian header, mu-law/A-law/PCM."""
+    if data[:4] != b".snd":
+        raise ValueError("not a Sun .au file")
+    off, size, enc, sr, n_ch = struct.unpack(">IIIII", data[4:24])
+    raw = data[off: off + size if size != 0xFFFFFFFF else len(data)]
+    if enc == 1:  # G.711 mu-law
+        x = _mulaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+    elif enc == 27:  # G.711 A-law
+        x = _alaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+    elif enc == 2:  # 8-bit linear PCM (signed)
+        x = np.frombuffer(raw, dtype=np.int8).astype(np.float32) / 128.0
+    elif enc == 3:  # 16-bit linear PCM, big-endian
+        x = np.frombuffer(raw, dtype=">i2").astype(np.float32) / 32768.0
+    elif enc == 4:  # 24-bit linear PCM, big-endian
+        b3 = np.frombuffer(raw, dtype=np.uint8)[: (len(raw) // 3) * 3]
+        b3 = b3.reshape(-1, 3)[:, ::-1]
+        x = (b3[:, 0].astype(np.int32)
+             | (b3[:, 1].astype(np.int32) << 8)
+             | (b3[:, 2].astype(np.int8).astype(np.int32) << 16)
+             ).astype(np.float32) / 8388608.0
+    elif enc == 5:  # 32-bit linear PCM, big-endian
+        x = np.frombuffer(raw, dtype=">i4").astype(np.float32) / 2147483648.0
+    elif enc == 6:  # 32-bit IEEE float, big-endian
+        x = np.frombuffer(raw, dtype=">f4").astype(np.float32)
+    elif enc == 7:  # 64-bit IEEE float, big-endian
+        x = np.frombuffer(raw, dtype=">f8").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported .au encoding {enc}")
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return np.ascontiguousarray(x, dtype=np.float32), sr
+
+
 def _decode_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
     if data[:4] == b"fLaC":
         from .flac import decode_flac
@@ -214,6 +261,8 @@ def _decode_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
         return decode_flac(data)
     if data[:4] == b"FORM":
         return _decode_aiff_bytes(data)
+    if data[:4] == b".snd":
+        return _decode_au_bytes(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12

@@ -161,3 +161,52 @@ def test_native_new_formats_match_numpy():
         want, sr_p = wav._decode_wav_bytes(data)
         assert sr_n == sr_p, f"case {i}"
         np.testing.assert_allclose(got, want, atol=1e-7, err_msg=f"case {i}")
+
+
+def test_aifc_ulaw_alaw():
+    """AIFF-C 'ulaw'/'alaw' compression decodes via the exact G.711
+    expansion tables (same bytes as the WAV format-7/6 path)."""
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 256, 600, dtype=np.uint8).tobytes()
+    blob = _aiff(raw, 600, 8000, 8, comp=b"ulaw")
+    pcm, sr = wav._decode_wav_bytes(blob)
+    assert sr == 8000 and pcm.shape == (600,)
+    np.testing.assert_array_equal(
+        pcm, _g711_reference_mulaw(np.frombuffer(raw, np.uint8)))
+    ref_wav, _ = wav._decode_wav_bytes(_plain_wav(raw, 6, 8000, 8))
+    pcm_a, _ = wav._decode_wav_bytes(_aiff(raw, 600, 8000, 8, comp=b"alaw"))
+    np.testing.assert_array_equal(pcm_a, ref_wav)
+
+
+def _au(body: bytes, enc: int, sr: int, n_ch: int = 1) -> bytes:
+    return b".snd" + struct.pack(">IIIII", 24, len(body), enc, sr, n_ch) \
+        + body
+
+
+def test_au_decode():
+    """Sun .au: mu-law, A-law, and big-endian PCM/float variants."""
+    rng = np.random.default_rng(6)
+    raw = rng.integers(0, 256, 512, dtype=np.uint8).tobytes()
+    pcm, sr = wav._decode_wav_bytes(_au(raw, 1, 8000))
+    assert sr == 8000
+    np.testing.assert_array_equal(
+        pcm, _g711_reference_mulaw(np.frombuffer(raw, np.uint8)))
+    ints = (rng.standard_normal(300) * 20000).astype(">i2")
+    pcm16, sr16 = wav._decode_wav_bytes(_au(ints.tobytes(), 3, 22050))
+    assert sr16 == 22050
+    np.testing.assert_allclose(pcm16,
+                               ints.astype(np.float32) / 32768.0)
+    f32 = rng.standard_normal(300).astype(">f4")
+    pcmf, _ = wav._decode_wav_bytes(_au(f32.tobytes(), 6, 16000))
+    np.testing.assert_array_equal(pcmf, f32.astype(np.float32))
+    # stereo downmix + load_wav dispatch
+    st = np.stack([ints, (-ints).astype(">i2")], 1).astype(">i2")
+    pcm_st, _ = wav._decode_wav_bytes(_au(st.tobytes(), 3, 22050, n_ch=2))
+    np.testing.assert_allclose(pcm_st, np.zeros(300), atol=1e-6)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.au")
+        with open(p, "wb") as f:
+            f.write(_au(ints.tobytes(), 3, 22050))
+        got, gsr = wav.load_wav(p)
+        assert gsr == 22050 and got.shape == (300,)
