@@ -92,6 +92,10 @@ def main():
         "value": round(rtf, 1),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 1000.0, 3),
+        # Protocol marker so automated cross-round comparisons can tell a
+        # methodology change (r3 moved single-pass -> best-of-2) from a
+        # real speedup.
+        "timing": "best_of_2",
     }))
 
 

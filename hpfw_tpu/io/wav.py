@@ -57,6 +57,17 @@ def load_wav(path: str, cfg: HpfwConfig | None = None) -> tuple[np.ndarray, int]
             pcm, sr = decode_vorbis(data)
     elif data[:4] == b".snd":
         pcm, sr = _decode_au_bytes(data)
+    elif (data[:4] == b"RIFF" and data[8:12] == b"WAVE") or (
+            data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC")):
+        # Decisive container magic beats the heuristic MPEG sniff: loud
+        # 16-bit PCM payloads are full of spurious 0xFFEx sync patterns.
+        if native.available():
+            try:
+                pcm, sr = native.decode_wav(data)
+            except ValueError:
+                pcm, sr = _decode_wav_bytes(data)
+        else:
+            pcm, sr = _decode_wav_bytes(data)
     elif _looks_like_mpeg(data):
         pcm, sr = _decode_mpeg_bytes(data)
     elif native.available():
@@ -106,8 +117,11 @@ def _looks_like_mpeg(data: bytes) -> bool:
                     return True
                 except ValueError:
                     pass
-            elif nxt >= len(data) - 4:
-                return True  # single-(possibly truncated-)frame stream
+            elif nxt >= len(data) - 4 and pos == _skip_id3(data):
+                # A lone (possibly truncated) frame is only decisive when it
+                # sits at the very start of the stream — a mid-file sync with
+                # no verifiable second header is most likely payload junk.
+                return True
         pos += 1
 
 
@@ -115,11 +129,16 @@ def _decode_mpeg_bytes(data: bytes) -> tuple[np.ndarray, int]:
     """MPEG-1 audio bytes -> (mono float32 PCM, sample_rate).
 
     Prefers the C++ twin (native/hpfw_mp3.cc, bit-identical at float32
-    output — tests/test_mp3.py); NumPy fallback otherwise."""
+    output — tests/test_mp3.py); NumPy fallback otherwise, including when
+    the native decode rejects the stream (e.g. a sniff false positive the
+    NumPy twin tolerates), mirroring the WAV path's fallback."""
     from . import native
 
     if native.available():
-        return native.decode_mp3(data)
+        try:
+            return native.decode_mp3(data)
+        except ValueError:
+            pass
     from .mp3 import decode_mp3
 
     pcm, sr = decode_mp3(data)

@@ -119,6 +119,13 @@ class StreamingPool:
         """Append audio per stream, run at most one batched extraction and
         one batched match per bucket, return {sid: StreamHypothesis|None}."""
         t0 = time.perf_counter()
+        unknown = [sid for sid in chunks if sid not in self._streams]
+        if unknown:
+            # One bad caller key must not abort the shared tick for every
+            # other live stream with an opaque KeyError.
+            raise ValueError(
+                f"unknown stream ids {unknown!r}; add_stream() them first "
+                f"(live: {sorted(self._streams)!r})")
         for sid, pcm in chunks.items():
             st = self._streams[sid]
             st.buf = np.concatenate(

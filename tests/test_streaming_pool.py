@@ -156,3 +156,17 @@ def test_pool_two_stage_buckets(cfg, setup):
         out = pool.feed(chunk)
     assert out["early"].track_id == "0"
     assert out["late"].track_id == "4"
+
+
+def test_pool_feed_rejects_unknown_stream_ids(cfg, setup):
+    """ADVICE r3: a bad caller key must raise a descriptive ValueError
+    before any buffering, not abort the shared tick with a KeyError."""
+    tracks, filters, db = setup
+    pool = StreamingPool(db, filters, cfg, capacity=2, query_prints=64,
+                         chunk_prints=16)
+    pool.add_stream("a")
+    chunk = np.zeros(pool.step_samples, dtype=np.float32)
+    with pytest.raises(ValueError, match="unknown stream ids"):
+        pool.feed({"a": chunk, "ghost": chunk})
+    # the known stream's buffer must be untouched by the failed call
+    assert pool._streams["a"].buf.shape[0] == 0

@@ -210,3 +210,36 @@ def test_au_decode():
             f.write(_au(ints.tobytes(), 3, 22050))
         got, gsr = wav.load_wav(p)
         assert gsr == 22050 and got.shape == (300,)
+
+
+def test_wav_with_embedded_mpeg_payload_routes_to_wav(tmp_path):
+    """ADVICE r3: decisive container magic (RIFF/WAVE) must beat the
+    heuristic MPEG sniff — a PCM payload containing a genuine MPEG stream
+    (sync patterns that verify two-frame) must still decode as WAV."""
+    from hpfw_tpu.io.mp3enc import encode_mp3
+
+    rng = np.random.default_rng(3)
+    mp3_bytes = encode_mp3((rng.standard_normal(4096) * 0.2
+                            ).astype(np.float32), 44100)
+    raw = mp3_bytes[: (len(mp3_bytes) // 2) * 2]
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 22050, 22050 * 2, 2, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+              + b"data" + struct.pack("<I", len(raw)) + raw)
+    data = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    p = tmp_path / "sneaky.wav"
+    p.write_bytes(data)
+    pcm, sr = wav.load_audio(str(p))
+    assert sr == 22050
+    np.testing.assert_array_equal(
+        pcm, np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0)
+
+
+def test_lone_midfile_truncated_sync_is_not_mpeg():
+    """ADVICE r3: a mid-file sync whose frame extends past EOF (so no second
+    header can verify it) is payload junk, not an MPEG stream; but a
+    genuine truncated single-frame stream starting at byte 0 still sniffs."""
+    from hpfw_tpu.io.mp3enc import encode_mp3
+
+    frame = encode_mp3(np.zeros(2048, dtype=np.float32), 44100)[:200]
+    assert wav._looks_like_mpeg(frame)  # truncated frame at pos 0: decisive
+    assert not wav._looks_like_mpeg(b"\x00" * 64 + frame)  # mid-file: junk
