@@ -281,6 +281,70 @@ def build_db(
     return FingerprintDB(cfg, filters, ids, prints, lengths)
 
 
+def build_db_from_files(
+    paths: list[str],
+    filters: np.ndarray,
+    cfg: HpfwConfig = DEFAULT_CONFIG,
+    *,
+    n_threads: int = 0,
+    batch: int = 8,
+    bucket_seconds: float = 30.0,
+    use_pallas: bool = False,
+    track_ids: list[str] | None = None,
+    progress=None,
+) -> FingerprintDB:
+    """Fingerprint a catalog of audio FILES into a matchable database.
+
+    The full ingestion pipeline (SURVEY.md §3.2): the threaded native
+    decoder (io/ingest.py -> native hpfw_ingest_files) decodes + resamples
+    chunk i+1 on host CPU threads while chunk i extracts on the TPU —
+    decode and extraction overlap instead of alternating. Tracks are
+    zero-padded up to multiples of `bucket_seconds` so the jit cache holds
+    one extraction program per bucket length; padding does not change the
+    emitted prints (prints only consume frames fully inside the true
+    track, asserted by tests/test_ingest.py against build_db).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .io.ingest import load_files
+
+    filters_dev = jnp.asarray(filters, dtype=jnp.float32)
+    bucket = max(int(bucket_seconds * cfg.sample_rate), cfg.min_samples())
+    fns: dict[int, object] = {}
+    fps: list[np.ndarray | None] = [None] * len(paths)
+    chunk = max(batch * 4, 32)
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(load_files, list(paths[:chunk]), cfg, n_threads)
+        start = 0
+        while start < len(paths):
+            pcms = fut.result()
+            nxt = start + len(pcms)
+            if nxt < len(paths):
+                fut = ex.submit(load_files, list(paths[nxt:nxt + chunk]),
+                                cfg, n_threads)
+            order = sorted(range(len(pcms)), key=lambda i: pcms[i].shape[0])
+            for g0 in range(0, len(order), batch):
+                grp = order[g0:g0 + batch]
+                longest = max(pcms[i].shape[0] for i in grp)
+                s = -(-max(longest, cfg.min_samples()) // bucket) * bucket
+                arr = np.zeros((batch, s), np.float32)
+                for row, i in enumerate(grp):
+                    arr[row, : pcms[i].shape[0]] = pcms[i]
+                fn = fns.get(s)
+                if fn is None:
+                    fn = fns[s] = _fingerprint_batch_jit(cfg, s, use_pallas)
+                out = np.asarray(fn(jnp.asarray(arr), filters_dev))
+                for row, i in enumerate(grp):
+                    n_true = cfg.n_hashprints(pcms[i].shape[0])
+                    fps[start + i] = out[row, :n_true]
+            if progress is not None:
+                progress(nxt, len(paths))
+            start = nxt
+    ids = list(track_ids) if track_ids is not None else [str(p) for p in paths]
+    prints, lengths = matcher.pad_prints(fps, min_len=1)
+    return FingerprintDB(cfg, filters, ids, prints, lengths)
+
+
 def learn_filters(
     corpus: list[np.ndarray],
     cfg: HpfwConfig = DEFAULT_CONFIG,

@@ -76,20 +76,29 @@ def cmd_learn(args):
 
 
 def cmd_build_db(args):
+    import os
+    import time
+
     from . import api
     from .config import HpfwConfig
-    from .io.wav import load_wav
 
     cfg = HpfwConfig.from_json(open(args.config).read()) if args.config else HpfwConfig()
     filters = _load_filters(args.filters)
-    catalog = {}
+    paths = []
     for p in args.audio:
-        pcm, _ = load_wav(p, cfg)
-        catalog[p] = pcm
-    db = api.build_db(catalog, filters, cfg)
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                paths.extend(os.path.join(root, f) for f in sorted(files))
+        else:
+            paths.append(p)
+    t0 = time.time()
+    db = api.build_db_from_files(
+        paths, filters, cfg, n_threads=args.threads, batch=args.batch,
+        progress=lambda done, total: print(f"  {done}/{total} tracks"))
     db.save(args.output)
+    dt = time.time() - t0
     print(f"wrote {args.output}: {db.n_tracks} tracks, "
-          f"{int(db.lengths.sum())} hashprints")
+          f"{int(db.lengths.sum())} hashprints in {dt:.1f}s")
     return 0
 
 
@@ -382,10 +391,15 @@ def main(argv=None):
     l.set_defaults(fn=cmd_learn)
 
     b = sub.add_parser("build-db", help="fingerprint a catalog into a database")
-    b.add_argument("audio", nargs="+")
+    b.add_argument("audio", nargs="+",
+                   help="audio files, or directories to scan recursively")
     b.add_argument("--filters", required=True)
     b.add_argument("-o", "--output", required=True)
     b.add_argument("--config")
+    b.add_argument("--threads", type=int, default=0,
+                   help="native decode threads (0 = all cores)")
+    b.add_argument("--batch", type=int, default=8,
+                   help="tracks per device extraction dispatch")
     b.set_defaults(fn=cmd_build_db)
 
     f = sub.add_parser("fingerprint", help="audio -> 64-bit hashprints")

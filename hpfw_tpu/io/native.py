@@ -80,6 +80,21 @@ def load_library():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int32]
+        lib.hpfw_ingest_files.restype = ctypes.c_void_p
+        lib.hpfw_ingest_files.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32]
+        lib.hpfw_ingest_rc.restype = ctypes.c_int32
+        lib.hpfw_ingest_rc.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.hpfw_ingest_len.restype = ctypes.c_int64
+        lib.hpfw_ingest_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.hpfw_ingest_rate.restype = ctypes.c_int32
+        lib.hpfw_ingest_rate.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.hpfw_ingest_get.restype = ctypes.c_int
+        lib.hpfw_ingest_get.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float)]
+        lib.hpfw_ingest_free.restype = None
+        lib.hpfw_ingest_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None
@@ -266,3 +281,36 @@ def match_db(query_packed: np.ndarray, tracks: list[np.ndarray],
                       _fptr(scores, ctypes.c_int64), _fptr(offsets, ctypes.c_int64),
                       n_threads)
     return scores, offsets
+
+
+def ingest_files(paths: list[str], target_rate: int = 0,
+                 n_threads: int = 0) -> list[np.ndarray | None]:
+    """Threaded native decode (+resample) of many audio files at once.
+
+    The batch ingestion front end (SURVEY.md §3.2 catalog build / §2.1
+    row 8): file read, magic dispatch (WAV/AIFF/FLAC/Ogg Vorbis/MPEG),
+    downmix, and polyphase sinc resample all happen in C++ across a
+    std::thread pool, decoding each file exactly once. Returns one mono
+    float32 array per path, or None for files the native driver rejects
+    (callers fall back to the Python loader per file — io/ingest.py).
+    """
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    arr = (ctypes.c_char_p * len(paths))(
+        *[os.fsencode(p) for p in paths])
+    h = lib.hpfw_ingest_files(arr, len(paths), target_rate, n_threads)
+    if not h:
+        raise RuntimeError("native ingest failed to allocate")
+    try:
+        out: list[np.ndarray | None] = []
+        for i in range(len(paths)):
+            if lib.hpfw_ingest_rc(h, i) != 0:
+                out.append(None)
+                continue
+            pcm = np.empty(lib.hpfw_ingest_len(h, i), dtype=np.float32)
+            rc = lib.hpfw_ingest_get(h, i, _fptr(pcm, ctypes.c_float))
+            out.append(pcm if rc == 0 else None)
+        return out
+    finally:
+        lib.hpfw_ingest_free(h)

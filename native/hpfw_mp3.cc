@@ -14,6 +14,7 @@
 #include <cstring>
 #include <vector>
 
+#include "hpfw_internal.h"
 #include "mpeg_tables.inc"
 
 namespace {
@@ -987,13 +988,11 @@ int64_t find_sync(const uint8_t* d, int64_t size, int64_t start) {
 
 }  // namespace
 
-extern "C" {
-
-// MPEG-1 audio bytes -> mono float32 PCM (channel mean, like the NumPy
-// twin's _decode_mpeg_bytes). Two-call protocol: out == nullptr queries
-// the length. Returns 0 on success, -1 when no decodable frames exist.
-int hpfw_mp3_decode(const uint8_t* data, int64_t size, float* out,
-                    int64_t* n_samples, int32_t* sample_rate) {
+// One-pass decode into a growable buffer (hpfw_internal.h) — the primary
+// implementation; the extern-C two-call entry wraps it, and the threaded
+// ingest driver calls it directly so batch decode happens exactly once.
+int hpfw_mp3_decode_vec(const uint8_t* data, int64_t size,
+                        std::vector<float>* out, int32_t* sample_rate) {
   int64_t pos = skip_id3(data, size);
   std::vector<double> pcm;  // mono mean
   int sr = 0, nch = 0;
@@ -1064,10 +1063,24 @@ int hpfw_mp3_decode(const uint8_t* data, int64_t size, float* out,
   }
   delete l3;
   if (sr == 0 || pcm.empty()) return -1;
-  *n_samples = int64_t(pcm.size());
   *sample_rate = sr;
-  if (out != nullptr)
-    for (size_t i = 0; i < pcm.size(); ++i) out[i] = float(pcm[i]);
+  out->resize(pcm.size());
+  for (size_t i = 0; i < pcm.size(); ++i) (*out)[i] = float(pcm[i]);
+  return 0;
+}
+
+extern "C" {
+
+// MPEG audio bytes -> mono float32 PCM (channel mean, like the NumPy
+// twin's _decode_mpeg_bytes). Two-call protocol: out == nullptr queries
+// the length. Returns 0 on success, -1 when no decodable frames exist.
+int hpfw_mp3_decode(const uint8_t* data, int64_t size, float* out,
+                    int64_t* n_samples, int32_t* sample_rate) {
+  std::vector<float> v;
+  int rc = hpfw_mp3_decode_vec(data, size, &v, sample_rate);
+  if (rc) return rc;
+  *n_samples = (int64_t)v.size();
+  if (out) memcpy(out, v.data(), v.size() * sizeof(float));
   return 0;
 }
 

@@ -18,10 +18,13 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <functional>
 #include <thread>
 #include <vector>
+
+#include "hpfw_internal.h"
 
 extern "C" {
 
@@ -438,8 +441,8 @@ static int subframe(BitR* b, int blocksize, int bps, int64_t* out) {
 
 }  // namespace flac
 
-int hpfw_flac_decode(const uint8_t* data, int64_t size,
-                     float* out, int64_t* out_n, int32_t* out_rate) {
+static int flac_decode_vec(const uint8_t* data, int64_t size,
+                           std::vector<float>* out, int32_t* out_rate) {
   using namespace flac;
   if (size < 42 || memcmp(data, "fLaC", 4) != 0) return -1;
   int64_t pos = 4;
@@ -546,14 +549,23 @@ int hpfw_flac_decode(const uint8_t* data, int64_t size,
     count += blocksize;
   }
   if (total >= 0 && count > total) count = total;
-  *out_n = count;
   *out_rate = sr;
-  if (!out) return 0;
+  out->resize(count);
   for (int64_t i = 0; i < count; ++i) {
     double acc = 0.0;
     for (int c = 0; c < n_ch; ++c) acc += (double)ch[c][i];
-    out[i] = (float)(acc / n_ch / scale);
+    (*out)[i] = (float)(acc / n_ch / scale);
   }
+  return 0;
+}
+
+int hpfw_flac_decode(const uint8_t* data, int64_t size,
+                     float* out, int64_t* out_n, int32_t* out_rate) {
+  std::vector<float> v;
+  int rc = flac_decode_vec(data, size, &v, out_rate);
+  if (rc) return rc;
+  *out_n = (int64_t)v.size();
+  if (out) memcpy(out, v.data(), v.size() * sizeof(float));
   return 0;
 }
 
@@ -1100,8 +1112,8 @@ struct ModeCfg {
 
 }  // namespace vorbis
 
-int hpfw_vorbis_decode(const uint8_t* data, int64_t size,
-                       float* out, int64_t* out_n, int32_t* out_rate) {
+static int vorbis_decode_vec(const uint8_t* data, int64_t size,
+                             std::vector<float>* out, int32_t* out_rate) {
   using namespace vorbis;
   // ---- Ogg layer ----
   if (size < 27 || memcmp(data, "OggS", 4) != 0) return -1;
@@ -1257,6 +1269,13 @@ int hpfw_vorbis_decode(const uint8_t* data, int64_t size,
   int prev_n = 0;
   std::vector<std::vector<double>> pcm(channels);
   int64_t granule = -1;
+  // IMDCT basis cache per block size (at most two: blocksize0/1). The
+  // direct per-element cos() was ~6x realtime; tabulating the basis keeps
+  // the accumulation order (and thus the output bits) identical while the
+  // inner loop becomes a pure FMA row dot the compiler vectorizes — the
+  // NumPy twin does the same (io/vorbis.py _imdct_matrix).
+  std::vector<double> imdct_tbl[2];
+  int imdct_tbl_n[2] = {0, 0};
   for (size_t pi = 3; pi < packets.size(); ++pi) {
     OggBitR pb{&packets[pi], 0};
     int bit;
@@ -1348,14 +1367,25 @@ int hpfw_vorbis_decode(const uint8_t* data, int64_t size,
     for (int c = 0; c < channels; ++c) {
       std::vector<double> blk(n, 0.0);
       if (!no_res[c]) {
-        // spectrum = floor * residue; direct IMDCT
+        // spectrum = floor * residue; IMDCT as a tabulated-basis matvec
         std::vector<double> spec(n2);
         for (int j = 0; j < n2; ++j) spec[j] = curves[c][j] * res[c][j];
+        int slot = (imdct_tbl_n[0] == n) ? 0
+                   : (imdct_tbl_n[1] == n) ? 1
+                   : (imdct_tbl_n[0] == 0 ? 0 : 1);
+        if (imdct_tbl_n[slot] != n) {
+          imdct_tbl[slot].resize((size_t)n * n2);
+          for (int j = 0; j < n; ++j)
+            for (int k = 0; k < n2; ++k)
+              imdct_tbl[slot][(size_t)j * n2 + k] =
+                  cos(2.0 * M_PI / n * (j + 0.5 + n2 / 2.0) * (k + 0.5));
+          imdct_tbl_n[slot] = n;
+        }
+        const double* tbl = imdct_tbl[slot].data();
         for (int j = 0; j < n; ++j) {
+          const double* row = tbl + (size_t)j * n2;
           double acc = 0.0;
-          for (int k = 0; k < n2; ++k)
-            acc += spec[k] * cos(2.0 * M_PI / n * (j + 0.5 + n2 / 2.0) *
-                                 (k + 0.5));
+          for (int k = 0; k < n2; ++k) acc += spec[k] * row[k];
           blk[j] = acc;
         }
       }
@@ -1378,14 +1408,23 @@ int hpfw_vorbis_decode(const uint8_t* data, int64_t size,
   if (pcm[0].empty()) return -43;
   int64_t total = (int64_t)pcm[0].size();
   if (granule >= 0 && granule < total) total = granule;
-  *out_n = total;
   *out_rate = rate;
-  if (!out) return 0;
+  out->resize(total);
   for (int64_t i = 0; i < total; ++i) {
     double acc = 0.0;
     for (int c = 0; c < channels; ++c) acc += pcm[c][i];
-    out[i] = (float)(acc / channels);
+    (*out)[i] = (float)(acc / channels);
   }
+  return 0;
+}
+
+int hpfw_vorbis_decode(const uint8_t* data, int64_t size,
+                       float* out, int64_t* out_n, int32_t* out_rate) {
+  std::vector<float> v;
+  int rc = vorbis_decode_vec(data, size, &v, out_rate);
+  if (rc) return rc;
+  *out_n = (int64_t)v.size();
+  if (out) memcpy(out, v.data(), v.size() * sizeof(float));
   return 0;
 }
 
@@ -1655,5 +1694,122 @@ void hpfw_match_db(const uint64_t* query, int64_t n_query,
   for (int32_t i = 0; i < n; ++i) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded multi-file ingest driver — the native batch front end for
+// files -> fingerprints -> DB catalog builds (SURVEY.md §3.2: "for each
+// catalog track: fingerprint(audio)" from files; §2.1 rows 1+8: the
+// reference pairs its native loader with a CPU thread pool over tracks).
+// Each file is read, magic-dispatched to the one-pass decoder, downmixed,
+// and resampled to the target rate entirely in native code across the
+// std::thread pool; Python copies out finished PCM (or falls back to the
+// NumPy loader for files this driver rejects, e.g. Sun .au).
+// ---------------------------------------------------------------------------
+
+namespace ingest {
+
+struct Batch {
+  std::vector<std::vector<float>> pcm;
+  std::vector<int32_t> rate;
+  std::vector<int32_t> rc;
+};
+
+static int read_file(const char* path, std::vector<uint8_t>* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -100;
+  if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return -100; }
+  long sz = ftell(f);
+  if (sz < 0) { fclose(f); return -100; }
+  if (fseek(f, 0, SEEK_SET) != 0) { fclose(f); return -100; }
+  out->resize((size_t)sz);
+  size_t got = sz ? fread(out->data(), 1, (size_t)sz, f) : 0;
+  fclose(f);
+  return got == (size_t)sz ? 0 : -100;
+}
+
+static int decode_dispatch(const uint8_t* data, int64_t size,
+                           std::vector<float>* out, int32_t* rate) {
+  if (size >= 4 && memcmp(data, "fLaC", 4) == 0)
+    return flac_decode_vec(data, size, out, rate);
+  if (size >= 4 && memcmp(data, "OggS", 4) == 0)
+    return vorbis_decode_vec(data, size, out, rate);
+  if (size >= 12 && ((memcmp(data, "RIFF", 4) == 0 &&
+                      memcmp(data + 8, "WAVE", 4) == 0) ||
+                     memcmp(data, "FORM", 4) == 0)) {
+    // WAV/AIFF sizing from the header is cheap; reuse the two-call entry.
+    int64_t n = 0;
+    int rc = hpfw_wav_decode(data, size, nullptr, &n, rate);
+    if (rc) return rc;
+    out->resize(n);
+    return hpfw_wav_decode(data, size, out->data(), &n, rate);
+  }
+  // Known container magics WITHOUT a native decoder (Sun .au) must be
+  // rejected here — their PCM payloads can contain spurious MPEG sync
+  // patterns the last-resort decoder would happily turn into garbage.
+  if (size >= 4 && memcmp(data, ".snd", 4) == 0) return -101;
+  // No decisive container magic: treat as MPEG audio (ID3 tag or raw frame
+  // sync). The decoder fails cleanly (-1) on non-MPEG bytes; callers fall
+  // back to the Python loader for anything rejected here.
+  return hpfw_mp3_decode_vec(data, size, out, rate);
+}
+
+}  // namespace ingest
+
+extern "C" {
+
+// Decode (and resample) n_files audio files across the thread pool.
+// Returns an opaque handle (free with hpfw_ingest_free) whose per-file
+// results are read with the getters below; rc 0 = ok, negative = read or
+// decode failure for that file only. target_rate 0 keeps source rates.
+void* hpfw_ingest_files(const char* const* paths, int64_t n_files,
+                        int32_t target_rate, int32_t n_threads) {
+  auto* b = new ingest::Batch;
+  b->pcm.resize(n_files);
+  b->rate.assign(n_files, 0);
+  b->rc.assign(n_files, -99);
+  parallel_for(n_files, n_threads, [&](int64_t i) {
+    std::vector<uint8_t> raw;
+    int rc = ingest::read_file(paths[i], &raw);
+    if (rc == 0)
+      rc = ingest::decode_dispatch(raw.data(), (int64_t)raw.size(),
+                                   &b->pcm[i], &b->rate[i]);
+    if (rc == 0 && target_rate > 0 && b->rate[i] != target_rate) {
+      int64_t n_out = hpfw_resample_sinc_len((int64_t)b->pcm[i].size(),
+                                             b->rate[i], target_rate);
+      std::vector<float> res((size_t)n_out);
+      hpfw_resample_sinc(b->pcm[i].data(), (int64_t)b->pcm[i].size(),
+                         b->rate[i], target_rate, res.data(), n_out);
+      b->pcm[i] = std::move(res);
+      b->rate[i] = target_rate;
+    }
+    if (rc != 0) b->pcm[i].clear();
+    b->rc[i] = rc;
+  });
+  return b;
+}
+
+int32_t hpfw_ingest_rc(void* h, int64_t i) {
+  return static_cast<ingest::Batch*>(h)->rc[(size_t)i];
+}
+
+int64_t hpfw_ingest_len(void* h, int64_t i) {
+  return (int64_t)static_cast<ingest::Batch*>(h)->pcm[(size_t)i].size();
+}
+
+int32_t hpfw_ingest_rate(void* h, int64_t i) {
+  return static_cast<ingest::Batch*>(h)->rate[(size_t)i];
+}
+
+int hpfw_ingest_get(void* h, int64_t i, float* out) {
+  auto* b = static_cast<ingest::Batch*>(h);
+  if (b->rc[(size_t)i] != 0) return b->rc[(size_t)i];
+  memcpy(out, b->pcm[(size_t)i].data(),
+         b->pcm[(size_t)i].size() * sizeof(float));
+  return 0;
+}
+
+void hpfw_ingest_free(void* h) { delete static_cast<ingest::Batch*>(h); }
 
 }  // extern "C"
