@@ -189,10 +189,12 @@ def cmd_build_cache(args):
     if args.warmup_prints:
         batches = tuple(int(x) for x in args.warmup_batches.split(",") if x)
         t0 = time.time()
-        ts.warmup([args.warmup_prints], batch_sizes=batches)
+        n = ts.bundle_compile_cache(args.output, [args.warmup_prints],
+                                    batch_sizes=batches)
         print(f"warmed serving compiles for N={args.warmup_prints}, "
               f"batches {batches or '()'} in {time.time() - t0:.1f}s "
-              "(persistent compile cache seeded)")
+              f"({n} compile-cache entries bundled into the artifact; "
+              "persistent compile cache seeded)")
     return 0
 
 

@@ -96,3 +96,65 @@ def test_warmup_compiles_serving_shapes(small_db, tmp_path):
     # After warmup the real dispatch hits the jit cache; results unchanged.
     ids, s, o = ts.match(qfp, top_k=1, pool=14)
     assert ids[0] == "9"
+
+
+def test_compile_cache_bundle_and_install(small_db, tmp_path):
+    """bundle_compile_cache ships warmup's persistent-cache entries with
+    the artifact; load(install_cache=True) installs them into a fresh
+    machine's cache dir (VERDICT r3 weak #6). Runtime-mismatch bundles are
+    ignored (install returns 0)."""
+    import jax
+
+    from jax._src import compilation_cache as cc
+    from hpfw_tpu.utils import cache as cache_util
+
+    db, qfp = small_db
+    art = str(tmp_path / "artifact")
+    build_cache = tmp_path / "cache_build"
+    fresh_cache = tmp_path / "cache_fresh"
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+
+    def set_cache(d):
+        jax.config.update("jax_compilation_cache_dir", str(d))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        cc.reset_cache()
+
+    # In-memory jit hits bypass the persistent cache and can't be recorded
+    # (the documented caveat), so warm a query shape no earlier test in this
+    # module has dispatched.
+    qlen = qfp.shape[0] - 7
+    try:
+        set_cache(build_cache)
+        ts = TwoStageDB(db, stride=4, use_pallas_fine=True,
+                        pallas_interpret=True, keep_host=True)
+        ts.save(art)
+        n = ts.bundle_compile_cache(art, [qlen], pool=9)
+        assert n >= 1
+        key = cache_util.runtime_key()
+        bundled = list((tmp_path / "artifact" / "xla_cache" / key).iterdir())
+        assert len(bundled) == n
+
+        # fresh "machine": empty cache dir; install must copy the entries
+        set_cache(fresh_cache)
+        loaded = TwoStageDB.load(art, pallas_interpret=True)
+        installed = [p for p in fresh_cache.iterdir()
+                     if p.name.endswith("-cache")]
+        assert len(installed) == n
+        ids_a, s_a, o_a = ts.match(qfp[:qlen], top_k=3, pool=9)
+        ids_b, s_b, o_b = loaded.match(qfp[:qlen], top_k=3, pool=9)
+        assert ids_a == ids_b
+        np.testing.assert_array_equal(s_a, s_b)
+        np.testing.assert_array_equal(o_a, o_b)
+
+        # mismatched runtime: bundle dir for another key is ignored
+        import shutil
+
+        shutil.rmtree(tmp_path / "artifact" / "xla_cache" / key)
+        (tmp_path / "artifact" / "xla_cache" / "jax0.0_other").mkdir()
+        assert cache_util.install_bundle(art) == 0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          old_min)
+        cc.reset_cache()
