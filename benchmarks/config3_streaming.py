@@ -126,6 +126,39 @@ def main(n_tracks=100, track_seconds=60.0, stream_seconds=30.0,
              n_tracks=n_tracks, query_prints=query_prints)
         log(f"config3 device-side streaming match: {per_ms:.2f} ms")
 
+    # --- track-change re-lock at this scale (VERDICT r3 weak #7) ---------
+    if at_scale:
+        live2_i = 5
+        truth2 = str(real_ids[live2_i])
+        live2 = synth.make_query(real_tracks[live2_i], 3.0,
+                                 stream_seconds / 2, cfg,
+                                 noise_db=-12.0, seed=9)
+        switched = np.concatenate([live[: len(live) // 2], live2])
+        sess2 = StreamingSession(db, filters, cfg,
+                                 query_prints=query_prints, chunk_prints=32)
+        switch_pos = len(live) // 2
+        relock_s = None
+        windows_after = 0
+        fed = 0
+        for pos in range(0, len(switched), chunk):
+            nb = len(sess2.match_latencies_ms)
+            best = sess2.feed(switched[pos:pos + chunk])
+            fed += chunk
+            if pos + chunk > switch_pos and len(sess2.match_latencies_ms) > nb:
+                windows_after += 1
+                if best and best.track_id == truth2 and relock_s is None:
+                    relock_s = (fed - switch_pos) / cfg.sample_rate
+        ok2 = (sess2.current_best is not None
+               and sess2.current_best.track_id == truth2)
+        emit("config3_track_change_relock_s",
+             round(relock_s, 2) if relock_s is not None else None, "s",
+             n_tracks=n_tracks, relocked=bool(ok2),
+             windows_after_switch=windows_after,
+             ring_flush_s=round(query_prints / cfg.frames_per_second, 2))
+        log(f"config3 re-lock after mid-stream track change: {relock_s}s "
+            f"(ring flush alone is "
+            f"{query_prints / cfg.frames_per_second:.1f}s), ok={ok2}")
+
 
 if __name__ == "__main__":
     main(*[int(float(a)) for a in sys.argv[1:]])
