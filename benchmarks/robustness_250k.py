@@ -1,0 +1,208 @@
+"""Live-performance robustness at catalog scale (VERDICT r3 missing #2).
+
+The system's stated purpose is LIVE song ID; live renditions differ from
+the catalog in pitch (different key) and tempo — but every 250k/1M eval so
+far used additive noise only, and the pitch table that justifies learned
+filters stopped at 50 tracks. This re-runs the real-catalog eval with
+pitch-shifted and time-stretched live renditions (io/synth_jax.py
+live_query_batch: same score, different key/tempo, -10 dB noise) at the
+`catalog_scale()` operating point, n=200 per condition, learned vs random
+filters.
+
+    python benchmarks/robustness_250k.py learned [conditions...]
+    python benchmarks/robustness_250k.py random  [conditions...]
+    python benchmarks/robustness_250k.py recover [pitch_st]   # knob sweep
+
+Artifacts reuse /tmp/hpfw_real_cat/250000_60 (benchmarks/real_catalog.py);
+`random` extracts a second catalog under random filters once (~11 min) into
+prints_random.npy.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from benchmarks.common import emit, log
+from benchmarks.real_catalog import NOISE_DB, QUERY_SECONDS, paths
+from hpfw_tpu import api
+from hpfw_tpu.config import HpfwConfig
+from hpfw_tpu.io import synth_jax
+from hpfw_tpu.match.scaled import TwoStageDB
+
+N_TRACKS = 250_000
+TRACK_S = 60.0
+N_Q = 200
+BATCH = 16
+
+# (name, pitch_st, stretch)
+CONDITIONS = [
+    ("noise", 0.0, 1.0),
+    ("pitch+0.5", 0.5, 1.0),
+    ("pitch-0.5", -0.5, 1.0),
+    ("pitch+1", 1.0, 1.0),
+    ("pitch-1", -1.0, 1.0),
+    ("stretch+3%", 0.0, 1.03),
+    ("stretch-3%", 0.0, 0.97),
+    ("pitch+0.5/stretch+3%", 0.5, 1.03),
+]
+
+
+def _query_plan():
+    """Same deterministic plan as real_catalog.queries (seed 11)."""
+    rng = np.random.default_rng(11)
+    cfg = HpfwConfig()
+    truths = rng.integers(0, N_TRACKS, N_Q)
+    starts = rng.integers(0, int((TRACK_S - QUERY_SECONDS - 1)
+                                 * cfg.sample_rate), N_Q)
+    nseeds = rng.integers(0, 1 << 30, N_Q)
+    return truths, starts, nseeds
+
+
+def _extract_queries(filters_dev, pitch_st, stretch, cfg):
+    import jax.numpy as jnp  # noqa: F401
+
+    truths, starts, nseeds = _query_plan()
+    qs_samples = int(QUERY_SECONDS * cfg.sample_rate)
+    fp_fn = api._fingerprint_batch_jit(cfg, qs_samples, False)
+    out = []
+    for i in range(0, N_Q, BATCH):
+        sl = slice(i, min(i + BATCH, N_Q))
+        pcm = synth_jax.live_query_batch(
+            truths[sl], starts[sl], TRACK_S, QUERY_SECONDS, cfg,
+            pitch_st=pitch_st, stretch=stretch, noise_db=NOISE_DB,
+            noise_seeds=nseeds[sl])
+        out.append(np.asarray(fp_fn(pcm, filters_dev)))
+    return np.concatenate(out, axis=0), truths
+
+
+def _random_filters(cfg):
+    from hpfw_tpu.oracle import fix_eigenvector_signs
+
+    rng = np.random.default_rng(123)
+    f = rng.standard_normal((cfg.context_dim, cfg.n_filters)) \
+        / np.sqrt(cfg.context_dim)
+    return fix_eigenvector_signs(f).astype(np.float32)
+
+
+def _random_catalog(cfg, filters):
+    """Extract the SAME 250k tracks under random filters (once)."""
+    import jax.numpy as jnp
+
+    d = paths(N_TRACKS, TRACK_S)
+    ppath = os.path.join(d, "prints_random.npy")
+    if os.path.exists(ppath + ".done"):
+        return np.load(ppath, mmap_mode="r")
+    npq = cfg.n_hashprints(int(TRACK_S * cfg.sample_rate))
+    prints = np.lib.format.open_memmap(
+        ppath, mode="w+", dtype=np.uint32, shape=(N_TRACKS, npq, 2))
+    fp_fn = api._fingerprint_batch_jit(cfg, int(TRACK_S * cfg.sample_rate),
+                                       False)
+    fdev = jnp.asarray(filters)
+    t0 = time.time()
+    pending = []
+    for s0 in range(0, N_TRACKS, BATCH):
+        ids = np.arange(s0, min(s0 + BATCH, N_TRACKS))
+        pcm = synth_jax.synth_batch(ids, TRACK_S, cfg)
+        pending.append((s0, ids.shape[0], fp_fn(pcm, fdev)))
+        if len(pending) >= 2:
+            a, b, r = pending.pop(0)
+            prints[a:a + b] = np.asarray(r)[:b, :npq]
+        if s0 and s0 % 4096 == 0:
+            log(f"  random-filter catalog {s0}/{N_TRACKS} "
+                f"({time.time() - t0:.0f}s)")
+    for a, b, r in pending:
+        prints[a:a + b] = np.asarray(r)[:b, :npq]
+    prints.flush()
+    open(ppath + ".done", "w").write("ok")
+    log(f"random-filter catalog built in {time.time() - t0:.0f}s")
+    return prints
+
+
+def _two_stage(cfg, prints, filters):
+    lengths = np.full(N_TRACKS, prints.shape[1], np.int32)
+    db = api.FingerprintDB(cfg, filters,
+                           [str(i) for i in range(N_TRACKS)],
+                           prints, lengths)
+    t0 = time.time()
+    ts = TwoStageDB(db)
+    log(f"two-stage ready in {time.time() - t0:.0f}s")
+    return ts
+
+
+def run(filter_kind="learned", conditions=None, pool=None):
+    cfg = HpfwConfig.catalog_scale()
+    d = paths(N_TRACKS, TRACK_S)
+    if filter_kind == "learned":
+        filters = np.load(os.path.join(d, "filters.npy"))
+        prints = np.load(os.path.join(d, "prints.npy"), mmap_mode="r")
+    else:
+        filters = _random_filters(cfg)
+        prints = _random_catalog(cfg, filters)
+    import jax.numpy as jnp
+
+    fdev = jnp.asarray(filters)
+    ts = _two_stage(cfg, prints, filters)
+    conds = ([c for c in CONDITIONS if c[0] in conditions]
+             if conditions else CONDITIONS)
+    results = {}
+    for name, pst, stretch in conds:
+        qprints, truths = _extract_queries(fdev, pst, stretch, cfg)
+        t0 = time.time()
+        correct = 0
+        bsz = 10
+        for i in range(0, N_Q, bsz):
+            res = ts.match_batch(qprints[i:i + bsz], top_k=1, pool=pool)
+            for j, (tid, s, o) in enumerate(res):
+                correct += int(tid[0]) == truths[i + j]
+        top1 = correct / N_Q
+        results[name] = top1
+        log(f"{filter_kind} / {name}: top-1 {top1:.3f} "
+            f"({time.time() - t0:.0f}s)")
+    emit(f"robustness_250k_{filter_kind}",
+         results.get("pitch+1", results.get("noise")), "top1_accuracy",
+         n_tracks=N_TRACKS, n_queries=N_Q, noise_db=NOISE_DB,
+         preset="catalog_scale", **{k: round(v, 4) for k, v in results.items()})
+    return results
+
+
+def recover(pitch_st=1.0):
+    """Does escalating phases / fine_window / pool recover pitched recall?"""
+    cfg = HpfwConfig.catalog_scale()
+    d = paths(N_TRACKS, TRACK_S)
+    filters = np.load(os.path.join(d, "filters.npy"))
+    prints = np.load(os.path.join(d, "prints.npy"), mmap_mode="r")
+    import jax.numpy as jnp
+
+    fdev = jnp.asarray(filters)
+    ts = _two_stage(cfg, prints, filters)
+    qprints, truths = _extract_queries(fdev, pitch_st, 1.0, cfg)
+    out = {}
+    for tag, kw in [("preset", {}),
+                    ("pool4096", {"pool": 4096}),
+                    ("fw256", {"fine_window": 256}),
+                    ("pool4096+fw256", {"pool": 4096, "fine_window": 256})]:
+        correct = 0
+        t0 = time.time()
+        for i in range(0, N_Q, 10):
+            res = ts.match_batch(qprints[i:i + 10], top_k=1, **kw)
+            for j, (tid, s, o) in enumerate(res):
+                correct += int(tid[0]) == truths[i + j]
+        out[tag] = correct / N_Q
+        log(f"recover pitch{pitch_st:+.1f} / {tag}: top-1 {out[tag]:.3f} "
+            f"({time.time() - t0:.0f}s)")
+    emit("robustness_250k_recovery", out.get("pool4096+fw256"),
+         "top1_accuracy", pitch_st=pitch_st,
+         **{k: round(v, 4) for k, v in out.items()})
+    return out
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "learned"
+    if mode == "recover":
+        recover(*[float(a) for a in sys.argv[2:]])
+    else:
+        run(mode, conditions=sys.argv[2:] or None)

@@ -68,11 +68,112 @@ def _render_one(key, pitch_factor, t, duration_s, sr, fmin):
     return out
 
 
+def _render_one_live(key, pitch_factor, stretch, t, duration_s, sr, fmin):
+    """A LIVE RENDITION of the track `key` parametrizes: same notes, but
+    played in a (possibly) different key and at a (possibly) different
+    tempo — the two axes real live performances move on (SURVEY.md §1.1).
+
+    `stretch` is the tempo factor: score time runs at stretch x real time
+    (onsets, note lengths, vibrato, and the chirp's frequency trajectory
+    compress/expand) while instantaneous PITCH is untouched — a band
+    playing the same song 3% faster. `pitch_factor` scales every frequency
+    (playing in a different key) without changing timing. This deliberately
+    mirrors _render_one's parameter decoding EXACTLY (same fold_in/uniform
+    stream) so the rendition shares the catalog track's score; it is a
+    separate function so the catalog render program stays untouched (its
+    f32 chirp phase is fusion-sensitive — see synth_batch's B=1 note)."""
+    ts = t * stretch                  # score-time position of each sample
+    out = jnp.zeros_like(t)
+    for p in range(N_PARTIALS):
+        kp = jax.random.fold_in(key, p)
+        u = jax.random.uniform(kp, (7,), dtype=jnp.float32)
+        semi = jnp.floor(u[0] * 60.0)
+        pitch = fmin * 2.0 ** (semi / 12.0) * pitch_factor
+        vib_rate = 3.0 + 4.0 * u[1]
+        vib = 1.0 + 0.002 * jnp.sin(2 * jnp.pi * vib_rate * ts
+                                    + 2 * jnp.pi * u[2])
+        onset = 0.5 * u[3] * duration_s
+        length = (0.3 + 0.7 * u[4]) * duration_s
+        env = (jnp.clip((ts - onset) / 0.05, 0.0, 1.0)
+               * jnp.clip((onset + length - ts) / 0.2, 0.0, 1.0))
+        amp = 0.1 + 0.4 * u[5]
+        out = out + amp * env * jnp.sin(
+            2 * jnp.pi * pitch * vib * t + 2 * jnp.pi * u[6])
+    kc = jax.random.fold_in(key, N_PARTIALS)
+    uc = jax.random.uniform(kc, (2,), dtype=jnp.float32)
+    f0 = fmin * 2.0 ** (2.0 * uc[0]) * pitch_factor
+    f1 = f0 * 2.0 ** (1.0 + 2.0 * uc[1])
+    sweep = f0 * (f1 / f0) ** (ts / duration_s)
+    out = out + 0.2 * jnp.sin(2 * jnp.pi * jnp.cumsum(sweep) / sr)
+    return out
+
+
 def _finish(out, noise_key, n):
     noise_amp = 10.0 ** (NOISE_DB / 20.0)
     out = out + noise_amp * jax.random.normal(noise_key, (n,), dtype=jnp.float32)
     peak = jnp.max(jnp.abs(out))
     return jnp.where(peak > 0, 0.9 * out / peak, out)
+
+
+@functools.partial(jax.jit, static_argnames=("duration_s", "sr", "fmin",
+                                             "base_seed", "pitch_st",
+                                             "stretch"))
+def _live_batch_jit(track_ids, *, duration_s, sr, fmin, base_seed,
+                    pitch_st, stretch):
+    """Live renditions of catalog tracks: pitch-shifted / time-stretched.
+
+    Renders enough real-time samples to cover the whole score even when the
+    performance is slower (stretch < 1)."""
+    n = int(round(duration_s * sr / min(float(stretch), 1.0)))
+    t = jnp.arange(n, dtype=jnp.float32) / sr
+    base = jax.random.PRNGKey(base_seed)
+    shift = jnp.float32(2.0 ** (float(pitch_st) / 12.0))
+
+    def one(tid):
+        is_cover = jnp.logical_and(tid % COVER_PERIOD == 3, tid >= 3)
+        param_id = jnp.where(is_cover, tid - 3, tid)
+        factor = jnp.where(is_cover,
+                           jnp.float32(2.0 ** (COVER_SHIFT_ST / 12.0)),
+                           jnp.float32(1.0)) * shift
+        key = jax.random.fold_in(base, param_id)
+        out = _render_one_live(key, factor, jnp.float32(float(stretch)), t,
+                               duration_s, sr, fmin)
+        return _finish(out, jax.random.fold_in(base, 1_000_003 + tid), n)
+
+    return jax.lax.map(one, track_ids)
+
+
+def live_query_batch(track_ids, start_samples, duration_s: float,
+                     query_seconds: float, cfg: HpfwConfig, *,
+                     pitch_st: float = 0.0, stretch: float = 1.0,
+                     noise_db: float = -10.0, noise_seeds=None,
+                     base_seed: int = 7000) -> jnp.ndarray:
+    """Noisy LIVE-RENDITION query excerpts (the robustness axes live song
+    ID exists for): the catalog track's score performed `pitch_st`
+    semitones up/down and at `stretch` x tempo, then excerpted + noised
+    exactly like query_batch. `start_samples` are CATALOG positions; the
+    excerpt is taken where that content lands in the rendition
+    (start / stretch). pitch_st=0, stretch=1 reproduces query_batch's
+    audio to float32 rounding (asserted in tests/test_synth_jax.py)."""
+    ids = np.asarray(track_ids, dtype=np.int32).reshape(-1)
+    starts = np.asarray(np.round(np.asarray(start_samples) / stretch),
+                        dtype=np.int32).reshape(-1)
+    if noise_seeds is None:
+        noise_seeds = 77_000 + ids
+    nseeds = np.asarray(noise_seeds, dtype=np.int32).reshape(-1)
+    b0 = ids.shape[0]
+    if b0 == 1:  # see synth_batch: single-iteration lax.map fuses differently
+        ids, starts, nseeds = (np.concatenate([a, a])
+                               for a in (ids, starts, nseeds))
+    full = _live_batch_jit(jnp.asarray(ids), duration_s=float(duration_s),
+                           sr=cfg.sample_rate, fmin=cfg.fmin,
+                           base_seed=base_seed, pitch_st=float(pitch_st),
+                           stretch=float(stretch))
+    q_samples = int(round(query_seconds * cfg.sample_rate))
+    starts = np.minimum(starts, full.shape[1] - q_samples - 1)
+    out = _excerpt_jit(full, jnp.asarray(starts), jnp.asarray(nseeds),
+                       q_samples=q_samples, noise_db=float(noise_db))
+    return out[:b0]
 
 
 @functools.partial(jax.jit, static_argnames=("duration_s", "sr", "fmin",

@@ -50,3 +50,50 @@ def test_covers_have_correlated_prints(cfg):
     unrelated = sim(fps[4], fps[0])
     assert cover > 0.65 and abs(unrelated - 0.5) < 0.1
     assert cover < 0.999  # fresh noise: a cover is not a byte-copy
+
+
+def test_live_query_identity_matches_query_batch(cfg):
+    """pitch 0 / stretch 1 live renditions reproduce query_batch audio to
+    float32 rounding (separate render function, same parameter stream)."""
+    q0 = np.asarray(synth_jax.query_batch([2, 7], [1000, 3000], 4.0, 2.0,
+                                          cfg, noise_db=-10.0))
+    q1 = np.asarray(synth_jax.live_query_batch([2, 7], [1000, 3000], 4.0,
+                                               2.0, cfg, pitch_st=0.0,
+                                               stretch=1.0, noise_db=-10.0))
+    assert q0.shape == q1.shape
+    # same notes + same noise stream; only fusion-level f32 rounding differs
+    err = np.abs(q0 - q1).max()
+    assert err < 1e-3, err
+
+
+def test_live_query_pitch_shift_moves_spectrum(cfg):
+    """+12 st doubles the spectral centroid (octave up), stretch keeps it."""
+    def centroid(x):
+        f = np.abs(np.fft.rfft(x * np.hanning(x.shape[0])))
+        freqs = np.fft.rfftfreq(x.shape[0], 1.0 / cfg.sample_rate)
+        return float((f * freqs).sum() / f.sum())
+
+    base = np.asarray(synth_jax.live_query_batch(
+        [2], [0], 4.0, 3.0, cfg, noise_db=-40.0))[0]
+    up = np.asarray(synth_jax.live_query_batch(
+        [2], [0], 4.0, 3.0, cfg, pitch_st=12.0, noise_db=-40.0))[0]
+    ratio = centroid(up) / centroid(base)
+    assert 1.6 < ratio < 2.4, ratio
+
+
+def test_live_query_stretch_shifts_timing_not_pitch(cfg):
+    """A 20% slower rendition places the same content ~25% later in real
+    time; the excerpt at the mapped start should correlate with the
+    original content far better than an unmapped one."""
+    dur, qs = 4.0, 1.5
+    start = int(1.2 * cfg.sample_rate)
+    ref = np.asarray(synth_jax.query_batch([5], [start], dur, qs, cfg,
+                                           noise_db=-40.0))[0]
+    slow = np.asarray(synth_jax.live_query_batch(
+        [5], [start], dur, qs, cfg, stretch=0.8, noise_db=-40.0))[0]
+    # envelope correlation (pitch phases differ in real time under stretch)
+    def env(x, w=256):
+        e = np.sqrt(np.convolve(x * x, np.ones(w) / w, mode="same"))
+        return (e - e.mean()) / (e.std() + 1e-9)
+    c = float(np.mean(env(ref) * env(slow)))
+    assert c > 0.5, c
