@@ -62,14 +62,18 @@ def build(n_tracks, track_s, cache):
     t_save = time.perf_counter() - t0
     n_q = int(10 * cfg.frames_per_second)
     t0 = time.perf_counter()
-    ts.warmup([n_q], batch_sizes=(10,))
+    n_bundled = ts.bundle_compile_cache(cache, [n_q], batch_sizes=(10,))
     t_warm = time.perf_counter() - t0
     emit("persist_build", round(t_derive, 1), "s_derive",
          save_s=round(t_save, 1), warmup_s=round(t_warm, 1),
+         compile_cache_entries_bundled=n_bundled,
          n_tracks=n_tracks, real_audio=real,
          cache_gb=round(sum(os.path.getsize(os.path.join(cache, f))
-                            for f in os.listdir(cache)) / 1e9, 2))
-    log(f"derive {t_derive:.0f}s save {t_save:.0f}s warmup {t_warm:.0f}s")
+                            for f in os.listdir(cache)
+                            if os.path.isfile(os.path.join(cache, f))) / 1e9,
+                        2))
+    log(f"derive {t_derive:.0f}s save {t_save:.0f}s warmup+bundle "
+        f"{t_warm:.0f}s ({n_bundled} cache entries shipped)")
 
 
 def query(n_tracks, track_s, cache):
