@@ -48,22 +48,22 @@ def _setup(n_tracks, dtype="int8"):
     return jnp.asarray(q), db_dev, lcw
 
 
-def _time_scan(q, db, lc_true, iters=30):
+def _time_scan(q, db, lc_true, iters=30, **kw):
     import jax.numpy as jnp  # noqa: F401
 
     from hpfw_tpu.ops.pallas_coarse import pallas_coarse_scan_batch_stacked
 
-    best, idx = pallas_coarse_scan_batch_stacked(q, db, lc_true=lc_true)
+    best, idx = pallas_coarse_scan_batch_stacked(q, db, lc_true=lc_true, **kw)
     best.block_until_ready()
     t0 = time.perf_counter()
-    outs = [pallas_coarse_scan_batch_stacked(q, db, lc_true=lc_true)
+    outs = [pallas_coarse_scan_batch_stacked(q, db, lc_true=lc_true, **kw)
             for _ in range(iters)]
     outs[-1][0].block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     return dt, (np.asarray(best), np.asarray(idx))
 
 
-def main(n_tracks=N_DEFAULT, probes=("baseline", "dma", "int4")):
+def main(n_tracks=N_DEFAULT, probes=("baseline", "dma", "convert1", "int4")):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -108,6 +108,17 @@ def main(n_tracks=N_DEFAULT, probes=("baseline", "dma", "int4")):
         log(f"load+reduce floor: {dt * 1e3:.3f} ms, "
             f"{nbytes / dt / 1e9:.0f} GB/s")
 
+    if "convert1" in probes:
+        dtc, outc = _time_scan(q, db, lc_true, convert_once=True)
+        results["convert1_ms"] = dtc * 1e3
+        results["convert1_gbs"] = nbytes / dtc / 1e9
+        if "baseline" in probes:
+            same = (np.array_equal(outc[0], ref[0])
+                    and np.array_equal(outc[1], ref[1]))
+            results["convert1_exact"] = bool(same)
+        log(f"convert_once: {dtc * 1e3:.3f} ms, "
+            f"{nbytes / dtc / 1e9:.0f} GB/s")
+
     if "int4" in probes:
         try:
             q4, db4, _ = _setup(n_tracks, dtype="int4")
@@ -133,5 +144,5 @@ def main(n_tracks=N_DEFAULT, probes=("baseline", "dma", "int4")):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DEFAULT
-    probes = tuple(sys.argv[2:]) or ("baseline", "dma", "int4")
+    probes = tuple(sys.argv[2:]) or ("baseline", "dma", "convert1", "int4")
     main(n, probes)

@@ -200,7 +200,7 @@ def auto_stacked_tile(lcw: int, k_pad: int, bs: int, cap: int = 1024) -> int:
 
 def _stacked_kernel(w_ref, db_ref, best_ref, idx_ref, *, b: int, s: int,
                     lcw: int, k_pad: int, m_blocks: int, n_off: int,
-                    c: int = 64):
+                    c: int = 64, convert_once: bool = False):
     """Query-stacked batched coarse scan: all B queries' s-phase kernels sit
     side by side on the GEMM's N axis, so a SINGLE program per track tile
     serves the whole batch at full MXU width with s = 32 instead of 128 —
@@ -219,10 +219,17 @@ def _stacked_kernel(w_ref, db_ref, best_ref, idx_ref, *, b: int, s: int,
     r_lane = lane % s
     best = jnp.full((tt, bs), neg, jnp.int32)
     idxv = jnp.zeros((tt, bs), jnp.int32)
+    # convert_once: m-block slices overlap by (nc-1)*c columns, so the
+    # per-block int8->bf16 cast re-converts most of the tile m_blocks
+    # times; one whole-tile cast trades VMEM (a bf16 tile copy) for that
+    # duplicated convert work. Results are identical either way (same
+    # values); which is faster is a hardware question (pass1_tune.py).
+    xb = db_ref[:].astype(jnp.bfloat16) if convert_once else None
     for m in range(m_blocks):
         col0 = m * s * c
         k_m = min(k_pad, lcw - col0)
-        x = db_ref[:, col0:col0 + k_m].astype(jnp.bfloat16)
+        x = (xb[:, col0:col0 + k_m] if convert_once
+             else db_ref[:, col0:col0 + k_m].astype(jnp.bfloat16))
         corr = jax.lax.dot_general(
             x, w_ref[:k_m, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
@@ -258,7 +265,8 @@ def _stacked_kernel(w_ref, db_ref, best_ref, idx_ref, *, b: int, s: int,
         preferred_element_type=jnp.float32).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("s", "tt", "lc_true", "interpret"))
+@functools.partial(jax.jit, static_argnames=("s", "tt", "lc_true",
+                                             "interpret", "convert_once"))
 def pallas_coarse_scan_batch_stacked(
     query_cs: jnp.ndarray,   # (B, Nc, 64) int8 +/-1 equal-length queries
     db_c_flat: jnp.ndarray,  # (T, Lc*64) int8
@@ -267,6 +275,7 @@ def pallas_coarse_scan_batch_stacked(
     tt: int | None = None,
     lc_true: int | None = None,
     interpret: bool = False,
+    convert_once: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched fused coarse scan, one program per track tile.
 
@@ -295,6 +304,9 @@ def pallas_coarse_scan_batch_stacked(
     k_pad = -(-k_full // 128) * 128
     if tt is None:
         tt = auto_stacked_tile(lcw, k_pad, b * s)
+        if convert_once:
+            # the whole-tile bf16 copy needs its own arena headroom
+            tt = max(8, tt // 2)
         while t % tt and tt > 8:
             tt //= 2
     assert t % tt == 0, "pad tracks to the track tile"
@@ -303,7 +315,7 @@ def pallas_coarse_scan_batch_stacked(
         query_cs).transpose(1, 0, 2).reshape(k_pad, b * s)
     kernel = functools.partial(_stacked_kernel, b=b, s=s, lcw=lcw,
                                k_pad=k_pad, m_blocks=m_blocks, n_off=n_off,
-                               c=c)
+                               c=c, convert_once=convert_once)
     best, idx = pl.pallas_call(
         kernel,
         grid=(t // tt,),

@@ -186,3 +186,23 @@ def test_pallas_coarse_rescan_stacked_block_diagonal():
                                               np.asarray(want_b))
                 np.testing.assert_array_equal(np.asarray(idx[q, vv]),
                                               np.asarray(want_i))
+
+
+def test_pallas_coarse_stacked_convert_once_identical():
+    """convert_once is a pure scheduling knob: one whole-tile int8->bf16
+    cast instead of per-m-block casts of overlapping slices; output must
+    be bit-identical either way."""
+    from hpfw_tpu.ops.pallas_coarse import pallas_coarse_scan_batch_stacked
+
+    rng = np.random.default_rng(9)
+    t, tt, lc, nc, b = 32, 8, 37, 5, 3
+    d = rng.choice([-1, 1], (t, lc, 64)).astype(np.int8)
+    qs = rng.choice([-1, 1], (b, nc, 64)).astype(np.int8)
+    flat = flatten_coarse(jnp.asarray(d))
+    a = pallas_coarse_scan_batch_stacked(jnp.asarray(qs), flat, s=8, tt=tt,
+                                         lc_true=lc, interpret=True)
+    bo = pallas_coarse_scan_batch_stacked(jnp.asarray(qs), flat, s=8, tt=tt,
+                                          lc_true=lc, interpret=True,
+                                          convert_once=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(bo[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(bo[1]))
