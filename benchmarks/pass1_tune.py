@@ -53,6 +53,9 @@ def _time_scan(q, db, lc_true, iters=30, **kw):
 
     from hpfw_tpu.ops.pallas_coarse import pallas_coarse_scan_batch_stacked
 
+    # s=64: the adaptive lane count scaled.py's pass 1 picks for B=2
+    # variant lanes (2 groups x 64 = 128 lanes, no duplicate padding).
+    kw.setdefault("s", 64)
     best, idx = pallas_coarse_scan_batch_stacked(q, db, lc_true=lc_true, **kw)
     best.block_until_ready()
     t0 = time.perf_counter()
