@@ -47,10 +47,10 @@ def _load():
         lib = C.CDLL(_LIB_PATH)
     except (OSError, subprocess.CalledProcessError):
         return None
-    lib.hpfw_aacref_decode.restype = C.c_int
-    lib.hpfw_aacref_decode.argtypes = [
+    lib.hpfw_aacref_decode2.restype = C.c_int
+    lib.hpfw_aacref_decode2.argtypes = [
         C.POINTER(C.c_uint8), C.c_long, C.POINTER(C.c_float), C.c_long,
-        C.POINTER(C.c_int), C.POINTER(C.c_int)]
+        C.POINTER(C.c_int), C.POINTER(C.c_int), C.c_int]
     lib.hpfw_aacref_encode.restype = C.c_int
     lib.hpfw_aacref_encode.argtypes = [
         C.POINTER(C.c_float), C.c_long, C.c_int, C.c_int, C.c_int,
@@ -87,10 +87,13 @@ def count_adts_frames(data: bytes) -> tuple[int, int]:
     return n, max(ch, 1)
 
 
-def aac_decode_ref(data: bytes):
+def aac_decode_ref(data: bytes, strict: bool = False):
     """Reference-decode an ADTS AAC stream with system libavcodec.
 
-    Returns (pcm float32 (n_samples, channels), sample_rate)."""
+    Returns (pcm float32 (n_samples, channels), sample_rate). With
+    strict=True the decoder runs under AV_EF_EXPLODE-class error
+    recognition, so malformed streams raise instead of being concealed —
+    the probe tooling's parse-failure signal."""
     lib = _load()
     if lib is None:
         raise RuntimeError("libavcodec AAC reference shim unavailable")
@@ -102,9 +105,9 @@ def aac_decode_ref(data: bytes):
     sr = C.c_int(0)
     nch = C.c_int(0)
     buf = (C.c_uint8 * len(data)).from_buffer_copy(data)
-    r = lib.hpfw_aacref_decode(
+    r = lib.hpfw_aacref_decode2(
         buf, len(data), out.ctypes.data_as(C.POINTER(C.c_float)), cap,
-        C.byref(sr), C.byref(nch))
+        C.byref(sr), C.byref(nch), 1 if strict else 0)
     if r < 0:
         raise ValueError(f"libavcodec AAC decode failed ({r})")
     pcm = out[: r * nch.value].reshape(r, nch.value).copy()

@@ -30,9 +30,13 @@
 
 /* Decode an ADTS AAC stream. `out` is caller-allocated interleaved f32 of
  * capacity out_cap floats. Returns samples-per-channel (>=0) or a negative
- * error. sample_rate/channels are filled from the first decoded frame. */
-int hpfw_aacref_decode(const uint8_t *data, long len, float *out,
-                       long out_cap, int *sample_rate, int *channels) {
+ * error. sample_rate/channels are filled from the first decoded frame.
+ * strict != 0 sets AV_EF_EXPLODE-class error recognition so malformed
+ * bitstreams FAIL instead of being concealed — the probe tooling's
+ * parse-success/failure signal. */
+int hpfw_aacref_decode2(const uint8_t *data, long len, float *out,
+                        long out_cap, int *sample_rate, int *channels,
+                        int strict) {
   av_log_set_level(AV_LOG_ERROR);
   const AVCodec *codec = avcodec_find_decoder(AV_CODEC_ID_AAC);
   if (!codec) return -1;
@@ -43,6 +47,11 @@ int hpfw_aacref_decode(const uint8_t *data, long len, float *out,
   long n = 0; /* samples per channel written */
   int ret = -2;
   if (!ctx || !parser || !pkt || !frame) goto done;
+  if (strict) {
+    av_log_set_level(AV_LOG_QUIET);
+    ctx->err_recognition = AV_EF_CRCCHECK | AV_EF_BITSTREAM | AV_EF_BUFFER |
+                           AV_EF_EXPLODE;
+  }
   if (avcodec_open2(ctx, codec, NULL) < 0) goto done;
 
   *sample_rate = 0;
@@ -92,6 +101,13 @@ done:
   if (parser) av_parser_close(parser);
   avcodec_free_context(&ctx);
   return ret;
+}
+
+/* Back-compat lenient entry point. */
+int hpfw_aacref_decode(const uint8_t *data, long len, float *out,
+                       long out_cap, int *sample_rate, int *channels) {
+  return hpfw_aacref_decode2(data, len, out, out_cap, sample_rate, channels,
+                             0);
 }
 
 /* ---------------------------------------------------------------- encode */
