@@ -311,11 +311,329 @@ def recover_swb_short_all():
     return done
 
 
+
+
+# ---------------------------------------------------------- phase: sf book
+
+def _band_rms(spec, offsets, k):
+    lo, hi = offsets[k], offsets[k + 1]
+    return float(np.sqrt(np.mean(spec[lo:hi] ** 2)))
+
+
+def probe_sf_candidate(sr_idx, bits, offsets):
+    """Two-noise-band frame: band 0 energy raw (=256 -> delta 0), band 1
+    energy delta = the candidate scalefactor codeword `bits`.
+
+    Returns the decoded delta (int) on clean parse + clean two-band noise
+    output, else None."""
+    payload = compose_sce(global_gain=150, max_sfb=2, sections=[(13, 2)],
+                          sf_bits=format(256, "09b") + bits)
+    try:
+        spec = probe_spectrum_long(sr_idx, payload)
+    except ValueError:
+        return None
+    peak = float(np.abs(spec).max())
+    if peak < 1e-12:
+        return None
+    support = np.abs(spec) > peak / 1e4
+    if support[offsets[2]:].any():
+        return None                      # junk outside the two bands
+    r0 = _band_rms(spec, offsets, 0)
+    r1 = _band_rms(spec, offsets, 1)
+    if r0 < 1e-12 or r1 < 1e-12:
+        return None                      # a silent band: misparse
+    delta4 = 4 * np.log2(r1 / r0)
+    d = int(np.round(delta4))
+    if abs(delta4 - d) > 1e-2 or not -60 <= d <= 60:
+        return None
+    return d
+
+
+def recover_sf_book(sr_idx=4):
+    """Prefix-tree walk of the scalefactor codebook (121 entries, delta
+    -60..+60, max length 19 bits)."""
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, "sf_book.json")
+    if os.path.exists(path):
+        return {int(k): v for k, v in json.load(open(path)).items()}
+    offsets = json.load(open(os.path.join(OUT_DIR, "swb_long.json")))[
+        str(ADTS_RATES[sr_idx])]
+    book = {}          # delta -> codeword bitstring
+    frontier = ["0", "1"]
+    probes = 0
+    while frontier:
+        cand = frontier.pop()
+        if len(cand) > 19:
+            raise RuntimeError(f"prefix {cand[:24]} exceeded max length")
+        d = probe_sf_candidate(sr_idx, cand, offsets)
+        probes += 1
+        if d is not None:
+            if d in book:
+                raise RuntimeError(
+                    f"delta {d} for both {book[d]} and {cand}")
+            book[d] = cand
+            if len(book) % 20 == 0:
+                print(f"  {len(book)}/121 codewords ({probes} probes)")
+        else:
+            frontier.append(cand + "0")
+            frontier.append(cand + "1")
+    if len(book) != 121:
+        raise RuntimeError(f"recovered {len(book)} != 121 codewords")
+    # Kraft equality certifies a complete prefix code
+    kraft = sum(2.0 ** -len(c) for c in book.values())
+    assert abs(kraft - 1.0) < 1e-12, kraft
+    json.dump({str(k): v for k, v in sorted(book.items())},
+              open(path, "w"), indent=0)
+    print(f"sf book complete: 121 codewords, {probes} probes, kraft=1")
+    return book
+
+# ----------------------------------------------------- phase: spectral books
+
+# (dims, signed) per spectral codebook 1..11
+SPEC_CB = {1: (4, True), 2: (4, True), 3: (4, False), 4: (4, False),
+           5: (2, True), 6: (2, True), 7: (2, False), 8: (2, False),
+           9: (2, False), 10: (2, False), 11: (2, False)}
+
+_SCALE = {}     # recovered dequant scale for the probe global_gain
+
+
+def _sf0_bits():
+    book = {int(k): v for k, v in json.load(
+        open(os.path.join(OUT_DIR, "sf_book.json"))).items()}
+    return book[0]
+
+
+def probe_spec_unit(sr_idx, cb, bits, offsets, sf0):
+    """One-spectral-band frame: sfb0 under codebook cb, scalefactor =
+    global_gain (delta-0 codeword), spectral bits = `bits` (the candidate
+    codeword(+sign/escape) unit(s)). Returns the 4 sfb0 bin values on a
+    clean parse with silence elsewhere, else None."""
+    payload = compose_sce(global_gain=150, max_sfb=1, sections=[(cb, 1)],
+                          sf_bits=sf0, spec_bits=bits)
+    try:
+        spec = probe_spectrum_long(sr_idx, payload)
+    except ValueError:
+        return None
+    peak = float(np.abs(spec).max())
+    support = np.abs(spec) > max(peak / 1e4, 1e-12)
+    if support[offsets[1]:].any():
+        return None                      # junk outside sfb0: misparse
+    return spec[:offsets[1]].copy()
+
+
+def _values_from_bins(v):
+    """Map sfb0 bin values to integer quantized values via the |q|^(4/3)
+    ladder; the global scale is calibrated from codebook 1 (values 0/±1)
+    and persisted so later recovery processes agree."""
+    calib = os.path.join(OUT_DIR, "calib.json")
+    s = _SCALE.get("s")
+    if s is None and os.path.exists(calib):
+        s = _SCALE["s"] = json.load(open(calib))["scale"]
+    av = np.abs(v)
+    if s is None:
+        nz = av[av > 1e-12]
+        if nz.size == 0:
+            return np.zeros(len(v), int)
+        s = float(nz.min())              # codebook 1: smallest nonzero = 1
+        _SCALE["s"] = s
+        json.dump({"scale": s}, open(calib, "w"))
+    q = np.zeros(len(v), int)
+    for i, a in enumerate(av):
+        if a < s * 0.5:
+            q[i] = 0
+            continue
+        qi = int(np.round((a / s) ** 0.75))
+        if qi < 1 or abs(a - s * qi ** (4.0 / 3.0)) > 0.02 * a + 1e-12:
+            return None                  # off the ladder: misparse
+        q[i] = qi
+    return np.where(np.signbit(v), -q, q)
+
+
+def recover_spec_book(cb, sr_idx=4):
+    """Prefix-tree walk of spectral codebook `cb`'s units (codeword +
+    sign bits for unsigned books). Returns {values_tuple: codeword}."""
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"spec_book_{cb}.json")
+    if os.path.exists(path):
+        return json.load(open(path))
+    offsets = json.load(open(os.path.join(OUT_DIR, "swb_long.json")))[
+        str(ADTS_RATES[sr_idx])]
+    assert offsets[1] == 4, "probe design assumes a width-4 sfb0"
+    sf0 = _sf0_bits()
+    dims, signed = SPEC_CB[cb]
+    # pair books need a known all-zero unit for the second pair of sfb0;
+    # find it first: shortest z with z+z parsing to silence.
+    zero_unit = ""
+    if dims == 2:
+        frontier = ["0", "1"]
+        while frontier:
+            c = frontier.pop()
+            if len(c) > 20:
+                raise RuntimeError("no zero unit found")
+            v = probe_spec_unit(sr_idx, cb, c + c, offsets, sf0)
+            if v is not None and np.abs(v).max() < 1e-12:
+                zero_unit = c
+                break
+            frontier.insert(0, c + "0")
+            frontier.insert(0, c + "1")
+        print(f"cb {cb}: zero unit {zero_unit!r}")
+
+    units = {}        # unit bits -> values tuple
+    frontier = ["0", "1"]
+    probes = 0
+    maxlen = 24 if cb == 11 else 22
+    while frontier:
+        cand = frontier.pop()
+        if len(cand) > maxlen:
+            raise RuntimeError(
+                f"cb {cb}: prefix {cand[:26]} exceeded max length "
+                f"({len(units)} units so far)")
+        tail = zero_unit if dims == 2 else ""
+        v = probe_spec_unit(sr_idx, cb, cand + tail, offsets, sf0)
+        probes += 1
+        ok = False
+        if v is not None:
+            q = _values_from_bins(v)
+            if q is not None and (dims == 4 or not np.any(q[2:])):
+                units[cand] = tuple(int(x) for x in q[:dims])
+                ok = True
+        if not ok:
+            frontier.append(cand + "0")
+            frontier.append(cand + "1")
+        if probes % 500 == 0:
+            print(f"  cb {cb}: {len(units)} units ({probes} probes)")
+
+    # Factor units into codewords + sign bits (sign bit 1 = negative,
+    # verified below); certify by Kraft equality over unique codewords.
+    book = {}         # codeword -> tuple of |values| (or signed for 1,2,5,6)
+    for u, vals in sorted(units.items(), key=lambda kv: (len(kv[0]), kv[0])):
+        if signed:
+            cw, key = u, vals
+        else:
+            k = sum(1 for x in vals if x)
+            cw, key = (u[:-k] if k else u), tuple(abs(x) for x in vals)
+            signs = u[len(cw):]
+            expect = "".join("1" if x < 0 else "0" for x in vals if x)
+            if signs != expect:
+                raise RuntimeError(
+                    f"cb {cb}: sign convention mismatch {u} {vals}")
+        if cw in book:
+            if book[cw] != key:
+                raise RuntimeError(f"cb {cb}: {cw} -> {book[cw]} and {key}")
+        else:
+            book[cw] = key
+    kraft = sum(2.0 ** -len(c) for c in book)
+    if abs(kraft - 1.0) > 1e-9:
+        raise RuntimeError(f"cb {cb}: kraft {kraft} != 1 "
+                           f"({len(book)} codewords)")
+    json.dump({c: list(vs) for c, vs in sorted(book.items())},
+              open(path, "w"), indent=0)
+    print(f"cb {cb}: {len(book)} codewords, {len(units)} units, "
+          f"{probes} probes, kraft=1")
+    return book
+
+
+def recover_spec_book_11(sr_idx=4):
+    """Codebook 11 (ESC): codeword values 0..16 where 16 marks an escape.
+    The walk treats a candidate as cw+signs and supplies minimal escape
+    words (N=0, mantissa 0 -> spectral value 16) for each escaped
+    coefficient, so mantissa space is never enumerated; escape-word
+    semantics are pinned afterwards by targeted probes in test_aac.py."""
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, "spec_book_11.json")
+    if os.path.exists(path):
+        return json.load(open(path))
+    offsets = json.load(open(os.path.join(OUT_DIR, "swb_long.json")))[
+        str(ADTS_RATES[sr_idx])]
+    sf0 = _sf0_bits()
+    E = "00000"                      # one escape word: N=0, mantissa 0000
+
+    # zero unit for the second pair (no signs, no escapes on zeros)
+    zero_unit = None
+    frontier = ["0", "1"]
+    while frontier:
+        c = frontier.pop()
+        if len(c) > 20:
+            raise RuntimeError("cb 11: no zero unit found")
+        v = probe_spec_unit(sr_idx, 11, c + c, offsets, sf0)
+        if v is not None and np.abs(v).max() < 1e-12:
+            zero_unit = c
+            break
+        frontier.insert(0, c + "0")
+        frontier.insert(0, c + "1")
+    print(f"cb 11: zero unit {zero_unit!r}")
+
+    units = {}       # (cw+signs bits) -> (values tuple, n_escapes)
+    frontier = ["0", "1"]
+    probes = 0
+    while frontier:
+        cand = frontier.pop()
+        if len(cand) > 23:
+            raise RuntimeError(
+                f"cb 11: prefix {cand[:26]} exceeded max length "
+                f"({len(units)} units so far)")
+        ok = False
+        for nesc in (0, 1, 2):
+            v = probe_spec_unit(sr_idx, 11, cand + E * nesc + zero_unit,
+                                offsets, sf0)
+            probes += 1
+            if v is None:
+                continue
+            q = _values_from_bins(v)
+            if q is None or np.any(q[2:]):
+                continue
+            vals = tuple(int(x) for x in q[:2])
+            if sum(1 for x in vals if abs(x) == 16) != nesc:
+                continue             # escape count must match the supply
+            units[cand] = (vals, nesc)
+            ok = True
+            break
+        if not ok:
+            frontier.append(cand + "0")
+            frontier.append(cand + "1")
+        if probes % 500 == 0:
+            print(f"  cb 11: {len(units)} units ({probes} probes)")
+
+    book = {}
+    for u, (vals, nesc) in sorted(units.items(),
+                                  key=lambda kv: (len(kv[0]), kv[0])):
+        k = sum(1 for x in vals if x)
+        cw = u[:-k] if k else u
+        signs = u[len(cw):]
+        expect = "".join("1" if x < 0 else "0" for x in vals if x)
+        if signs != expect:
+            raise RuntimeError(f"cb 11: sign mismatch {u} {vals}")
+        key = tuple(abs(x) for x in vals)
+        if cw in book:
+            if book[cw] != key:
+                raise RuntimeError(f"cb 11: {cw} -> {book[cw]} and {key}")
+        else:
+            book[cw] = key
+    kraft = sum(2.0 ** -len(c) for c in book)
+    if abs(kraft - 1.0) > 1e-9:
+        raise RuntimeError(f"cb 11: kraft {kraft} != 1 ({len(book)})")
+    if len(book) != 289:
+        raise RuntimeError(f"cb 11: {len(book)} codewords != 289")
+    json.dump({c: list(vs) for c, vs in sorted(book.items())},
+              open(path, "w"), indent=0)
+    print(f"cb 11: 289 codewords, {len(units)} units, {probes} probes")
+    return book
+
+
 def main():
     phase = sys.argv[1] if len(sys.argv) > 1 else "swb"
     if phase == "swb":
         recover_swb_all()
         recover_swb_short_all()
+    if phase == "sf":
+        recover_sf_book()
+    if phase == "spec":
+        cbs = [int(a) for a in sys.argv[2:]] or list(range(1, 12))
+        for cb in cbs:
+            if cb == 11:
+                recover_spec_book_11()
+            else:
+                recover_spec_book(cb)
 
 
 if __name__ == "__main__":
