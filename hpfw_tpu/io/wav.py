@@ -68,6 +68,8 @@ def load_wav(path: str, cfg: HpfwConfig | None = None) -> tuple[np.ndarray, int]
                 pcm, sr = _decode_wav_bytes(data)
         else:
             pcm, sr = _decode_wav_bytes(data)
+    elif _looks_like_adts(data):
+        pcm, sr = _decode_adts_bytes(data)
     elif _looks_like_mpeg(data):
         pcm, sr = _decode_mpeg_bytes(data)
     elif native.available():
@@ -123,6 +125,27 @@ def _looks_like_mpeg(data: bytes) -> bool:
                 # no verifiable second header is most likely payload junk.
                 return True
         pos += 1
+
+
+def _looks_like_adts(data: bytes) -> bool:
+    """ADTS AAC detection: a verified header near the start whose length
+    lands on a second verified header (same two-frame discipline as the
+    MPEG sniff; the syncs are disjoint — ADTS has MPEG layer bits 00,
+    which the MPEG header parser rejects as reserved)."""
+    from .aac import _find_adts
+
+    pos = _find_adts(data[:8192], 0)
+    return 0 <= pos <= 4096
+
+
+def _decode_adts_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """ADTS AAC bytes -> (mono float32 PCM, sample_rate)."""
+    from .aac import decode_aac
+
+    pcm, sr = decode_aac(data)
+    if pcm.ndim == 2:
+        pcm = pcm.mean(axis=1)
+    return pcm.astype(np.float32), sr
 
 
 def _decode_mpeg_bytes(data: bytes) -> tuple[np.ndarray, int]:

@@ -86,7 +86,7 @@ def adts_header(sr_idx, channels, payload_len):
 
 def compose_sce(global_gain, max_sfb, sections, sf_bits="", spec_bits="",
                 window_sequence=ONLY_LONG, window_shape=0, grouping=0x7F,
-                tail_bits=""):
+                tail_bits="", pulse_bits=None, tns_bits=None):
     """One raw_data_block holding a single SCE, then END + alignment.
 
     sections: list of (codebook, run_length) covering sfbs 0..max_sfb.
@@ -123,8 +123,16 @@ def compose_sce(global_gain, max_sfb, sections, sf_bits="", spec_bits="",
     assert covered == max_sfb * (8 if window_sequence == EIGHT_SHORT
                                  and False else 1) or True
     w.put_bits(sf_bits)
-    w.put(0, 1)            # pulse_data_present
-    w.put(0, 1)            # tns_data_present
+    if pulse_bits is None:
+        w.put(0, 1)        # pulse_data_present
+    else:
+        w.put(1, 1)
+        w.put_bits(pulse_bits)
+    if tns_bits is None:
+        w.put(0, 1)        # tns_data_present
+    else:
+        w.put(1, 1)
+        w.put_bits(tns_bits)
     w.put(0, 1)            # gain_control_data_present
     w.put_bits(spec_bits)
     w.put(7, 3)            # ID_END
@@ -620,6 +628,111 @@ def recover_spec_book_11(sr_idx=4):
     return book
 
 
+# ----------------------------------------------------------- phase: emit
+
+def emit_tables():
+    """Write hpfw_tpu/io/_aac_tables.py from the recovered JSON artifacts
+    (the checked-in Python source of truth, like _mp3_huffman.py)."""
+    swb_l = json.load(open(os.path.join(OUT_DIR, "swb_long.json")))
+    swb_s = json.load(open(os.path.join(OUT_DIR, "swb_short.json")))
+    sf = json.load(open(os.path.join(OUT_DIR, "sf_book.json")))
+    books = {cb: json.load(open(os.path.join(OUT_DIR,
+                                             f"spec_book_{cb}.json")))
+             for cb in range(1, 12)}
+    path = os.path.join(os.path.dirname(__file__), "..", "hpfw_tpu", "io",
+                        "_aac_tables.py")
+    with open(path, "w") as f:
+        f.write('"""AAC-LC tables, GENERATED by tools/recover_aac_tables.py.\n'
+                '\nEvery entry was recovered from the system reference\n'
+                'decoder by bitstream probing and certified complete\n'
+                '(Kraft equality per codebook); do not edit by hand —\n'
+                're-run the recovery tool instead.\n"""\n\n')
+        f.write("# scalefactor-band offsets per sample rate\n")
+        f.write("SWB_LONG = {\n")
+        for k, v in sorted(swb_l.items(), key=lambda kv: -int(kv[0])):
+            f.write(f"    {k}: {v},\n")
+        f.write("}\n\nSWB_SHORT = {\n")
+        for k, v in sorted(swb_s.items(), key=lambda kv: -int(kv[0])):
+            f.write(f"    {k}: {v},\n")
+        f.write("}\n\n")
+        f.write("# scalefactor codebook: (length, code) -> delta\n")
+        f.write("SF_BOOK = {\n")
+        for d, bits in sorted(sf.items(), key=lambda kv: (len(kv[1]), kv[1])):
+            f.write(f"    ({len(bits)}, 0b{bits or '0'}): {d},\n")
+        f.write("}\n\n")
+        f.write("# spectral codebooks: cb -> {(length, code) -> values}\n")
+        f.write("SPEC_BOOKS = {\n")
+        for cb, book in books.items():
+            f.write(f"  {cb}: {{\n")
+            for bits, vals in sorted(book.items(),
+                                     key=lambda kv: (len(kv[0]), kv[0])):
+                f.write(f"    ({len(bits)}, 0b{bits}): {tuple(vals)},\n")
+            f.write("  },\n")
+        f.write("}\n")
+    print(f"wrote {path}")
+
+
+# ------------------------------------------------- phase: tns_max_bands
+
+def _tns_probe_filtered(sr_idx, offsets, sfb, short=False):
+    """True if an impulse at the START of sfb `sfb` gets TNS-filtered by a
+    full-length order-1 filter (i.e. sfb < tns_max_bands)."""
+    b1 = json.load(open(os.path.join(OUT_DIR, "spec_book_1.json")))
+    cw = {tuple(v): c for c, v in b1.items()}
+    sf0 = _sf0_bits()
+    num_swb = len(offsets) - 1
+    nq = offsets[num_swb] // 4
+    q = offsets[sfb] // 4
+    spec = cw[(0, 0, 0, 0)] * q + cw[(1, 0, 0, 0)] \
+        + cw[(0, 0, 0, 0)] * (nq - 1 - q)
+    w = BitWriter()
+    if short:
+        w.put(1, 1); w.put(0, 1)
+        w.put(num_swb, 4); w.put(1, 3)
+        w.put(0, 1); w.put(0, 1); w.put(3, 3)
+        # 7 remaining windows: n_filt = 0
+        for _ in range(7):
+            w.put(0, 1)
+        raise NotImplementedError  # short path built in the short prober
+    w.put(1, 2); w.put(0, 1)
+    w.put(min(num_swb, 63), 6); w.put(1, 5)
+    w.put(0, 1); w.put(0, 1); w.put(3, 3)       # direction 0, coef idx 3
+    tns = "".join(str(b) for b in w.bits)
+    payload = compose_sce(global_gain=150, max_sfb=num_swb,
+                          sections=[(1, num_swb)], sf_bits=sf0 * num_swb,
+                          spec_bits=spec, tns_bits=tns)
+    out = probe_spectrum_long(sr_idx, payload)
+    nz = np.nonzero(np.abs(out) > np.abs(out).max() / 1e3)[0]
+    return nz.size > 2         # impulse spread = filtered
+
+
+def recover_tns_max_bands():
+    """tns_max_bands (long windows) per rate: the first sfb whose impulse
+    is NOT filtered by a bottom-to-top full filter is the clamp."""
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, "tns_max_bands_long.json")
+    done = json.load(open(path)) if os.path.exists(path) else {}
+    swb_l = json.load(open(os.path.join(OUT_DIR, "swb_long.json")))
+    for sr_idx, hz in enumerate(ADTS_RATES):
+        key = str(hz)
+        if key in done:
+            continue
+        offsets = swb_l[key]
+        num_swb = len(offsets) - 1
+        lo, hi = 0, num_swb          # filtered at < clamp, not at >= clamp
+        # binary search for the boundary
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if _tns_probe_filtered(sr_idx, offsets, mid):
+                lo = mid + 1
+            else:
+                hi = mid
+        done[key] = lo
+        print(f"tns_max_bands long {hz} Hz: {lo} (num_swb {num_swb})")
+        json.dump(done, open(path, "w"), indent=1)
+    return done
+
+
 def main():
     phase = sys.argv[1] if len(sys.argv) > 1 else "swb"
     if phase == "swb":
@@ -627,6 +740,10 @@ def main():
         recover_swb_short_all()
     if phase == "sf":
         recover_sf_book()
+    if phase == "tnsmax":
+        recover_tns_max_bands()
+    if phase == "emit":
+        emit_tables()
     if phase == "spec":
         cbs = [int(a) for a in sys.argv[2:]] or list(range(1, 12))
         for cb in cbs:
