@@ -40,7 +40,7 @@ from hpfw_tpu.config import HpfwConfig
 ROOT = "/tmp/hpfw_ingest"
 N_PER_CODEC = 40
 SECONDS = 30.0
-CODECS = ("wav", "flac", "ogg", "mp3")
+CODECS = ("wav", "flac", "ogg", "mp3", "aac")
 
 
 def fdir(codec):
@@ -75,6 +75,11 @@ def fixtures(n=N_PER_CODEC, secs=SECONDS):
             f.write(encode_vorbis(pcm, cfg.sample_rate))
         with open(os.path.join(fdir("mp3"), f"t{i:04d}.mp3"), "wb") as f:
             f.write(lame_encode(resample(pcm, cfg.sample_rate, 44100), 44100))
+        from hpfw_tpu.io import aac_ref
+        with open(os.path.join(fdir("aac"), f"t{i:04d}.aac"), "wb") as f:
+            f.write(aac_ref.aac_encode(
+                resample(pcm, cfg.sample_rate, 44100).astype(np.float32),
+                44100, 128))
         if i and i % 10 == 0:
             log(f"  {i}/{n} fixture tracks ({time.time() - t0:.0f}s)")
     open(done, "w").write("ok")
@@ -131,6 +136,11 @@ def _import_numpy_decode(path, cfg):
         pcm, sr = decode_vorbis(data)
     elif data[:4] == b"RIFF":
         pcm, sr = wavmod._decode_wav_bytes(data)
+    elif wavmod._looks_like_adts(data):
+        from hpfw_tpu.io.aac import decode_aac
+
+        raw, sr = decode_aac(data)
+        pcm = raw.mean(axis=1)
     else:
         raw, sr = decode_mp3(data)
         pcm = raw.mean(axis=1) if raw.ndim > 1 and raw.shape[1] > 1 \

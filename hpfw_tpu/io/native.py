@@ -51,6 +51,11 @@ def load_library():
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+        lib.hpfw_aac_decode.restype = ctypes.c_int
+        lib.hpfw_aac_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
         lib.hpfw_fingerprint.restype = ctypes.c_int
         lib.hpfw_fingerprint.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -185,6 +190,29 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
                              ctypes.byref(n), ctypes.byref(rate))
     if rc != 0:
         raise ValueError(f"native mp3 decode failed (code {rc})")
+    return out, int(rate.value)
+
+
+def decode_aac(data: bytes) -> tuple[np.ndarray, int]:
+    """ADTS AAC-LC bytes -> (mono float32 PCM, sample_rate), C++ decoder.
+
+    Twin of io/aac.py decode_aac + the channel-mean downmix (margin-tested
+    against it in tests/test_aac.py — the float64 pipelines differ only in
+    accumulation order)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = ctypes.c_int64(0)
+    rate = ctypes.c_int32(0)
+    rc = lib.hpfw_aac_decode(data, len(data), None,
+                             ctypes.byref(n), ctypes.byref(rate))
+    if rc != 0:
+        raise ValueError(f"native aac decode failed (code {rc})")
+    out = np.empty(n.value, dtype=np.float32)
+    rc = lib.hpfw_aac_decode(data, len(data), _fptr(out, ctypes.c_float),
+                             ctypes.byref(n), ctypes.byref(rate))
+    if rc != 0:
+        raise ValueError(f"native aac decode failed (code {rc})")
     return out, int(rate.value)
 
 

@@ -10,3 +10,11 @@
 // decodes each file exactly once.
 int hpfw_mp3_decode_vec(const uint8_t* data, int64_t size,
                         std::vector<float>* out, int32_t* sample_rate);
+
+// One-pass ADTS AAC-LC decode into a growable buffer (hpfw_aac.cc), mono
+// channel-mean downmix; same two-call extern-C wrapper pattern as MP3.
+int hpfw_aac_decode_vec(const uint8_t* data, int64_t size,
+                        std::vector<float>* out, int32_t* sample_rate);
+
+// Verified-chain ADTS sync scan (chain of 3 headers or end-of-stream).
+int64_t hpfw_aac_find_sync(const uint8_t* d, int64_t n, int64_t pos);

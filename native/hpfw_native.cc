@@ -1749,6 +1749,14 @@ static int decode_dispatch(const uint8_t* data, int64_t size,
   // rejected here — their PCM payloads can contain spurious MPEG sync
   // patterns the last-resort decoder would happily turn into garbage.
   if (size >= 4 && memcmp(data, ".snd", 4) == 0) return -101;
+  // ADTS AAC first (its chained sync scan is decisive; the MPEG heuristic
+  // can fire on spurious syncs inside AAC payload bytes — io/wav.py keeps
+  // the same order).
+  {
+    int64_t scan = size < 8192 ? size : 8192;
+    int64_t p = hpfw_aac_find_sync(data, scan, 0);
+    if (p >= 0 && p <= 4096) return hpfw_aac_decode_vec(data, size, out, rate);
+  }
   // No decisive container magic: treat as MPEG audio (ID3 tag or raw frame
   // sync). The decoder fails cleanly (-1) on non-MPEG bytes; callers fall
   // back to the Python loader for anything rejected here.

@@ -289,3 +289,47 @@ def test_malformed_streams():
 def test_tns_clamp_tables_complete():
     for table in (TNS_MAX_BANDS_LONG, TNS_MAX_BANDS_SHORT):
         assert sorted(table) == sorted(aac_ref.ADTS_RATES)
+
+
+# ------------------------------------------------------------ native twin
+
+def test_native_twin_bit_identical():
+    """The C++ decoder mirrors the NumPy pipeline operation for operation;
+    on these streams the float32 outputs are bit-identical (any future
+    accumulation-order drift is margin-tested at the float32 floor, the
+    MP3-twin convention)."""
+    from hpfw_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for sr, ch, kbps, seed in [(22050, 1, 32, 1), (44100, 2, 32, 2),
+                               (8000, 2, 32, 3), (48000, 2, 128, 4)]:
+        pcm = _sig(sr, 1.2, ch, seed=seed)
+        blob = aac_ref.aac_encode(pcm, sr, kbps)
+        py, sr1 = decode_aac(blob)
+        pymono = py.mean(axis=1).astype(np.float32)
+        nat, sr2 = native.decode_aac(blob)
+        assert sr1 == sr2 and len(nat) == len(pymono)
+        assert float(np.abs(nat - pymono).max()) < 1e-7
+
+
+def test_native_ingest_aac(tmp_path):
+    """ingest_files decodes .aac files identically to load_audio."""
+    from hpfw_tpu.io import ingest, native
+    from hpfw_tpu.config import HpfwConfig
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    cfg = HpfwConfig()
+    paths = []
+    for i in range(3):
+        pcm = _sig(44100, 1.0, 2 if i % 2 else 1, seed=20 + i)
+        p = tmp_path / f"t{i}.aac"
+        p.write_bytes(aac_ref.aac_encode(pcm, 44100, 96))
+        paths.append(str(p))
+    got = ingest.load_files(paths, cfg, n_threads=2)
+    for p, pcm in zip(paths, got):
+        ref, sr = wav.load_wav(p, cfg)
+        assert sr == cfg.sample_rate
+        np.testing.assert_allclose(pcm, ref, atol=2e-6,
+                                   err_msg=f"ingest != load_audio for {p}")
