@@ -60,9 +60,18 @@ def dense_shard(shard, qprints, n_q):
     ids = np.full(n_q, -1, np.int64)
     scores = np.full(n_q, -1, np.int64)
     offs = np.zeros(n_q, np.int64)
+    # Chunk-resumable (cf. real_catalog.dense: a wedged relay stream must
+    # not restart a long scan from zero).
+    part = os.path.join(d0, f"dense_shard_{shard}_{n_q}_part.npz")
+    c_start = 0
+    if os.path.exists(part):
+        z = np.load(part)
+        ids, scores, offs = z["ids"], z["scores"], z["offsets"]
+        c_start = int(z["c_next"])
+        log(f"  shard {shard}: resuming at chunk {c_start}")
     t0 = time.time()
     lengths_dev = jnp.full((CHUNK_T,), prints.shape[1], jnp.int32)
-    for c0 in range(0, SHARD_TRACKS, CHUNK_T):
+    for c0 in range(c_start, SHARD_TRACKS, CHUNK_T):
         pd = jnp.asarray(np.asarray(prints[c0:c0 + CHUNK_T]))
         for q0 in range(0, n_q, QBATCH):
             q1 = min(q0 + QBATCH, n_q)
@@ -76,6 +85,8 @@ def dense_shard(shard, qprints, n_q):
                 if s0 > scores[gq] or (s0 == scores[gq] and gi0 < ids[gq]):
                     scores[gq], ids[gq] = s0, gi0
                     offs[gq] = int(o_all[i, best[i]])
+        np.savez(part, ids=ids, scores=scores, offsets=offs,
+                 c_next=c0 + CHUNK_T)
         log(f"  shard {shard} chunk {c0}-{c0 + CHUNK_T} "
             f"({time.time() - t0:.0f}s)")
         del pd

@@ -186,11 +186,22 @@ def dense(n_tracks, secs, n_dense=100):
     ids = np.full(n_dense, -1, np.int64)
     scores = np.full(n_dense, -1, np.int64)
     offs = np.zeros(n_dense, np.int64)
+    # Chunk-resumable: a relay-stream wedge 8 chunks into a 35-minute scan
+    # must not restart it from zero (observed once: the axon connection
+    # went silent mid-chunk while the device stayed healthy).
+    part = os.path.join(d, "dense_part.npz")
+    c_start = 0
+    if os.path.exists(part):
+        z = np.load(part)
+        if int(z["n_dense"]) == n_dense:
+            ids, scores, offs = z["ids"], z["scores"], z["offsets"]
+            c_start = int(z["c_next"])
+            log(f"resuming dense scan at chunk {c_start}")
     t0 = time.time()
     log(f"dense scan of {n_dense} queries vs {n_tracks} tracks "
         f"in {-(-n_tracks // chunk_t)} chunks x {qbatch}-query dispatches...")
     lengths_dev = jnp.full((chunk_t,), prints.shape[1], jnp.int32)
-    for c0 in range(0, n_tracks, chunk_t):
+    for c0 in range(c_start, n_tracks, chunk_t):
         c1 = min(c0 + chunk_t, n_tracks)
         assert c1 - c0 == chunk_t, "n_tracks must divide the chunk size"
         pd = jnp.asarray(np.asarray(prints[c0:c1]))
@@ -206,6 +217,8 @@ def dense(n_tracks, secs, n_dense=100):
                 gi = q0 + i
                 if s0 > scores[gi] or (s0 == scores[gi] and i0 < ids[gi]):
                     scores[gi], ids[gi], offs[gi] = s0, i0, int(o_all[i, best[i]])
+        np.savez(part, ids=ids, scores=scores, offsets=offs,
+                 c_next=c1, n_dense=n_dense)
         log(f"  chunk {c0}-{c1} done ({time.time() - t0:.0f}s)")
         del pd
     np.savez(dpath, ids=ids, scores=scores, offsets=offs, n_dense=n_dense)
