@@ -64,6 +64,25 @@ def _roundtrip_vorbis(pcm, cfg):
     return np.pad(dec.astype(np.float32), (0, max(0, n - dec.shape[0])))[:n]
 
 
+def _roundtrip_aac(pcm, cfg):
+    """22.05 kHz -> 44.1 kHz -> system AAC-LC encoder -> in-repo decoder
+    (io/aac.py) -> back: the second realistic streaming-codec chain,
+    binding the round-4 AAC stack into the headline eval."""
+    from hpfw_tpu.io.aac import decode_aac
+    from hpfw_tpu.io.aac_ref import aac_encode
+    from hpfw_tpu.io.wav import resample
+
+    up = resample(pcm, cfg.sample_rate, 44100)
+    blob = aac_encode(up.astype(np.float32), 44100, 128)
+    dec, sr = decode_aac(blob)
+    out = resample(dec[:, 0].astype(np.float32), sr, cfg.sample_rate)
+    n = pcm.shape[0]
+    lag = _best_lag(pcm, out, 6000)
+    out = out[max(lag, 0):]
+    out = np.pad(out, (max(-lag, 0), 0))
+    return np.pad(out, (0, max(0, n - out.shape[0])))[:n]
+
+
 def _best_lag(ref, x, max_lag):
     """Lag of x relative to ref maximizing correlation (coarse, via FFT)."""
     n = min(ref.shape[0], x.shape[0])
@@ -76,7 +95,7 @@ def _best_lag(ref, x, max_lag):
     return int(-lags[np.argmax(vals)])
 
 
-def main(legs=("mp3", "vorbis", "clean")):
+def main(legs=("mp3", "vorbis", "aac", "clean")):
     cfg = HpfwConfig.catalog_scale()
     d = paths(N_TRACKS, TRACK_S)
     filters = np.load(os.path.join(d, "filters.npy"))
@@ -102,7 +121,7 @@ def main(legs=("mp3", "vorbis", "clean")):
     results = {}
     for leg in legs:
         rt = {"mp3": _roundtrip_mp3, "vorbis": _roundtrip_vorbis,
-              "clean": lambda p, c: p}[leg]
+              "aac": _roundtrip_aac, "clean": lambda p, c: p}[leg]
         t0 = time.time()
         codec_s = 0.0
         qps = []
