@@ -372,9 +372,13 @@ def _apply_pulse(quant, ics, pulse):
     start_sfb, offsets, amps = pulse
     if ics.window_sequence == EIGHT_SHORT_SEQUENCE:
         raise ValueError("pulse data in an eight-short frame")
+    if start_sfb > ics.num_swb:
+        raise ValueError("pulse start_sfb beyond num_swb")
     k = ics.swb_offset[start_sfb]
     for off, amp in zip(offsets, amps):
         k += off
+        if k >= 1024:
+            raise ValueError("pulse position beyond the spectrum")
         base = quant[0, k]
         quant[0, k] = base + amp if base > 0 else base - amp
     return quant

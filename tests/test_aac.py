@@ -333,3 +333,26 @@ def test_native_ingest_aac(tmp_path):
         assert sr == cfg.sample_rate
         np.testing.assert_allclose(pcm, ref, atol=2e-6,
                                    err_msg=f"ingest != load_audio for {p}")
+
+
+def test_fuzz_bitflips_never_crash():
+    """Random bit flips in a valid stream must decode or raise ValueError
+    — never crash (the MP3 decoder's fuzz-hardening convention)."""
+    from hpfw_tpu.io import native
+
+    rng = np.random.default_rng(0)
+    pcm = _sig(22050, 1.0, 1, seed=0)
+    blob = bytearray(aac_ref.aac_encode(pcm, 22050, 64))
+    for _ in range(150):
+        b = bytearray(blob)
+        for _ in range(rng.integers(1, 8)):
+            b[rng.integers(7, len(b))] ^= 1 << rng.integers(0, 8)
+        try:
+            decode_aac(bytes(b))
+        except ValueError:
+            pass
+        if native.available():
+            try:
+                native.decode_aac(bytes(b))
+            except (ValueError, RuntimeError):
+                pass
