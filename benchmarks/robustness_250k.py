@@ -12,6 +12,9 @@ filters.
     python benchmarks/robustness_250k.py learned [conditions...]
     python benchmarks/robustness_250k.py random  [conditions...]
     python benchmarks/robustness_250k.py recover [pitch_st]   # knob sweep
+    python benchmarks/robustness_250k.py scan    [conditions...]  # tempo scan
+        (learned filters + stretch_span=0.03: the match/stretch.py
+         mitigation for the measured time-stretch cliff, at 250k)
 
 Artifacts reuse /tmp/hpfw_real_cat/250000_60 (benchmarks/real_catalog.py);
 `random` extracts a second catalog under random filters once (~11 min) into
@@ -134,9 +137,11 @@ def _two_stage(cfg, prints, filters):
 
 
 def run(filter_kind="learned", conditions=None, pool=None):
+    scan = filter_kind == "scan"     # tempo scan over learned filters
+    span = 0.03 if scan else 0.0
     cfg = HpfwConfig.catalog_scale()
     d = paths(N_TRACKS, TRACK_S)
-    if filter_kind == "learned":
+    if filter_kind in ("learned", "scan"):
         filters = np.load(os.path.join(d, "filters.npy"))
         prints = np.load(os.path.join(d, "prints.npy"), mmap_mode="r")
     else:
@@ -146,26 +151,38 @@ def run(filter_kind="learned", conditions=None, pool=None):
 
     fdev = jnp.asarray(filters)
     ts = _two_stage(cfg, prints, filters)
+    if conditions is None and scan:
+        # The scan targets the measured tempo cliff; noise is the control
+        # (does the 7-hypothesis grid cost undistorted recall?).
+        conditions = ["noise", "stretch+3%", "stretch-3%",
+                      "pitch+0.5/stretch+3%"]
     conds = ([c for c in CONDITIONS if c[0] in conditions]
              if conditions else CONDITIONS)
     results = {}
+    wall_ms = {}
     for name, pst, stretch in conds:
         qprints, truths = _extract_queries(fdev, pst, stretch, cfg)
         t0 = time.time()
         correct = 0
+        # At span=0.03 each query becomes 7 variant rows; keep B*V*pool
+        # under the fine kernel's SMEM candidate bound (~130k).
         bsz = 10
         for i in range(0, N_Q, bsz):
-            res = ts.match_batch(qprints[i:i + bsz], top_k=1, pool=pool)
+            res = ts.match_batch(qprints[i:i + bsz], top_k=1, pool=pool,
+                                 stretch_span=span)
             for j, (tid, s, o) in enumerate(res):
                 correct += int(tid[0]) == truths[i + j]
         top1 = correct / N_Q
         results[name] = top1
+        wall_ms[name] = (time.time() - t0) / N_Q * 1000
         log(f"{filter_kind} / {name}: top-1 {top1:.3f} "
             f"({time.time() - t0:.0f}s)")
     emit(f"robustness_250k_{filter_kind}",
          results.get("pitch+1", results.get("noise")), "top1_accuracy",
          n_tracks=N_TRACKS, n_queries=N_Q, noise_db=NOISE_DB,
-         preset="catalog_scale", **{k: round(v, 4) for k, v in results.items()})
+         preset="catalog_scale", stretch_span=span,
+         wall_ms_per_query={k: round(v, 1) for k, v in wall_ms.items()},
+         **{k: round(v, 4) for k, v in results.items()})
     return results
 
 

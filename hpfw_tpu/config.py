@@ -98,6 +98,18 @@ class HpfwConfig:
                                   # the first C are the most informative —
                                   # C<64 shrinks coarse bytes by C/64
                                   # (recall cost: benchmarks/channel_study)
+    stretch_span: float = 0.0     # query-side tempo-scan half-width: >0
+                                  # matches each query at hypothesized tempo
+                                  # factors 1±span (print-level time gather,
+                                  # match/stretch.py) and keeps the best —
+                                  # rigid-alignment scoring collapses at
+                                  # >=1% tempo error over a 10 s query
+                                  # (RESULTS round 4 robustness), so live-ID
+                                  # deployments want 0.03; costs ~V=
+                                  # 2*span/step+1 dispatches per query
+    stretch_step: float = 0.01    # tempo-hypothesis grid spacing (residual
+                                  # <= step/2 after the scan; the rigid
+                                  # aligner absorbs <=0.5% — stretch_study)
 
     # ---- derived ----
     @property
@@ -180,6 +192,13 @@ class HpfwConfig:
              "multiple of 8 in [8, coarse_channels]")
         if self.coarse_kind == "sum":
             assert self.db_downsample <= 127, "sum coarse prints are int8"
+        assert 0.0 <= self.stretch_span < 0.2, \
+            "stretch_span is a tempo fraction (0 disables; >=20% is not a " \
+            "rendition of the same performance)"
+        assert self.stretch_step > 0.0
+        if self.stretch_span:
+            assert self.stretch_span >= self.stretch_step, \
+                "stretch_span must be at least one grid step"
         assert self.window in ("hann", "hamming")
         max_kernel = int(-(-self.q_factor * self.sample_rate // self.fmin))
         assert self.frame_len >= max_kernel, (

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import coarse as coarse_ops
 from ..parallel.mesh import DB_AXIS, pad_tracks_to_mesh
+from .stretch import print_variants, stretch_grid
 
 
 def _fine_rescan(query, cand_prints, cand_lengths, o_centers, *, fine_window):
@@ -604,22 +605,47 @@ class TwoStageDB:
             coarse_kind=self.coarse_kind,
             coarse_channels=self.coarse_channels)
 
+    def _stretch_factors(self, span, step):
+        """Resolve the tempo-scan grid for a dispatch (None = config)."""
+        cfg = self.db.cfg
+        span = span if span is not None else getattr(cfg, "stretch_span", 0.0)
+        step = step if step is not None else getattr(cfg, "stretch_step", 0.01)
+        return stretch_grid(span, step) if span else None
+
     def match(self, query_prints: np.ndarray, *, top_k: int | None = None,
               pool: int | None = None, fine_window: int | None = None,
               phases: int | None = None, prefilter: int | None = None,
-              phases1: int | None = None):
+              phases1: int | None = None,
+              stretch_span: float | None = None,
+              stretch_step: float | None = None):
         cfg = self.db.cfg
         top_k = top_k if top_k is not None else cfg.top_k
-        q = jnp.asarray(np.asarray(query_prints, dtype=np.uint32))
-        self._check_query_len(q.shape[0])
-        # One device dispatch, one host materialization: on a tunneled host
-        # link every extra sync costs a full roundtrip, so the query's coarse
-        # derivation runs inside the same jit and the three result vectors
-        # come back stacked.
-        out = self.dispatch(q, pool=pool, fine_window=fine_window,
-                            phases=phases, prefilter=prefilter,
-                            phases1=phases1)
-        scores, idx, offs = np.asarray(out)
+        qh = np.asarray(query_prints, dtype=np.uint32)
+        self._check_query_len(qh.shape[0])
+        factors = self._stretch_factors(stretch_span, stretch_step)
+        if factors is not None:
+            # Tempo scan (live renditions — match/stretch.py): V re-timed
+            # print variants each run the full two-stage program; candidates
+            # from every tempo hypothesis rank together below, so the best-
+            # scoring hypothesis wins per track. Dispatches queue before the
+            # first materialization — one link round trip per variant is
+            # avoided, the V transfers overlap.
+            outs = [self.dispatch(jnp.asarray(v), pool=pool,
+                                  fine_window=fine_window, phases=phases,
+                                  prefilter=prefilter, phases1=phases1)
+                    for v in print_variants(qh, factors)[0]]
+            scores, idx, offs = np.concatenate(
+                [np.asarray(o) for o in outs], axis=1)
+        else:
+            # One device dispatch, one host materialization: on a tunneled
+            # host link every extra sync costs a full roundtrip, so the
+            # query's coarse derivation runs inside the same jit and the
+            # three result vectors come back stacked.
+            out = self.dispatch(jnp.asarray(qh), pool=pool,
+                                fine_window=fine_window,
+                                phases=phases, prefilter=prefilter,
+                                phases1=phases1)
+            scores, idx, offs = np.asarray(out)
         real = idx < self.n_real
         scores, idx, offs = scores[real], idx[real], offs[real]
         return _rank_dedup(scores, idx, offs, self.db.track_ids, top_k)
@@ -663,7 +689,9 @@ class TwoStageDB:
     def match_batch(self, query_batch: np.ndarray, *, top_k: int | None = None,
                     pool: int | None = None, fine_window: int | None = None,
                     phases: int | None = None, prefilter: int | None = None,
-                    phases1: int | None = None):
+                    phases1: int | None = None,
+                    stretch_span: float | None = None,
+                    stretch_step: float | None = None):
         """Match B equal-length queries in one device dispatch.
 
         The coarse database streams from HBM once for the whole batch, so
@@ -685,12 +713,28 @@ class TwoStageDB:
         top_k = top_k if top_k is not None else cfg.top_k
         pool = pool if pool is not None else cfg.fine_candidates
         fw = fine_window if fine_window is not None else self.stride
-        qs = jnp.asarray(np.asarray(query_batch, dtype=np.uint32))
-        self._check_query_len(qs.shape[1])
-        out = np.asarray(self.dispatch_batch(qs, pool=pool, fine_window=fw,
+        qh = np.asarray(query_batch, dtype=np.uint32)
+        self._check_query_len(qh.shape[1])
+        factors = self._stretch_factors(stretch_span, stretch_step)
+        n_var = 1
+        if factors is not None:
+            # Tempo scan: the (B, V, N, 2) variant stack flattens into one
+            # B*V-row batched dispatch (same compiled program, bigger B);
+            # each query's V hypothesis rows rank together below. Sizing:
+            # B*V*pool candidates hit the fine kernel's SMEM prefetch bound
+            # (~130k) — split the batch for large B*V products.
+            n_var = len(factors)
+            qh = print_variants(qh, factors).reshape(-1, qh.shape[1], 2)
+        out = np.asarray(self.dispatch_batch(jnp.asarray(qh), pool=pool,
+                                             fine_window=fw,
                                              phases=phases,
                                              prefilter=prefilter,
                                              phases1=phases1))
+        if n_var > 1:
+            # (B*V, 3, K) -> (B, 3, V*K): variant rows concatenate along the
+            # candidate axis so the per-query ranking sees every hypothesis.
+            out = out.reshape(-1, n_var, 3, out.shape[-1])
+            out = np.moveaxis(out, 1, 2).reshape(out.shape[0], 3, -1)
         results = []
         for b in range(out.shape[0]):
             scores, idx, offs = out[b]

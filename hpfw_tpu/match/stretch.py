@@ -1,0 +1,58 @@
+"""Query-side tempo (time-stretch) scan for live-rendition matching.
+
+Live performances differ from the catalog in tempo; the matcher's scoring
+is a rigid-alignment Hamming correlation, so at the production 10 s query
+(~430 frames, 23.2 ms hop) a 3% tempo error mis-aligns >95% of the window
+and top-1 collapses to the noise floor (RESULTS round 4, robustness at
+250k; SURVEY.md §1.1 [P] — live song ID is the system's stated purpose).
+
+The mitigation is query-side re-timing: a rendition at tempo factor s
+places catalog frame i at query frame i/s, so gathering the query's print
+sequence at indices round(i/s_h) for a hypothesized s_h re-times it to
+catalog tempo — a pure time-axis gather on the PACKED prints. No catalog
+change, no re-extraction (the residual within-context distortion the
+gather cannot undo costs ~2 points at 3%, measured in
+benchmarks/stretch_study.py). Scanning a small grid of hypotheses and
+keeping the best score recovers stretched queries; grid spacing 1%
+(residual <= 0.5%) preserves top-1 per the study's tolerance curve.
+
+Tempo changes the FRAME GRID, not the spectrum: pitch-shift robustness is
+the learned filters' job (config 5); tempo robustness is this module's.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def stretch_grid(span: float = 0.03, step: float = 0.01) -> list[float]:
+    """Symmetric tempo-hypothesis grid: 1±span in `step` increments.
+
+    The identity hypothesis 1.0 is always the center element, so an
+    undistorted query scores identically to a scan-free match on that
+    variant (the scan can only add competing hypotheses, measured to cost
+    <=1 top-1 point at 400 tracks — stretch_study s=1.0 grid column).
+    """
+    k = int(round(span / step))
+    return [round(1.0 + i * step, 6) for i in range(-k, k + 1)]
+
+
+def print_variants(qprints: np.ndarray, factors) -> np.ndarray:
+    """Re-time packed query prints at each hypothesized tempo factor.
+
+    qprints: (N, 2) uint32 or batched (B, N, 2).
+    factors: iterable of tempo hypotheses s_h (1.0 = as-is).
+    Returns (B, V, N, 2) (B=1 for the unbatched form) — variant v at
+    catalog-tempo frame i gathers query frame round(i / s_h), clamped; a
+    slower-than-catalog hypothesis (s_h < 1) duplicates the final
+    (1 - s_h) fraction of frames at the tail, which scores as a few
+    percent of neutral bits rather than corrupting the alignment.
+    """
+    q = np.asarray(qprints, dtype=np.uint32)
+    if q.ndim == 2:
+        q = q[None]
+    n = q.shape[1]
+    base = np.arange(n, dtype=np.float64)
+    idx = np.stack([np.clip(np.round(base / s).astype(np.int64), 0, n - 1)
+                    for s in factors])                    # (V, N)
+    return q[:, idx]                                      # (B, V, N, 2)

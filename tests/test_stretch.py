@@ -1,0 +1,173 @@
+"""Query-side tempo scan (match/stretch.py + TwoStageDB stretch_span).
+
+Live renditions differ from the catalog in tempo; rigid-alignment Hamming
+scoring collapses past ~1% tempo error over a production-length query
+(RESULTS round 4, robustness at 250k). The scan re-times the query's print
+sequence at a grid of hypothesized tempo factors (a pure time-axis gather
+on the PACKED prints) and ranks every hypothesis's candidates together.
+
+Tests simulate a rendition at tempo factor s at the PRINT level — query
+frame k shows catalog frame round(k*s), the exact frame-grid geometry the
+scan inverts — so they are deterministic and fast; the PCM-level behavior
+(within-context distortion included) is measured in
+benchmarks/stretch_study.py and at 250k in benchmarks/robustness_250k.py.
+"""
+
+import numpy as np
+import pytest
+
+from hpfw_tpu import api, oracle
+from hpfw_tpu.config import HpfwConfig
+from hpfw_tpu.io import synth
+from hpfw_tpu.match.scaled import TwoStageDB
+from hpfw_tpu.match.stretch import print_variants, stretch_grid
+from hpfw_tpu.parallel import mesh as meshlib
+
+
+def _filters(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    f = rng.standard_normal((cfg.context_dim, cfg.n_filters)) \
+        / np.sqrt(cfg.context_dim)
+    return oracle.fix_eigenvector_signs(f).astype(np.float32)
+
+
+def test_stretch_grid_centered_identity():
+    g = stretch_grid(0.03, 0.01)
+    assert g == [0.97, 0.98, 0.99, 1.0, 1.01, 1.02, 1.03]
+    assert g[len(g) // 2] == 1.0
+    assert stretch_grid(0.02, 0.01) == [0.98, 0.99, 1.0, 1.01, 1.02]
+
+
+def test_print_variants_identity_and_shape():
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 1 << 32, (40, 2), dtype=np.uint32)
+    v = print_variants(q, [0.98, 1.0, 1.02])
+    assert v.shape == (1, 3, 40, 2)
+    np.testing.assert_array_equal(v[0, 1], q)          # 1.0 = as-is
+    # batched form
+    qb = rng.integers(0, 1 << 32, (5, 40, 2), dtype=np.uint32)
+    vb = print_variants(qb, [1.0])
+    assert vb.shape == (5, 1, 40, 2)
+    np.testing.assert_array_equal(vb[:, 0], qb)
+
+
+def test_print_variants_inverts_frame_grid():
+    """Gathering at the true factor recovers the catalog frame sequence."""
+    n = 200
+    base = np.arange(n, dtype=np.uint32)[:, None] * np.ones(2, np.uint32)
+    for s in (0.97, 1.01, 1.03):
+        # rendition at tempo s: query frame k shows catalog frame round(k*s)
+        rend = base[np.clip(np.round(np.arange(n) * s).astype(int), 0, n - 1)]
+        rec = print_variants(rend, [s])[0, 0]
+        # frame ids recovered within one frame (double rounding) wherever
+        # the rendition actually contains them; for s < 1 the final
+        # (1-s)*n frames don't exist in the rendition and clamp to its
+        # tail — the few-percent neutral-bit cost the module doc states.
+        valid = int(n * min(s, 1.0)) - 1
+        err = np.abs(rec[:valid, 0].astype(int) - np.arange(valid))
+        assert err.max() <= 1
+        # ...and exactly for >=90% of frames
+        assert (err == 0).mean() >= 0.90
+
+
+@pytest.fixture(scope="module")
+def small_db():
+    cfg = HpfwConfig()
+    tracks = synth.synth_catalog(24, 4.0, cfg)
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    return cfg, tracks, filters, db
+
+
+def _stretched_query(db, track, start, n, s):
+    """Print-level rendition of `track` at tempo factor s (see module doc)."""
+    prints = db.prints[track]
+    idx = np.clip(np.round(np.arange(n) * s).astype(int) + start, 0,
+                  prints.shape[0] - 1)
+    return prints[idx]
+
+
+def test_stretch_scan_recovers_tempo(small_db):
+    cfg, tracks, filters, db = small_db
+    ts = TwoStageDB(db, stride=4)
+    n = 100
+    q_plain = _stretched_query(db, 13, 4, n, 1.0)
+    q_fast = _stretched_query(db, 13, 4, n, 1.03)
+    ids0, s0, _ = ts.match(q_plain, top_k=1, pool=24)
+    assert ids0[0] == "13"
+    # rigid alignment degrades heavily at 3% tempo...
+    _, s_rigid, _ = ts.match(q_fast, top_k=1, pool=24)
+    assert s_rigid[0] < 0.82 * s0[0]
+    # ...the scan recovers id and nearly all of the score
+    ids2, s2, _ = ts.match(q_fast, top_k=1, pool=24,
+                           stretch_span=0.03, stretch_step=0.01)
+    assert ids2[0] == "13"
+    assert s2[0] > 0.93 * s0[0]
+
+
+def test_stretch_scan_identity_unchanged(small_db):
+    """On an undistorted query the scan returns the plain top-1 (the 1.0
+    hypothesis reproduces the scan-free dispatch; extra hypotheses can only
+    add candidates that rank below an exact alignment)."""
+    cfg, tracks, filters, db = small_db
+    ts = TwoStageDB(db, stride=4)
+    q = _stretched_query(db, 7, 2, 100, 1.0)
+    ids_p, s_p, o_p = ts.match(q, top_k=1, pool=24)
+    ids_s, s_s, o_s = ts.match(q, top_k=1, pool=24, stretch_span=0.03)
+    assert ids_s[0] == ids_p[0]
+    assert s_s[0] >= s_p[0]      # max over hypotheses includes 1.0
+    assert o_s[0] == o_p[0]
+
+
+def test_stretch_config_default_drives_match(small_db):
+    """stretch_span serialized on the config is the match-time default."""
+    cfg, tracks, filters, db = small_db
+    cfg2 = HpfwConfig(stretch_span=0.03)
+    cfg2.validate()
+    db2 = api.FingerprintDB(cfg2, filters, db.track_ids, db.prints, db.lengths)
+    ts = TwoStageDB(db2, stride=4)
+    q = _stretched_query(db2, 5, 6, 100, 1.02)
+    ids, _, _ = ts.match(q, top_k=1, pool=24)     # no per-call override
+    assert ids[0] == "5"
+    # explicit 0 turns the scan off for one call
+    _, s_off, _ = ts.match(q, top_k=1, pool=24, stretch_span=0.0)
+    _, s_on, _ = ts.match(q, top_k=1, pool=24)
+    assert s_on[0] > s_off[0]
+
+
+def test_stretch_match_batch_agrees_with_match(small_db):
+    """Batched scan (B*V-row dispatch, Pallas interpret) == per-query scan."""
+    cfg, tracks, filters, db = small_db
+    ts = TwoStageDB(db, stride=4, use_pallas_fine=True, pallas_interpret=True)
+    qs = np.stack([_stretched_query(db, t, 3, 100, s)
+                   for t, s in [(2, 1.02), (19, 0.98), (11, 1.0)]])
+    batch = ts.match_batch(qs, top_k=2, pool=8, stretch_span=0.02)
+    for (t, s), (ids, sc, off) in zip([(2, 1.02), (19, 0.98), (11, 1.0)],
+                                      batch):
+        one_ids, one_sc, one_off = ts.match(
+            qs[list([(2, 1.02), (19, 0.98), (11, 1.0)]).index((t, s))],
+            top_k=2, pool=8, stretch_span=0.02)
+        assert ids[0] == one_ids[0] == str(t)
+        np.testing.assert_array_equal(sc, one_sc)
+        np.testing.assert_array_equal(off, one_off)
+
+
+def test_stretch_sharded_mesh(small_db):
+    """The scan composes with the 8-device sharded path (all-gather merge)."""
+    cfg, tracks, filters, db = small_db
+    mesh = meshlib.db_mesh(8)
+    ts = TwoStageDB(db, stride=4, mesh=mesh,
+                    use_pallas_fine=True, pallas_interpret=True)
+    q = _stretched_query(db, 17, 5, 100, 1.03)
+    ids, s, _ = ts.match(q, top_k=1, pool=3, stretch_span=0.03)
+    assert ids[0] == "17"
+
+
+def test_stretch_config_validation():
+    HpfwConfig(stretch_span=0.03).validate()
+    with pytest.raises(AssertionError):
+        HpfwConfig(stretch_span=0.5).validate()
+    with pytest.raises(AssertionError):
+        HpfwConfig(stretch_span=0.005, stretch_step=0.01).validate()
+    with pytest.raises(AssertionError):
+        HpfwConfig(stretch_step=0.0).validate()
