@@ -29,6 +29,7 @@ OPUS_SET_BITRATE_REQUEST = 4002
 OPUS_SET_VBR_REQUEST = 4006
 OPUS_SET_COMPLEXITY_REQUEST = 4010
 OPUS_SET_INBAND_FEC_REQUEST = 4012
+OPUS_GET_LOOKAHEAD_REQUEST = 4027
 OPUS_SET_FORCE_MODE_REQUEST = 11002  # private ctl, compiled into libopus
 MODE_SILK_ONLY = 1000
 MODE_HYBRID = 1001
@@ -69,12 +70,16 @@ def opus_ref_encode_packets(
     bitrate: int = 96_000, frame_ms: float = 20.0,
     application: int = OPUS_APPLICATION_AUDIO,
     force_celt: bool = True, complexity: int = 10, vbr: bool = True,
-) -> list[bytes]:
+    return_lookahead: bool = False,
+):
     """Encode 48 kHz float PCM ((n,) or (n, ch)) to raw Opus packets.
 
     Returns one packet per frame (packet-level fixtures: the from-spec
     decoder certifies packet by packet before any container enters the
     picture). The tail is zero-padded to a whole frame, as opusenc does.
+    With return_lookahead=True returns (packets, lookahead_samples) — the
+    encoder's real delay (OPUS_GET_LOOKAHEAD), which RFC 7845 maps to the
+    container pre-skip.
     """
     if _opus is None:
         raise RuntimeError("system libopus not available")
@@ -102,8 +107,15 @@ def opus_ref_encode_packets(
                                         C.c_int32(MODE_CELT_ONLY))
             if rc != 0:
                 raise ValueError(f"OPUS_SET_FORCE_MODE failed ({rc})")
+        lookahead = C.c_int32(0)
+        _opus.opus_encoder_ctl(C.c_void_p(enc), OPUS_GET_LOOKAHEAD_REQUEST,
+                               C.byref(lookahead))
         n = pcm.shape[0]
-        npad = (-n) % frame
+        if return_lookahead:
+            # Cover the encoder delay: the last `lookahead` input samples
+            # only appear in the output if an extra tail frame is encoded.
+            n += lookahead.value
+        npad = (-n) % frame + (n - pcm.shape[0])
         if npad:
             pcm = np.concatenate(
                 [pcm, np.zeros((npad, pcm.shape[1]), np.float32)])
@@ -118,6 +130,8 @@ def opus_ref_encode_packets(
             if got < 0:
                 raise ValueError(f"opus_encode_float failed ({got})")
             packets.append(buf.raw[:got])
+        if return_lookahead:
+            return packets, lookahead.value
         return packets
     finally:
         _opus.opus_encoder_destroy(C.c_void_p(enc))
@@ -159,7 +173,7 @@ def opus_ref_encode_ogg(pcm: np.ndarray, *, channels: int | None = None,
     """Encode 48 kHz float PCM to an Ogg Opus file (RFC 7845 layout) using
     libopus packets + the in-repo Ogg page writer — real-encoder streams in
     the container load() reads."""
-    from .opus import PRE_SKIP_DEFAULT, opus_head, opus_tags
+    from .opus import opus_head, opus_tags
     from .ogg import write_pages
 
     pcm = np.asarray(pcm, np.float32)
@@ -167,15 +181,14 @@ def opus_ref_encode_ogg(pcm: np.ndarray, *, channels: int | None = None,
         pcm = pcm[:, None]
     if channels is None:
         channels = pcm.shape[1]
-    packets = opus_ref_encode_packets(
+    packets, pre_skip = opus_ref_encode_packets(
         pcm, channels=channels, bitrate=bitrate, frame_ms=frame_ms,
-        force_celt=force_celt)
+        force_celt=force_celt, return_lookahead=True)
     frame = int(round(48_000 * frame_ms / 1000.0))
-    pre_skip = PRE_SKIP_DEFAULT
     # Granule = pre_skip + PCM samples at 48 kHz; final page truncates to
-    # the true length.
+    # the true length (RFC 7845 §4.2/§5.1).
     pkts = [(opus_head(channels, pre_skip), 0), (opus_tags(), 0)]
-    gran = pre_skip
+    gran = 0
     total = pcm.shape[0] + pre_skip
     for i, p in enumerate(packets):
         gran = min(gran + frame, total)

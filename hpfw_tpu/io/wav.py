@@ -49,7 +49,14 @@ def load_wav(path: str, cfg: HpfwConfig | None = None) -> tuple[np.ndarray, int]
 
             pcm, sr = decode_flac(data)
     elif data[:4] == b"OggS":
-        if native.available():
+        # The first Ogg page is tiny (one ident packet), so the codec magic
+        # sits within the first few dozen bytes: OpusHead (RFC 7845 §5.1)
+        # vs \x01vorbis.
+        if b"OpusHead" in data[:128]:
+            from .opus import decode_opus
+
+            pcm, sr = decode_opus(data)
+        elif native.available():
             pcm, sr = native.decode_vorbis(data)
         else:
             from .vorbis import decode_vorbis
