@@ -83,6 +83,27 @@ def _roundtrip_aac(pcm, cfg):
     return np.pad(out, (0, max(0, n - out.shape[0])))[:n]
 
 
+def _roundtrip_opus(pcm, cfg):
+    """22.05 kHz -> 48 kHz -> REAL libopus encoder (96 kb/s CELT) -> in-repo
+    from-spec decoder (io/opus.py, Ogg Opus container) -> back: the third
+    streaming-codec chain, binding the round-4 Opus stack into the headline
+    eval. decode_opus honors pre-skip exactly, so only resampler edge
+    effects need the lag search."""
+    from hpfw_tpu.io.opus import decode_opus
+    from hpfw_tpu.io.opus_ref import opus_ref_encode_ogg
+    from hpfw_tpu.io.wav import resample
+
+    up = resample(pcm, cfg.sample_rate, 48000)
+    blob = opus_ref_encode_ogg(up.astype(np.float32), bitrate=96_000)
+    dec, sr = decode_opus(blob)
+    out = resample(dec.astype(np.float32), sr, cfg.sample_rate)
+    n = pcm.shape[0]
+    lag = _best_lag(pcm, out, 2000)
+    out = out[max(lag, 0):]
+    out = np.pad(out, (max(-lag, 0), 0))
+    return np.pad(out, (0, max(0, n - out.shape[0])))[:n]
+
+
 def _best_lag(ref, x, max_lag):
     """Lag of x relative to ref maximizing correlation (coarse, via FFT)."""
     n = min(ref.shape[0], x.shape[0])
@@ -95,7 +116,7 @@ def _best_lag(ref, x, max_lag):
     return int(-lags[np.argmax(vals)])
 
 
-def main(legs=("mp3", "vorbis", "aac", "clean")):
+def main(legs=("mp3", "vorbis", "aac", "opus", "clean")):
     cfg = HpfwConfig.catalog_scale()
     d = paths(N_TRACKS, TRACK_S)
     filters = np.load(os.path.join(d, "filters.npy"))
@@ -121,7 +142,8 @@ def main(legs=("mp3", "vorbis", "aac", "clean")):
     results = {}
     for leg in legs:
         rt = {"mp3": _roundtrip_mp3, "vorbis": _roundtrip_vorbis,
-              "aac": _roundtrip_aac, "clean": lambda p, c: p}[leg]
+              "aac": _roundtrip_aac, "opus": _roundtrip_opus,
+              "clean": lambda p, c: p}[leg]
         t0 = time.time()
         codec_s = 0.0
         qps = []

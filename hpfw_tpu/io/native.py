@@ -56,6 +56,12 @@ def load_library():
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+        lib.hpfw_opus_decode.restype = ctypes.c_int
+        lib.hpfw_opus_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32)]
         lib.hpfw_fingerprint.restype = ctypes.c_int
         lib.hpfw_fingerprint.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -213,6 +219,36 @@ def decode_aac(data: bytes) -> tuple[np.ndarray, int]:
                              ctypes.byref(n), ctypes.byref(rate))
     if rc != 0:
         raise ValueError(f"native aac decode failed (code {rc})")
+    return out, int(rate.value)
+
+
+def decode_opus(data: bytes,
+                return_final_range: bool = False):
+    """Ogg Opus (CELT) bytes -> (mono float32 PCM, 48000), C++ decoder.
+
+    Twin of io/opus.py decode_opus + the channel-mean downmix. The entropy
+    path is integer-exact (final_range certified bit-equal against the
+    NumPy twin in tests/test_opus.py); the float synthesis is margin-tested
+    — the float64 pipelines differ only in accumulation order."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = ctypes.c_int64(0)
+    rate = ctypes.c_int32(0)
+    fr = ctypes.c_uint32(0)
+    rc = lib.hpfw_opus_decode(data, len(data), None,
+                              ctypes.byref(n), ctypes.byref(rate),
+                              ctypes.byref(fr))
+    if rc != 0:
+        raise ValueError(f"native opus decode failed (code {rc})")
+    out = np.empty(n.value, dtype=np.float32)
+    rc = lib.hpfw_opus_decode(data, len(data), _fptr(out, ctypes.c_float),
+                              ctypes.byref(n), ctypes.byref(rate),
+                              ctypes.byref(fr))
+    if rc != 0:
+        raise ValueError(f"native opus decode failed (code {rc})")
+    if return_final_range:
+        return out, int(rate.value), int(fr.value)
     return out, int(rate.value)
 
 

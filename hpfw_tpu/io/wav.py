@@ -53,9 +53,12 @@ def load_wav(path: str, cfg: HpfwConfig | None = None) -> tuple[np.ndarray, int]
         # sits within the first few dozen bytes: OpusHead (RFC 7845 §5.1)
         # vs \x01vorbis.
         if b"OpusHead" in data[:128]:
-            from .opus import decode_opus
+            if native.available():
+                pcm, sr = native.decode_opus(data)
+            else:
+                from .opus import decode_opus
 
-            pcm, sr = decode_opus(data)
+                pcm, sr = decode_opus(data)
         elif native.available():
             pcm, sr = native.decode_vorbis(data)
         else:

@@ -18,3 +18,10 @@ int hpfw_aac_decode_vec(const uint8_t* data, int64_t size,
 
 // Verified-chain ADTS sync scan (chain of 3 headers or end-of-stream).
 int64_t hpfw_aac_find_sync(const uint8_t* d, int64_t n, int64_t pos);
+
+// One-pass Ogg Opus (CELT) decode into a growable buffer (hpfw_opus.cc),
+// mono downmix, 48 kHz out; final_range (nullable) receives the last
+// frame's range-coder state for bit-exact sync certification.
+int hpfw_opus_decode_vec(const uint8_t* data, int64_t size,
+                         std::vector<float>* out, int32_t* sample_rate,
+                         uint32_t* final_range);

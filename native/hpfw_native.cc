@@ -1733,8 +1733,15 @@ static int decode_dispatch(const uint8_t* data, int64_t size,
                            std::vector<float>* out, int32_t* rate) {
   if (size >= 4 && memcmp(data, "fLaC", 4) == 0)
     return flac_decode_vec(data, size, out, rate);
-  if (size >= 4 && memcmp(data, "OggS", 4) == 0)
+  if (size >= 4 && memcmp(data, "OggS", 4) == 0) {
+    // The first packet's codec magic decides Opus vs Vorbis (the first Ogg
+    // page is tiny, so the ident packet starts right after the lacing).
+    int n_segs = size >= 27 ? data[26] : 0;
+    int64_t b0 = 27 + n_segs;
+    if (size >= b0 + 8 && memcmp(data + b0, "OpusHead", 8) == 0)
+      return hpfw_opus_decode_vec(data, size, out, rate, nullptr);
     return vorbis_decode_vec(data, size, out, rate);
+  }
   if (size >= 12 && ((memcmp(data, "RIFF", 4) == 0 &&
                       memcmp(data + 8, "WAVE", 4) == 0) ||
                      memcmp(data, "FORM", 4) == 0)) {

@@ -221,3 +221,73 @@ def test_ogg_opus_rejects_malformed():
     blob = write_pages([(b"NotOpusH" + b"\x00" * 12, 0)])
     with pytest.raises(ValueError):
         decode_opus(blob)
+
+
+# -- native twin ----------------------------------------------------------------
+
+@needs_opus
+def test_native_twin_margin_and_final_range():
+    """The C++ decoder (native/hpfw_opus.cc) mirrors the NumPy pipeline
+    operation for operation: the range coder's final state is bit-exact
+    (proving identical bitstream consumption end to end) and the float
+    synthesis sits at the float32 floor (the double pipelines differ only
+    in accumulation order, MP3/AAC-twin convention)."""
+    from hpfw_tpu.io import native
+    from hpfw_tpu.io.ogg import pages_to_packets, parse_pages
+    from hpfw_tpu.io.opus import _parse_head
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for ch, br, kind, seed in [(1, 96_000, "music", 1),
+                               (2, 64_000, "music", 2),
+                               (1, 24_000, "noise", 3),
+                               (2, 128_000, "music", 4)]:
+        x = _sig(48_000, seed=seed, kind=kind)
+        pcm_in = x if ch == 1 else np.stack([x, np.roll(x, 7) * 0.8], 1)
+        blob = opus_ref_encode_ogg(pcm_in, bitrate=br)
+        py, sr1 = decode_opus(blob)
+        nat, sr2, fr = native.decode_opus(blob, return_final_range=True)
+        assert sr1 == sr2 == 48_000
+        assert py.shape == nat.shape
+        assert float(np.abs(py - nat).max()) < 1e-6
+
+        # Python-side final range on the same packet stream.
+        pk = pages_to_packets(parse_pages(blob))
+        chs, _, _ = _parse_head(pk[0][0])
+        dec = OpusDecoder(chs)
+        for p, _g in pk[2:]:
+            if p:
+                dec.decode_packet(p)
+        assert fr == dec._celt.final_range
+
+
+@needs_opus
+def test_native_ingest_opus(tmp_path, cfg):
+    """ingest_files decodes .opus files identically to load_audio (both
+    route through the native decoder + sinc resampler)."""
+    from hpfw_tpu.io import ingest, native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    paths = []
+    for i in range(3):
+        x = _sig(48_000, seed=30 + i)
+        pcm_in = x if i % 2 == 0 else np.stack([x, -0.6 * x], 1)
+        p = tmp_path / f"t{i}.opus"
+        p.write_bytes(opus_ref_encode_ogg(pcm_in, bitrate=96_000))
+        paths.append(str(p))
+    got = ingest.load_files(paths, cfg, n_threads=2)
+    for p, pcm in zip(paths, got):
+        ref, sr = wav.load_wav(p, cfg)
+        assert sr == cfg.sample_rate
+        np.testing.assert_allclose(pcm, ref, atol=2e-6,
+                                   err_msg=f"ingest != load_audio for {p}")
+
+
+def test_native_opus_rejects_malformed():
+    from hpfw_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    with pytest.raises(ValueError):
+        native.decode_opus(b"OggS" + b"\x00" * 64)
