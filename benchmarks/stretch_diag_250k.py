@@ -1,0 +1,79 @@
+"""Diagnose the 250k stretch-scan gap (scan 0.32 vs the 400-track study's 0.91).
+
+The study (benchmarks/stretch_study.py) scored variants with the DENSE
+matcher; robustness_250k.py scan runs them through the TWO-STAGE program.
+Two candidate causes for the 59-point gap, isolated here on the stretch+3%
+condition (n=100, same deterministic query plan):
+
+  a. two-stage-under-distortion: a re-timed rendition's prints carry
+     within-context distortion; the coarse stage (already the recall
+     bottleneck at 0.865 vs 0.91 dense) may degrade disproportionately.
+     Measured by matching the ORACLE-INVERSE variant (re-timed at the true
+     factor) as a plain query — no scan, no variant competition.
+  b. variant competition: ranking 7 hypotheses of 250k tracks together
+     inflates the imposter max (the study bounded this at <=1 point at 400
+     tracks; the imposter tail is far denser at 250k). Measured as the gap
+     between (a) and the full scan.
+  Knob legs (pool / fine_window / phases escalation) say whether candidate
+  escalation recovers whichever stage is losing the truth.
+
+Run: python benchmarks/stretch_diag_250k.py [stretch] [n_q]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from benchmarks.common import emit, log
+from benchmarks.real_catalog import paths
+from benchmarks.robustness_250k import (N_TRACKS, N_Q, TRACK_S,
+                                        _extract_queries, _two_stage)
+from hpfw_tpu.config import HpfwConfig
+from hpfw_tpu.match.stretch import print_variants
+
+
+def main(stretch=1.03, n_q=100):
+    import os
+
+    import jax.numpy as jnp
+
+    cfg = HpfwConfig.catalog_scale()
+    d = paths(N_TRACKS, TRACK_S)
+    filters = np.load(os.path.join(d, "filters.npy"))
+    prints = np.load(os.path.join(d, "prints.npy"), mmap_mode="r")
+    ts = _two_stage(cfg, prints, filters)
+    fdev = jnp.asarray(filters)
+    qprints, truths = _extract_queries(fdev, 0.0, stretch, cfg)
+    qprints, truths = qprints[:n_q], truths[:n_q]
+
+    def leg(tag, qs, **kw):
+        correct = 0
+        t0 = time.time()
+        for i in range(0, qs.shape[0], 10):
+            for j, (tid, s, o) in enumerate(
+                    ts.match_batch(qs[i:i + 10], top_k=1, **kw)):
+                correct += int(tid[0]) == truths[i + j]
+        acc = correct / qs.shape[0]
+        log(f"{tag}: top-1 {acc:.3f} ({time.time() - t0:.0f}s)")
+        return acc
+
+    inv = print_variants(qprints, [stretch])[:, 0]   # oracle re-timing
+    out = {
+        "plain_rigid": leg("plain rigid", qprints),
+        "oracle_inverse": leg("oracle-inverse, no scan", inv),
+        "oracle_inverse_pool4096": leg("oracle-inverse pool4096", inv,
+                                       pool=4096),
+        "scan": leg("7-pt scan", qprints, stretch_span=0.03),
+        "scan_pool4096": leg("7-pt scan pool4096", qprints,
+                             stretch_span=0.03, pool=4096),
+    }
+    emit("stretch_diag_250k", out["oracle_inverse"], "top1_accuracy",
+         stretch=stretch, n_q=n_q,
+         **{k: round(v, 4) for k, v in out.items()})
+
+
+if __name__ == "__main__":
+    main(*(float(a) if "." in a else int(a) for a in sys.argv[1:]))

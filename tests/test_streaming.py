@@ -110,6 +110,58 @@ def test_streaming_session_with_two_stage_db(cfg):
     assert sess_ts.latency_stats()["n_matches"] > 0
 
 
+def test_streaming_session_stretch_scan(cfg):
+    """Live tempo drift through the STREAMING surface: a rendition 3%
+    faster than the catalog (synth_jax.live_query_batch — same score,
+    different tempo, PCM level) is streamed into sessions backed by
+    TwoStageDBs with and without the config-driven tempo scan
+    (HpfwConfig.stretch_span -> TwoStageDB.match, match/stretch.py). The
+    scan needs no session API: the knob serializes on the DB config. At
+    this scale both sessions lock the right track (the 250k-scale recall
+    table lives in RESULTS); the scan must recover a clearly better
+    alignment score on the same stream, and an undistorted control must
+    be unaffected by scanning."""
+    import dataclasses
+
+    from hpfw_tpu.io import synth_jax
+    from hpfw_tpu.match.scaled import TwoStageDB
+
+    tracks = [np.asarray(t) for t in synth_jax.synth_batch(
+        np.arange(12), 6.0, cfg)]
+    filters = _filters(cfg)
+    db = api.build_db(tracks, filters, cfg)
+    live = np.asarray(synth_jax.live_query_batch(
+        [5], [int(0.3 * cfg.sample_rate)], 6.0, 5.0, cfg,
+        stretch=1.03, noise_db=-12.0))[0]
+    step = cfg.sample_rate // 4
+
+    def run_session(span, stream):
+        cfg2 = dataclasses.replace(cfg, stretch_span=span)
+        db2 = api.FingerprintDB(cfg2, filters, db.track_ids, db.prints,
+                                db.lengths)
+        sess = StreamingSession(TwoStageDB(db2, stride=4), filters, cfg2,
+                                query_prints=128, chunk_prints=16)
+        best = None
+        for pos in range(0, len(stream), step):
+            best = sess.feed(stream[pos:pos + step])
+        return best
+
+    rigid = run_session(0.0, live)
+    scan = run_session(0.03, live)
+    assert rigid is not None and scan is not None
+    assert scan.track_id == rigid.track_id == "5"
+    # Re-timing recovers most of the drift the rigid alignment loses
+    # (calibrated: ~14% score gap at 3% tempo over 128-print windows).
+    assert scan.score > 1.08 * rigid.score
+    # Undistorted control: the 1.0 hypothesis is always in the grid, so
+    # scanning an in-tempo stream must not change the lock.
+    clean = np.asarray(synth_jax.live_query_batch(
+        [5], [int(0.3 * cfg.sample_rate)], 6.0, 5.0, cfg,
+        stretch=1.0, noise_db=-12.0))[0]
+    ctrl = run_session(0.03, clean)
+    assert ctrl is not None and ctrl.track_id == "5"
+
+
 def test_streaming_track_change_relocks(cfg):
     """VERDICT r3 weak #7: when the fed audio switches songs mid-stream the
     session must re-lock onto the new track within a bounded number of
