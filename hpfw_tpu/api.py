@@ -112,6 +112,89 @@ def fingerprint_batch(
     return np.asarray(fn(jnp.asarray(pcms), jnp.asarray(filters, dtype=jnp.float32)))
 
 
+def _scan_pipeline(cfg: HpfwConfig, factors: tuple, interp: str):
+    """Un-jitted PCM -> (V, N, 2) catalog-tempo print variants.
+
+    Spec-level tempo scan (match/stretch.py module doc): the NDFT frontend
+    runs ONCE; each hypothesis gathers the log-mag CQT frames back onto the
+    catalog frame grid (frame i <- rendition frame i/s, the print_variants
+    geometry) and re-runs context assembly + projection + delta + sign +
+    pack. Context windows and delta lags are thus built on catalog-cadence
+    frames — no within-context drift, no pitch shift; the residual is
+    sub-frame interpolation ("linear" blends adjacent frames, "nearest"
+    rounds)."""
+
+    def run(pcm, filters):
+        spec = frontend.cqt(pcm, cfg)                       # (F, n_bins)
+        f = spec.shape[0]
+        base = jnp.arange(f, dtype=jnp.float32)
+
+        def retime(s):
+            pos = jnp.clip(base / s, 0.0, f - 1.0)
+            if interp == "linear":
+                i0 = jnp.floor(pos).astype(jnp.int32)
+                i1 = jnp.minimum(i0 + 1, f - 1)
+                frac = (pos - i0.astype(jnp.float32))[:, None]
+                return spec[i0] * (1.0 - frac) + spec[i1] * frac
+            return spec[jnp.round(pos).astype(jnp.int32)]
+
+        specs = jnp.stack([retime(s) for s in factors])     # (V, F, n_bins)
+        return jax.vmap(
+            lambda sv: fp_ops.fingerprint_from_spec(sv, filters, cfg))(specs)
+
+    return run
+
+
+@functools.lru_cache(maxsize=16)
+def _fingerprint_scan_batch_jit(cfg: HpfwConfig, n_samples: int,
+                                factors: tuple, interp: str):
+    single = _scan_pipeline(cfg, factors, interp)
+
+    def run(pcms, filters):
+        return jax.lax.map(lambda p: single(p, filters), pcms)
+
+    return jax.jit(run)
+
+
+def fingerprint_scan_batch(
+    pcms: np.ndarray,
+    filters: np.ndarray,
+    cfg: HpfwConfig = DEFAULT_CONFIG,
+    *,
+    span: float | None = None,
+    step: float | None = None,
+    interp: str = "linear",
+) -> np.ndarray:
+    """(B, S) PCM -> (B, V, N, 2) uint32: tempo-hypothesis print variants.
+
+    The quality rung of the live-rendition tempo scan: V = 2*span/step + 1
+    catalog-tempo re-extractions per query, sharing one NDFT frontend pass
+    (the scan costs V cheap projection GEMMs, not V full extractions).
+    Feed the stack straight to TwoStageDB.match_batch — a 4-D query batch
+    ranks each query's variant rows together. span/step default to the
+    config's stretch_span/stretch_step knobs. The middle variant is always
+    the identity hypothesis (exact plain extraction).
+    """
+    pcms = np.asarray(pcms, dtype=np.float32)
+    if pcms.ndim != 2:
+        raise ValueError(f"expected (B, S) PCM batch, got shape {pcms.shape}")
+    span = span if span is not None else cfg.stretch_span
+    step = step if step is not None else cfg.stretch_step
+    if span <= 0.0:
+        raise ValueError("fingerprint_scan_batch needs a positive stretch "
+                         "span (set cfg.stretch_span or pass span=)")
+    if interp not in ("linear", "nearest"):
+        raise ValueError(f"unknown interp {interp!r}")
+    from .match.stretch import stretch_grid
+
+    factors = tuple(stretch_grid(span, step))
+    if cfg.n_hashprints(pcms.shape[1]) == 0:
+        return np.zeros((pcms.shape[0], len(factors), 0, 2), dtype=np.uint32)
+    fn = _fingerprint_scan_batch_jit(cfg, pcms.shape[1], factors, interp)
+    return np.asarray(fn(jnp.asarray(pcms),
+                         jnp.asarray(filters, dtype=jnp.float32)))
+
+
 def fingerprint_stream(
     batches,
     filters: np.ndarray,

@@ -621,19 +621,28 @@ class TwoStageDB:
         cfg = self.db.cfg
         top_k = top_k if top_k is not None else cfg.top_k
         qh = np.asarray(query_prints, dtype=np.uint32)
+        variants = None
+        if qh.ndim == 3:
+            # Pre-scanned (V, N, 2) tempo-variant stack (spec-level scan,
+            # api.fingerprint_scan_batch) — rank the given rows together;
+            # the config's print-level scan is superseded for this call.
+            variants = qh
+            qh = qh[qh.shape[0] // 2]      # identity row (grid center)
         self._check_query_len(qh.shape[0])
         factors = self._stretch_factors(stretch_span, stretch_step)
-        if factors is not None:
+        if variants is None and factors is not None:
             # Tempo scan (live renditions — match/stretch.py): V re-timed
             # print variants each run the full two-stage program; candidates
             # from every tempo hypothesis rank together below, so the best-
-            # scoring hypothesis wins per track. Dispatches queue before the
-            # first materialization — one link round trip per variant is
-            # avoided, the V transfers overlap.
+            # scoring hypothesis wins per track.
+            variants = print_variants(qh, factors)[0]
+        if variants is not None:
+            # Dispatches queue before the first materialization — one link
+            # round trip per variant is avoided, the V transfers overlap.
             outs = [self.dispatch(jnp.asarray(v), pool=pool,
                                   fine_window=fine_window, phases=phases,
                                   prefilter=prefilter, phases1=phases1)
-                    for v in print_variants(qh, factors)[0]]
+                    for v in variants]
             scores, idx, offs = np.concatenate(
                 [np.asarray(o) for o in outs], axis=1)
         else:
@@ -714,9 +723,17 @@ class TwoStageDB:
         pool = pool if pool is not None else cfg.fine_candidates
         fw = fine_window if fine_window is not None else self.stride
         qh = np.asarray(query_batch, dtype=np.uint32)
-        self._check_query_len(qh.shape[1])
-        factors = self._stretch_factors(stretch_span, stretch_step)
         n_var = 1
+        if qh.ndim == 4:
+            # Pre-scanned (B, V, N, 2) tempo-variant stacks (spec-level
+            # scan, api.fingerprint_scan_batch): flatten to B*V rows; each
+            # query's V rows rank together below. Supersedes the config's
+            # print-level scan for this call.
+            n_var = qh.shape[1]
+            qh = qh.reshape(-1, qh.shape[2], 2)
+        self._check_query_len(qh.shape[1])
+        factors = (self._stretch_factors(stretch_span, stretch_step)
+                   if n_var == 1 else None)
         if factors is not None:
             # Tempo scan: the (B, V, N, 2) variant stack flattens into one
             # B*V-row batched dispatch (same compiled program, bigger B);

@@ -18,6 +18,21 @@ keeping the best score recovers stretched queries; grid spacing 1%
 
 Tempo changes the FRAME GRID, not the spectrum: pitch-shift robustness is
 the learned filters' job (config 5); tempo robustness is this module's.
+
+Two re-timing levels share this module's frame-grid geometry:
+
+- PRINT level (print_variants): gather the packed prints. Zero extraction
+  cost, available wherever prints are (streaming rings) — but each
+  gathered print was computed from context windows of the STRETCHED
+  signal, and that within-context distortion interacts badly with imposter
+  density: at 250k tracks the oracle-inverse print gather recovers only
+  0.51 vs the 0.865 noise-only point (RESULTS round 4, stretch diag).
+- SPEC level (api.fingerprint_scan_batch): re-time the CQT FRAMES before
+  context assembly and re-run the cheap back half of extraction per
+  hypothesis (the NDFT frontend — the expensive GEMM — is shared). Context
+  windows and delta lags are then built on the catalog frame grid, so the
+  only residual is sub-frame interpolation; no pitch shift (a PCM resample
+  would cost ~0.5 st at 3 percent) and no within-context drift.
 """
 
 from __future__ import annotations

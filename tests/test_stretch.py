@@ -163,6 +163,95 @@ def test_stretch_sharded_mesh(small_db):
     assert ids[0] == "17"
 
 
+def test_scan_batch_identity_row_is_plain_extraction(cfg):
+    """The spec-level scan's center variant (hypothesis 1.0) is the exact
+    plain extraction, bit for bit: at s=1 the frame gather is the identity
+    (frac 0 on every frame), so fingerprint_scan_batch only ADDS
+    hypotheses, it never perturbs the rigid path."""
+    pcm = np.stack([synth.synth_track(31 + i, 4.0, cfg) for i in range(2)])
+    filters = _filters(cfg)
+    plain = api.fingerprint_batch(pcm, filters, cfg)
+    for interp in ("linear", "nearest"):
+        var = api.fingerprint_scan_batch(pcm, filters, cfg, span=0.02,
+                                         interp=interp)
+        assert var.shape == (2, 5, plain.shape[1], 2)
+        np.testing.assert_array_equal(var[:, 2], plain, err_msg=interp)
+
+
+def test_scan_batch_validation(cfg):
+    pcm = np.zeros((1, cfg.sample_rate), np.float32)
+    filters = _filters(cfg)
+    with pytest.raises(ValueError):
+        api.fingerprint_scan_batch(pcm[0], filters, cfg, span=0.02)  # 1-D
+    with pytest.raises(ValueError):
+        api.fingerprint_scan_batch(pcm, filters, cfg)  # span unset, cfg 0
+    with pytest.raises(ValueError):
+        api.fingerprint_scan_batch(pcm, filters, cfg, span=0.02,
+                                   interp="cubic")
+    cfg2 = HpfwConfig(frame_len=2048, fmin=380.0, n_bins=73, hop=256,
+                      context_w=8, delta_lag=4, stretch_span=0.03)
+    out = api.fingerprint_scan_batch(pcm, filters, cfg2)  # span from config
+    assert out.shape[1] == 7
+
+
+def test_match_accepts_prescanned_variant_stacks(small_db):
+    """A (V, N, 2) stack into match() / a (B, V, N, 2) stack into
+    match_batch() ranks each query's variant rows together — same contract
+    as the print-level scan, but with caller-built variants (the spec-level
+    scan's output)."""
+    cfg, tracks, filters, db = small_db
+    ts = TwoStageDB(db, stride=4, use_pallas_fine=True, pallas_interpret=True)
+    # a V=1 stack must be exactly the plain match
+    q = _stretched_query(db, 9, 3, 100, 1.0)
+    def same(a, b):
+        assert list(a[0]) == list(b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        np.testing.assert_array_equal(a[2], b[2])
+
+    plain = ts.match(q, top_k=2, pool=8)
+    one = ts.match(q[None], top_k=2, pool=8)
+    same(one, plain)
+    # a print-variant stack passed pre-made == the built-in scan
+    q_fast = _stretched_query(db, 13, 4, 100, 1.03)
+    stack = print_variants(q_fast, stretch_grid(0.03, 0.01))[0]
+    pre = ts.match(stack, top_k=1, pool=24)
+    builtin = ts.match(q_fast, top_k=1, pool=24, stretch_span=0.03)
+    same(pre, builtin)
+    # batched 4-D form agrees with per-query form
+    qs = np.stack([print_variants(_stretched_query(db, t, 3, 100, s),
+                                  stretch_grid(0.02, 0.01))[0]
+                   for t, s in [(2, 1.02), (19, 0.98)]])
+    batch = ts.match_batch(qs, top_k=2, pool=8)
+    for i, (t, s) in enumerate([(2, 1.02), (19, 0.98)]):
+        one_ids, one_sc, one_off = ts.match(qs[i], top_k=2, pool=8)
+        assert batch[i][0][0] == one_ids[0] == str(t)
+        np.testing.assert_array_equal(batch[i][1], one_sc)
+
+
+def test_spec_scan_recovers_tempo_end_to_end(cfg):
+    """PCM-level: a 3%-fast rendition (synth_jax.live_query_batch) is
+    recovered by the spec-level scan where the rigid path mis-scores it.
+    Small-scale twin of the 250k measurement (RESULTS round 4)."""
+    from hpfw_tpu.io import synth_jax
+
+    tracks = np.asarray(synth_jax.synth_batch(np.arange(16), 6.0, cfg))
+    filters = _filters(cfg)
+    db = api.build_db(list(tracks), filters, cfg)
+    ts = TwoStageDB(db, stride=4, use_pallas_fine=True, pallas_interpret=True)
+    truths = [3, 11]
+    pcm = np.asarray(synth_jax.live_query_batch(
+        truths, [int(0.5 * cfg.sample_rate)] * 2, 6.0, 4.0, cfg,
+        stretch=1.03, noise_db=-25.0))
+    qvar = api.fingerprint_scan_batch(pcm, filters, cfg, span=0.03)
+    res = ts.match_batch(qvar, top_k=1, pool=16)
+    for (ids, sc, off), t in zip(res, truths):
+        assert ids[0] == str(t)
+    # the scan's best score clearly beats the rigid (identity-row) score
+    rigid = ts.match_batch(qvar[:, 3], top_k=1, pool=16)
+    for (ids, sc, _), (rids, rsc, _) in zip(res, rigid):
+        assert sc[0] > 1.05 * rsc[0]
+
+
 def test_stretch_config_validation():
     HpfwConfig(stretch_span=0.03).validate()
     with pytest.raises(AssertionError):
