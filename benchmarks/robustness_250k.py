@@ -15,6 +15,10 @@ filters.
     python benchmarks/robustness_250k.py scan    [conditions...]  # tempo scan
         (learned filters + stretch_span=0.03: the match/stretch.py
          mitigation for the measured time-stretch cliff, at 250k)
+    python benchmarks/robustness_250k.py specscan [conditions...]
+        (the QUALITY rung: api.fingerprint_scan_batch re-times the CQT
+         frames before context assembly — no within-context drift, the
+         failure mode that caps the print-level scan at 0.32 here)
 
 Artifacts reuse /tmp/hpfw_real_cat/250000_60 (benchmarks/real_catalog.py);
 `random` extracts a second catalog under random filters once (~11 min) into
@@ -65,7 +69,9 @@ def _query_plan():
     return truths, starts, nseeds
 
 
-def _extract_queries(filters_dev, pitch_st, stretch, cfg):
+def _extract_queries(filters_dev, pitch_st, stretch, cfg, scan_span=0.0):
+    """scan_span>0: spec-level tempo scan — (N_Q, V, N, 2) variant stacks
+    via api.fingerprint_scan_batch (one shared NDFT pass per query)."""
     import jax.numpy as jnp  # noqa: F401
 
     truths, starts, nseeds = _query_plan()
@@ -78,7 +84,12 @@ def _extract_queries(filters_dev, pitch_st, stretch, cfg):
             truths[sl], starts[sl], TRACK_S, QUERY_SECONDS, cfg,
             pitch_st=pitch_st, stretch=stretch, noise_db=NOISE_DB,
             noise_seeds=nseeds[sl])
-        out.append(np.asarray(fp_fn(pcm, filters_dev)))
+        if scan_span > 0.0:
+            out.append(api.fingerprint_scan_batch(
+                np.asarray(pcm), np.asarray(filters_dev), cfg,
+                span=scan_span))
+        else:
+            out.append(np.asarray(fp_fn(pcm, filters_dev)))
     return np.concatenate(out, axis=0), truths
 
 
@@ -137,11 +148,12 @@ def _two_stage(cfg, prints, filters):
 
 
 def run(filter_kind="learned", conditions=None, pool=None):
-    scan = filter_kind == "scan"     # tempo scan over learned filters
+    scan = filter_kind in ("scan", "specscan")
     span = 0.03 if scan else 0.0
+    specscan = filter_kind == "specscan"
     cfg = HpfwConfig.catalog_scale()
     d = paths(N_TRACKS, TRACK_S)
-    if filter_kind in ("learned", "scan"):
+    if filter_kind in ("learned", "scan", "specscan"):
         filters = np.load(os.path.join(d, "filters.npy"))
         prints = np.load(os.path.join(d, "prints.npy"), mmap_mode="r")
     else:
@@ -161,15 +173,18 @@ def run(filter_kind="learned", conditions=None, pool=None):
     results = {}
     wall_ms = {}
     for name, pst, stretch in conds:
-        qprints, truths = _extract_queries(fdev, pst, stretch, cfg)
+        qprints, truths = _extract_queries(
+            fdev, pst, stretch, cfg, scan_span=span if specscan else 0.0)
         t0 = time.time()
         correct = 0
         # At span=0.03 each query becomes 7 variant rows; keep B*V*pool
         # under the fine kernel's SMEM candidate bound (~130k).
         bsz = 10
         for i in range(0, N_Q, bsz):
+            # specscan: qprints is 4-D — match_batch's pre-scanned path
+            # supersedes the print-level scan (stretch_span ignored there).
             res = ts.match_batch(qprints[i:i + bsz], top_k=1, pool=pool,
-                                 stretch_span=span)
+                                 stretch_span=0.0 if specscan else span)
             for j, (tid, s, o) in enumerate(res):
                 correct += int(tid[0]) == truths[i + j]
         top1 = correct / N_Q

@@ -49,26 +49,39 @@ def main(stretch=1.03, n_q=100):
     qprints, truths = _extract_queries(fdev, 0.0, stretch, cfg)
     qprints, truths = qprints[:n_q], truths[:n_q]
 
-    def leg(tag, qs, **kw):
+    def leg(tag, qs, bsz=10, **kw):
         correct = 0
         t0 = time.time()
-        for i in range(0, qs.shape[0], 10):
+        for i in range(0, qs.shape[0], bsz):
             for j, (tid, s, o) in enumerate(
-                    ts.match_batch(qs[i:i + 10], top_k=1, **kw)):
+                    ts.match_batch(qs[i:i + bsz], top_k=1, **kw)):
                 correct += int(tid[0]) == truths[i + j]
         acc = correct / qs.shape[0]
         log(f"{tag}: top-1 {acc:.3f} ({time.time() - t0:.0f}s)")
         return acc
 
     inv = print_variants(qprints, [stretch])[:, 0]   # oracle re-timing
+    # Spec-level re-extraction (api.fingerprint_scan_batch): the full
+    # 7-hypothesis stack, and the oracle single-hypothesis row at the true
+    # factor — separates variant competition from representation quality.
+    qspec, _ = _extract_queries(fdev, 0.0, stretch, cfg, scan_span=0.03)
+    qspec = qspec[:n_q]
+    s_idx = int(round((stretch - 1.0) / 0.01)) + 3   # row of the true factor
     out = {
         "plain_rigid": leg("plain rigid", qprints),
-        "oracle_inverse": leg("oracle-inverse, no scan", inv),
-        "oracle_inverse_pool4096": leg("oracle-inverse pool4096", inv,
-                                       pool=4096),
-        "scan": leg("7-pt scan", qprints, stretch_span=0.03),
-        "scan_pool4096": leg("7-pt scan pool4096", qprints,
-                             stretch_span=0.03, pool=4096),
+        "oracle_inverse": leg("oracle-inverse print gather", inv),
+        "oracle_inverse_pool4096": leg("oracle-inverse gather pool4096", inv,
+                                       pool=4096, bsz=10),
+        "scan": leg("7-pt print-gather scan", qprints, stretch_span=0.03),
+        # bsz 4: 4*7*4096 candidates stays under the fine kernel's ~130k
+        # SMEM prefetch bound (bsz 10 OOMs the SMEM allocator).
+        "scan_pool4096": leg("7-pt print-gather scan pool4096", qprints,
+                             stretch_span=0.03, pool=4096, bsz=4),
+        "spec_oracle_row": leg("spec re-extraction, true-factor row",
+                               qspec[:, s_idx]),
+        "specscan": leg("7-pt spec scan", qspec),
+        "specscan_pool4096": leg("7-pt spec scan pool4096", qspec,
+                                 pool=4096, bsz=4),
     }
     emit("stretch_diag_250k", out["oracle_inverse"], "top1_accuracy",
          stretch=stretch, n_q=n_q,
