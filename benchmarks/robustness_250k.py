@@ -148,12 +148,13 @@ def _two_stage(cfg, prints, filters):
 
 
 def run(filter_kind="learned", conditions=None, pool=None):
-    scan = filter_kind in ("scan", "specscan")
+    scan = filter_kind in ("scan", "specscan", "speccal")
     span = 0.03 if scan else 0.0
-    specscan = filter_kind == "specscan"
+    specscan = filter_kind in ("specscan", "speccal")
+    calibrate = filter_kind == "speccal"
     cfg = HpfwConfig.catalog_scale()
     d = paths(N_TRACKS, TRACK_S)
-    if filter_kind in ("learned", "scan", "specscan"):
+    if filter_kind in ("learned", "scan", "specscan", "speccal"):
         filters = np.load(os.path.join(d, "filters.npy"))
         prints = np.load(os.path.join(d, "prints.npy"), mmap_mode="r")
     else:
@@ -184,7 +185,8 @@ def run(filter_kind="learned", conditions=None, pool=None):
             # specscan: qprints is 4-D — match_batch's pre-scanned path
             # supersedes the print-level scan (stretch_span ignored there).
             res = ts.match_batch(qprints[i:i + bsz], top_k=1, pool=pool,
-                                 stretch_span=0.0 if specscan else span)
+                                 stretch_span=0.0 if specscan else span,
+                                 calibrate=calibrate)
             for j, (tid, s, o) in enumerate(res):
                 correct += int(tid[0]) == truths[i + j]
         top1 = correct / N_Q
@@ -196,6 +198,56 @@ def run(filter_kind="learned", conditions=None, pool=None):
          results.get("pitch+1", results.get("noise")), "top1_accuracy",
          n_tracks=N_TRACKS, n_queries=N_Q, noise_db=NOISE_DB,
          preset="catalog_scale", stretch_span=span,
+         wall_ms_per_query={k: round(v, 1) for k, v in wall_ms.items()},
+         **{k: round(v, 4) for k, v in results.items()})
+    return results
+
+
+def escalate(conditions=None, threshold=0.62):
+    """Identity-first + tempo-scan escalation (api.match_scan_escalating)
+    at 250k: in-tempo queries must keep the rigid 0.865 (no variant-
+    competition cost, no scan latency), distorted queries must keep the
+    specscan recovery. Reports the escalation rate per condition."""
+    import jax.numpy as jnp
+
+    cfg = HpfwConfig.catalog_scale()
+    d = paths(N_TRACKS, TRACK_S)
+    filters = np.load(os.path.join(d, "filters.npy"))
+    prints = np.load(os.path.join(d, "prints.npy"), mmap_mode="r")
+    fdev = jnp.asarray(filters)
+    ts = _two_stage(cfg, prints, filters)
+    if conditions is None:
+        conditions = ["noise", "stretch+3%", "stretch-3%",
+                      "pitch+0.5/stretch+3%"]
+    conds = [c for c in CONDITIONS if c[0] in conditions]
+    truths_all, starts, nseeds = _query_plan()
+    qs_samples = int(QUERY_SECONDS * cfg.sample_rate)
+    results, esc_rate, wall_ms = {}, {}, {}
+    for name, pst, stretch in conds:
+        correct = esc = 0
+        t0 = time.time()
+        for i in range(0, N_Q, BATCH):
+            sl = slice(i, min(i + BATCH, N_Q))
+            pcm = np.asarray(synth_jax.live_query_batch(
+                truths_all[sl], starts[sl], TRACK_S, QUERY_SECONDS, cfg,
+                pitch_st=pst, stretch=stretch, noise_db=NOISE_DB,
+                noise_seeds=nseeds[sl]))
+            st: dict = {}
+            res = api.match_scan_escalating(
+                pcm, filters, ts, cfg, threshold=threshold, span=0.03,
+                top_k=1, batch=10, stats=st)
+            esc += len(st["escalated"])
+            for j, (tid, s, o) in enumerate(res):
+                correct += int(tid[0]) == truths_all[sl][j]
+        results[name] = correct / N_Q
+        esc_rate[name] = esc / N_Q
+        wall_ms[name] = (time.time() - t0) / N_Q * 1000
+        log(f"escalate / {name}: top-1 {results[name]:.3f} "
+            f"(esc {esc_rate[name]:.2f}, {time.time() - t0:.0f}s)")
+    emit("robustness_250k_escalate", results.get("noise"), "top1_accuracy",
+         n_tracks=N_TRACKS, n_queries=N_Q, noise_db=NOISE_DB,
+         preset="catalog_scale", threshold=threshold,
+         esc_rate={k: round(v, 3) for k, v in esc_rate.items()},
          wall_ms_per_query={k: round(v, 1) for k, v in wall_ms.items()},
          **{k: round(v, 4) for k, v in results.items()})
     return results
@@ -236,5 +288,7 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "learned"
     if mode == "recover":
         recover(*[float(a) for a in sys.argv[2:]])
+    elif mode == "escalate":
+        escalate(conditions=sys.argv[2:] or None)
     else:
         run(mode, conditions=sys.argv[2:] or None)

@@ -82,6 +82,13 @@ def main(stretch=1.03, n_q=100):
         "specscan": leg("7-pt spec scan", qspec),
         "specscan_pool4096": leg("7-pt spec scan pool4096", qspec,
                                  pool=4096, bsz=4),
+        # Per-hypothesis background calibration: the specscan<->oracle-row
+        # gap is pure variant competition (the true factor is ON the
+        # grid); ranking by excess-over-row-median should close it.
+        "specscan_cal": leg("7-pt spec scan calibrated", qspec,
+                            calibrate=True),
+        "scan_cal": leg("7-pt print scan calibrated", qprints,
+                        stretch_span=0.03, calibrate=True),
     }
     emit("stretch_diag_250k", out["oracle_inverse"], "top1_accuracy",
          stretch=stretch, n_q=n_q,

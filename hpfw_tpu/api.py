@@ -112,35 +112,42 @@ def fingerprint_batch(
     return np.asarray(fn(jnp.asarray(pcms), jnp.asarray(filters, dtype=jnp.float32)))
 
 
-def _scan_pipeline(cfg: HpfwConfig, factors: tuple, interp: str):
-    """Un-jitted PCM -> (V, N, 2) catalog-tempo print variants.
+def scan_from_spec(spec, filters, cfg: HpfwConfig, factors: tuple,
+                   interp: str = "linear"):
+    """Jittable (F, n_bins) log-mag CQT frames -> (V, F-halo, 2) variants.
 
-    Spec-level tempo scan (match/stretch.py module doc): the NDFT frontend
-    runs ONCE; each hypothesis gathers the log-mag CQT frames back onto the
-    catalog frame grid (frame i <- rendition frame i/s, the print_variants
-    geometry) and re-runs context assembly + projection + delta + sign +
-    pack. Context windows and delta lags are thus built on catalog-cadence
-    frames — no within-context drift, no pitch shift; the residual is
-    sub-frame interpolation ("linear" blends adjacent frames, "nearest"
-    rounds)."""
+    The back half of the spec-level tempo scan: each hypothesis s gathers
+    the frames back onto the catalog frame grid (frame i <- rendition
+    frame i/s, the print_variants geometry) and re-runs context assembly +
+    projection + delta + sign + pack. Context windows and delta lags are
+    thus built on catalog-cadence frames — no within-context drift, no
+    pitch shift; the residual is sub-frame interpolation ("linear" blends
+    adjacent frames, "nearest" rounds). Shared by fingerprint_scan_batch
+    (offline, from PCM) and StreamingSession's frame-ring scan (live)."""
+    f = spec.shape[0]
+    base = jnp.arange(f, dtype=jnp.float32)
+
+    def retime(s):
+        pos = jnp.clip(base / s, 0.0, f - 1.0)
+        if interp == "linear":
+            i0 = jnp.floor(pos).astype(jnp.int32)
+            i1 = jnp.minimum(i0 + 1, f - 1)
+            frac = (pos - i0.astype(jnp.float32))[:, None]
+            return spec[i0] * (1.0 - frac) + spec[i1] * frac
+        return spec[jnp.round(pos).astype(jnp.int32)]
+
+    specs = jnp.stack([retime(s) for s in factors])     # (V, F, n_bins)
+    return jax.vmap(
+        lambda sv: fp_ops.fingerprint_from_spec(sv, filters, cfg))(specs)
+
+
+def _scan_pipeline(cfg: HpfwConfig, factors: tuple, interp: str):
+    """Un-jitted PCM -> (V, N, 2) catalog-tempo print variants: the NDFT
+    frontend runs ONCE, then scan_from_spec's V cheap back-half passes."""
 
     def run(pcm, filters):
         spec = frontend.cqt(pcm, cfg)                       # (F, n_bins)
-        f = spec.shape[0]
-        base = jnp.arange(f, dtype=jnp.float32)
-
-        def retime(s):
-            pos = jnp.clip(base / s, 0.0, f - 1.0)
-            if interp == "linear":
-                i0 = jnp.floor(pos).astype(jnp.int32)
-                i1 = jnp.minimum(i0 + 1, f - 1)
-                frac = (pos - i0.astype(jnp.float32))[:, None]
-                return spec[i0] * (1.0 - frac) + spec[i1] * frac
-            return spec[jnp.round(pos).astype(jnp.int32)]
-
-        specs = jnp.stack([retime(s) for s in factors])     # (V, F, n_bins)
-        return jax.vmap(
-            lambda sv: fp_ops.fingerprint_from_spec(sv, filters, cfg))(specs)
+        return scan_from_spec(spec, filters, cfg, factors, interp)
 
     return run
 
@@ -193,6 +200,62 @@ def fingerprint_scan_batch(
     fn = _fingerprint_scan_batch_jit(cfg, pcms.shape[1], factors, interp)
     return np.asarray(fn(jnp.asarray(pcms),
                          jnp.asarray(filters, dtype=jnp.float32)))
+
+
+def match_scan_escalating(
+    pcms: np.ndarray,
+    filters: np.ndarray,
+    ts,
+    cfg: HpfwConfig = DEFAULT_CONFIG,
+    *,
+    threshold: float = 0.62,
+    span: float | None = None,
+    step: float | None = None,
+    top_k: int | None = None,
+    pool: int | None = None,
+    batch: int = 10,
+    stats: dict | None = None,
+) -> list:
+    """Identity-first matching with tempo-scan ESCALATION — the production
+    serving shape for live-rendition queries against a TwoStageDB.
+
+    Every query is first extracted and matched rigid (one cheap dispatch).
+    Only queries whose best similarity falls below `threshold` (fraction of
+    the 64*N perfect score; in-tempo true matches at 250k sit at ~0.7+,
+    the imposter floor at ~0.52-0.55, tempo-distorted truths AT the floor)
+    are re-extracted as a spec-level tempo-hypothesis stack
+    (fingerprint_scan_batch) and re-matched with every hypothesis ranking
+    together. In-tempo traffic therefore pays the scan NOTHING — measured
+    at 250k: always-scan costs 2.5 points of noise-only top-1 (variant
+    competition) and ~7x extraction; escalation removes both — while
+    tempo-distorted queries get the full scan recovery.
+
+    Returns match_batch-shaped results: a list of (ids, scores, offsets).
+    If `stats` is given it is filled with {"escalated": [query indices]}.
+    """
+    pcms = np.asarray(pcms, dtype=np.float32)
+    if pcms.ndim != 2:
+        raise ValueError(f"expected (B, S) PCM batch, got shape {pcms.shape}")
+    prints = fingerprint_batch(pcms, filters, cfg)
+    n = prints.shape[1]
+    results = []
+    for i in range(0, prints.shape[0], batch):
+        results.extend(ts.match_batch(prints[i:i + batch], top_k=top_k,
+                                      pool=pool, stretch_span=0.0))
+    low = [i for i, (ids, sc, _) in enumerate(results)
+           if not len(ids) or float(sc[0]) < threshold * 64.0 * n]
+    if stats is not None:
+        stats["escalated"] = list(low)
+    if low:
+        stacks = fingerprint_scan_batch(pcms[low], filters, cfg,
+                                        span=span, step=step)
+        rescued = []
+        for i in range(0, stacks.shape[0], batch):
+            rescued.extend(ts.match_batch(stacks[i:i + batch], top_k=top_k,
+                                          pool=pool))
+        for i, r in zip(low, rescued):
+            results[i] = r
+    return results
 
 
 def fingerprint_stream(

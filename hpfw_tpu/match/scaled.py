@@ -107,8 +107,10 @@ def _pool_candidates(best_corr, pool: int):
     return cand
 
 
-def _rank_dedup(scores, idx, offs, track_ids, top_k):
-    """Host ranking: desc score, asc index, duplicates dropped."""
+def _rank_dedup(scores, idx, offs, track_ids, top_k, aux=None):
+    """Host ranking: desc score, asc index, duplicates dropped. aux: an
+    optional per-candidate array returned ranked alongside (e.g. tempo-
+    variant provenance)."""
     order = np.lexsort((idx, -scores))
     seen = set()
     keep = []
@@ -119,7 +121,8 @@ def _rank_dedup(scores, idx, offs, track_ids, top_k):
         if len(keep) == top_k:
             break
     keep = np.array(keep, dtype=np.int64)
-    return ([track_ids[i] for i in idx[keep]], scores[keep], offs[keep])
+    out = ([track_ids[i] for i in idx[keep]], scores[keep], offs[keep])
+    return out if aux is None else out + (aux[keep],)
 
 
 def _two_stage_local(query, query_c, prints, lengths, db_c,
@@ -617,7 +620,9 @@ class TwoStageDB:
               phases: int | None = None, prefilter: int | None = None,
               phases1: int | None = None,
               stretch_span: float | None = None,
-              stretch_step: float | None = None):
+              stretch_step: float | None = None,
+              return_variant: bool = False,
+              calibrate: bool = False):
         cfg = self.db.cfg
         top_k = top_k if top_k is not None else cfg.top_k
         qh = np.asarray(query_prints, dtype=np.uint32)
@@ -643,8 +648,24 @@ class TwoStageDB:
                                   fine_window=fine_window, phases=phases,
                                   prefilter=prefilter, phases1=phases1)
                     for v in variants]
-            scores, idx, offs = np.concatenate(
-                [np.asarray(o) for o in outs], axis=1)
+            host = [np.asarray(o) for o in outs]
+            scores = np.concatenate([o[0] for o in host])
+            idx = np.concatenate([o[1] for o in host])
+            offs = np.concatenate([o[2] for o in host])
+            if calibrate:
+                # Per-hypothesis background subtraction: a re-timed row's
+                # correlations shift systematically (interpolation blur), so
+                # ranking raw scores across hypotheses lets a blurrier row's
+                # imposters outrank the truth. The row's candidate-pool
+                # median is an imposter-background estimate (the truth is
+                # one track in a ~pool-sized sample); rank by the EXCESS
+                # over it. Scores returned are the calibrated ones.
+                scores = np.concatenate(
+                    [o[0] - np.median(o[0]) for o in host])
+            # Variant provenance: candidate j came from hypothesis j // P
+            # (per-variant dispatches concatenate along the candidate axis).
+            var = np.repeat(np.arange(len(variants), dtype=np.int32),
+                            scores.shape[0] // len(variants))
         else:
             # One device dispatch, one host materialization: on a tunneled
             # host link every extra sync costs a full roundtrip, so the
@@ -655,9 +676,11 @@ class TwoStageDB:
                                 phases=phases, prefilter=prefilter,
                                 phases1=phases1)
             scores, idx, offs = np.asarray(out)
+            var = np.zeros(scores.shape[0], dtype=np.int32)
         real = idx < self.n_real
-        scores, idx, offs = scores[real], idx[real], offs[real]
-        return _rank_dedup(scores, idx, offs, self.db.track_ids, top_k)
+        scores, idx, offs, var = scores[real], idx[real], offs[real], var[real]
+        return _rank_dedup(scores, idx, offs, self.db.track_ids, top_k,
+                           aux=var if return_variant else None)
 
     def dispatch_batch(self, queries_dev, *, pool: int | None = None,
                        fine_window: int | None = None,
@@ -700,7 +723,8 @@ class TwoStageDB:
                     phases: int | None = None, prefilter: int | None = None,
                     phases1: int | None = None,
                     stretch_span: float | None = None,
-                    stretch_step: float | None = None):
+                    stretch_step: float | None = None,
+                    calibrate: bool = False):
         """Match B equal-length queries in one device dispatch.
 
         The coarse database streams from HBM once for the whole batch, so
@@ -751,6 +775,11 @@ class TwoStageDB:
             # (B*V, 3, K) -> (B, 3, V*K): variant rows concatenate along the
             # candidate axis so the per-query ranking sees every hypothesis.
             out = out.reshape(-1, n_var, 3, out.shape[-1])
+            if calibrate:
+                # Per-hypothesis background subtraction (see match()).
+                out = out.astype(np.float64, copy=False)
+                out[:, :, 0] -= np.median(out[:, :, 0], axis=-1,
+                                          keepdims=True)
             out = np.moveaxis(out, 1, 2).reshape(out.shape[0], 3, -1)
         results = []
         for b in range(out.shape[0]):

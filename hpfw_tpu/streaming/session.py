@@ -39,7 +39,8 @@ class ChunkedExtractor:
     halo frames worth of samples plus (frame_len - hop).
     """
 
-    def __init__(self, filters: np.ndarray, cfg: HpfwConfig, chunk_prints: int = 32):
+    def __init__(self, filters: np.ndarray, cfg: HpfwConfig,
+                 chunk_prints: int = 32, *, frame_ring: int = 0):
         self.cfg = cfg
         self.chunk_prints = chunk_prints
         self.halo_frames = cfg.context_w + cfg.delta_lag - 1
@@ -49,10 +50,16 @@ class ChunkedExtractor:
         # New samples consumed per step:
         self.step_samples = chunk_prints * cfg.hop
         self._filters = jnp.asarray(filters, dtype=jnp.float32)
+        # frame_ring > 0: also retain the most recent `frame_ring` log-mag
+        # CQT frames (the sliding query's raw spectral view — what the
+        # session's SPEC-level tempo scan re-times; print i of the print
+        # ring was built from frames [i, i + halo]).
+        self.frame_ring: deque | None = (
+            deque(maxlen=frame_ring) if frame_ring else None)
 
         def step(pcm_window, filters):
             spec = frontend.cqt(pcm_window, cfg)
-            return fp_ops.fingerprint_from_spec(spec, filters, cfg)
+            return fp_ops.fingerprint_from_spec(spec, filters, cfg), spec
 
         self._step = jax.jit(step)
         self._buf = np.zeros(0, dtype=np.float32)
@@ -65,8 +72,23 @@ class ChunkedExtractor:
         out = []
         while self._buf.shape[0] >= self.window_samples:
             window = self._buf[: self.window_samples]
-            prints = np.asarray(self._step(jnp.asarray(window), self._filters))
+            prints, spec = self._step(jnp.asarray(window), self._filters)
+            prints = np.asarray(prints)
             out.append(prints[: self.chunk_prints])
+            if self.frame_ring is not None:
+                # The window's first halo frames re-derive the previous
+                # window's halo tail (to float32 accumulation noise ~1e-5;
+                # sign margins make the PRINT-level invariant exact), so
+                # drop that stale tail and append the whole window: the
+                # ring always ends at the newest frame, and
+                # ring[-(n + halo):] are exactly the frames of the last n
+                # prints.
+                spec = np.asarray(spec)
+                if self.frame_ring:
+                    for _ in range(min(self.halo_frames,
+                                       len(self.frame_ring))):
+                        self.frame_ring.pop()
+                self.frame_ring.extend(spec)
             self._buf = self._buf[self.step_samples:]
         if out:
             return np.concatenate(out, axis=0)
@@ -96,16 +118,50 @@ class StreamingSession:
     waiting ~3 s for the full ring (VERDICT r2 weak #6). Each bucket is one
     fixed-shape jit program. Match latency and end-to-end step latency are
     recorded for p50/p99 reporting.
+
+    Live-rendition tempo (cfg.stretch_span > 0): by default the session
+    runs the SPEC-level scan — the extractor keeps a ring of log-mag CQT
+    frames alongside the prints; a match tick re-times the newest n+halo
+    frames onto the catalog grid per hypothesis and re-runs the cheap back
+    half of extraction (scan_from_spec), feeding the (V, n, 2) stack to
+    the matcher so every hypothesis ranks together. The scan runs as
+    ACQUIRE/TRACK: the full hypothesis grid only until a window clears the
+    imposter vote floor, then just a 3-point neighborhood of the locked
+    tempo (rigid-only when locked at 1.0 — in-tempo streams pay the scan
+    nothing after acquisition, which also avoids the measured 250k
+    variant-competition recall cost); three consecutive sub-floor windows
+    re-enter acquisition (track change / tempo shift). spec_scan=False
+    falls back to the print-level gather inside TwoStageDB.match (no
+    extra extraction, but its within-context distortion caps recovery at
+    catalog scale; RESULTS round 4).
     """
 
     def __init__(self, db, filters: np.ndarray, cfg: HpfwConfig | None = None,
                  *, query_prints: int = 128, chunk_prints: int = 32,
                  match_every: int = 1, vote_decay: float = 0.8,
                  query_buckets: tuple | None = None,
-                 vote_floor: float = 0.55):
+                 vote_floor: float = 0.55, spec_scan: bool | None = None):
         self.db = db                      # FingerprintDB, ShardedDB, TwoStageDB
         self.cfg = cfg if cfg is not None else getattr(db, "cfg", None) or db.db.cfg
-        self.extractor = ChunkedExtractor(filters, self.cfg, chunk_prints)
+        # Live-rendition tempo handling (cfg.stretch_span > 0): the SPEC-
+        # level scan re-times the frame ring onto the catalog grid and
+        # re-runs the cheap back half per hypothesis — the print-level
+        # gather (spec_scan=False: stretch_span passed through db.match)
+        # caps at 0.51 top-1 at 250k tracks from within-context distortion
+        # (RESULTS round 4, stretch diag), so spec is the default.
+        if spec_scan is None:
+            spec_scan = self.cfg.stretch_span > 0.0
+        if spec_scan and self.cfg.stretch_span <= 0.0:
+            raise ValueError("spec_scan=True needs cfg.stretch_span > 0")
+        self._spec_scan = bool(spec_scan)
+        halo = self.cfg.context_w + self.cfg.delta_lag - 1
+        self.extractor = ChunkedExtractor(
+            filters, self.cfg, chunk_prints,
+            frame_ring=(query_prints + halo) if self._spec_scan else 0)
+        self._scan_progs: dict[tuple, object] = {}
+        self._scan_state = "acquire"   # full grid until a lock, then track
+        self.tempo = 1.0               # locked tempo-hypothesis factor
+        self._subfloor = 0             # consecutive sub-floor windows
         self.query_prints = query_prints
         self.match_every = match_every
         # Live song ID integrates evidence over time (SURVEY.md §3.4
@@ -139,17 +195,98 @@ class StreamingSession:
         self.last_match: tuple[str, int, int] | None = None  # instantaneous
         self.current_best: StreamHypothesis | None = None   # integrated
 
+    def _scan_factors(self) -> tuple:
+        """Current tempo hypotheses: the full grid while ACQUIRING; once a
+        hypothesis has cleared the vote floor (TRACK state) just a 3-point
+        neighborhood of the locked tempo — live tempo drifts slowly, so
+        tracking costs 3 dispatches instead of V, and a lock at 1.0 tempo
+        needs only the rigid dispatch (full-scan cost on in-tempo streams:
+        zero after acquisition)."""
+        from ..match.stretch import stretch_grid
+
+        if self._scan_state == "acquire":
+            return tuple(stretch_grid(self.cfg.stretch_span,
+                                      self.cfg.stretch_step))
+        if self.tempo == 1.0:
+            return ()                      # rigid only
+        step = self.cfg.stretch_step
+        lo, hi = 1.0 - self.cfg.stretch_span, 1.0 + self.cfg.stretch_span
+        return tuple(sorted({max(lo, round(self.tempo - step, 6)),
+                             round(self.tempo, 6),
+                             min(hi, round(self.tempo + step, 6))}))
+
+    def _scan_stack(self, n: int, factors: tuple) -> np.ndarray:
+        """(V, n, 2) tempo-hypothesis prints from the newest n+halo frames.
+
+        One jitted scan_from_spec program per (bucket, grid); the identity
+        row equals the print ring's last n prints bit for bit (tested), so
+        the scan only ADDS hypotheses."""
+        halo = self.extractor.halo_frames
+        frames = np.asarray(self.extractor.frame_ring,
+                            dtype=np.float32)[-(n + halo):]
+        prog = self._scan_progs.get((n, factors))
+        if prog is None:
+            from .. import api
+
+            prog = jax.jit(lambda spec, filt: api.scan_from_spec(
+                spec, filt, self.cfg, factors))
+            self._scan_progs[(n, factors)] = prog
+        return np.asarray(prog(jnp.asarray(frames), self.extractor._filters))
+
     def _match_window(self):
         n = max(b for b in self.query_buckets if b <= len(self._ring))
         q = np.array(self._ring, dtype=np.uint32)[-n:]
+        # Tempo hypotheses need the longest evidence: a short early bucket
+        # can't resolve span*n < ~2 frames of drift, and letting it lock
+        # would freeze tempo at 1.0 before the scan ever discriminates —
+        # so the scan (and the lock state machine below) only runs on
+        # full-ring windows; progressive early buckets match rigid.
+        full = n == self.query_prints
+        factors = (self._scan_factors() if self._spec_scan and full
+                   and len(self.extractor.frame_ring)
+                   >= n + self.extractor.halo_frames else ())
         t0 = time.perf_counter()
-        if hasattr(self.db, "match"):  # ShardedDB / TwoStageDB
+        win_factor = 1.0
+        if factors:
+            stack = self._scan_stack(n, factors)
+            if hasattr(self.db, "match"):
+                # TwoStageDB ranks the (V, n, 2) stack's rows together
+                # (pre-scanned variants supersede its print-level scan).
+                ids, scores, offs, var = self.db.match(
+                    stack, top_k=1, return_variant=True)
+                if len(ids):
+                    win_factor = factors[int(var[0])]
+            else:
+                # Dense FingerprintDB: per-variant match, best score wins.
+                from .. import api
+
+                best, ids, scores, offs = None, [], [], []
+                for s, v in zip(factors, stack):
+                    r = api.match(v, self.db, top_k=1)
+                    if len(r[0]) and (best is None or r[1][0] > scores[0]):
+                        best, (ids, scores, offs) = s, r
+                if best is not None:
+                    win_factor = best
+        elif hasattr(self.db, "match"):  # ShardedDB / TwoStageDB
             ids, scores, offs = self.db.match(q, top_k=1)
         else:  # dense FingerprintDB
             from .. import api
 
             ids, scores, offs = api.match(q, self.db, top_k=1)
         self.match_latencies_ms.append((time.perf_counter() - t0) * 1e3)
+        if self._spec_scan and full and len(ids):
+            # Tempo lock state: a full-ring window clearing the imposter
+            # floor locks (or re-centers) the tempo; consecutive sub-floor
+            # windows (track change, tempo shift) fall back to acquisition.
+            if float(scores[0]) > self.vote_floor * 64.0 * n:
+                self._scan_state = "track"
+                self.tempo = float(win_factor) if factors else 1.0
+                self._subfloor = 0
+            else:
+                self._subfloor += 1
+                if self._subfloor >= 3:
+                    self._scan_state = "acquire"
+                    self._subfloor = 0
         if len(ids):
             self.last_match = (ids[0], int(scores[0]), int(offs[0]))
             for k in self._votes:

@@ -135,31 +135,119 @@ def test_streaming_session_stretch_scan(cfg):
         stretch=1.03, noise_db=-12.0))[0]
     step = cfg.sample_rate // 4
 
-    def run_session(span, stream):
+    def run_session(span, stream, **kw):
         cfg2 = dataclasses.replace(cfg, stretch_span=span)
         db2 = api.FingerprintDB(cfg2, filters, db.track_ids, db.prints,
                                 db.lengths)
         sess = StreamingSession(TwoStageDB(db2, stride=4), filters, cfg2,
-                                query_prints=128, chunk_prints=16)
+                                query_prints=128, chunk_prints=16, **kw)
         best = None
         for pos in range(0, len(stream), step):
             best = sess.feed(stream[pos:pos + step])
         return best
 
     rigid = run_session(0.0, live)
-    scan = run_session(0.03, live)
-    assert rigid is not None and scan is not None
-    assert scan.track_id == rigid.track_id == "5"
+    print_scan = run_session(0.03, live, spec_scan=False)
+    spec_scan = run_session(0.03, live)     # spec is the span>0 default
+    assert rigid is not None and print_scan is not None
+    assert spec_scan.track_id == print_scan.track_id \
+        == rigid.track_id == "5"
     # Re-timing recovers most of the drift the rigid alignment loses
-    # (calibrated: ~14% score gap at 3% tempo over 128-print windows).
-    assert scan.score > 1.08 * rigid.score
+    # (calibrated: ~14% score gap at 3% tempo over 128-print windows);
+    # the spec-level scan must do at least as well as the print gather
+    # (it removes the gather's within-context distortion).
+    assert print_scan.score > 1.08 * rigid.score
+    assert spec_scan.score >= print_scan.score
     # Undistorted control: the 1.0 hypothesis is always in the grid, so
-    # scanning an in-tempo stream must not change the lock.
+    # scanning an in-tempo stream must not change the lock (either level).
     clean = np.asarray(synth_jax.live_query_batch(
         [5], [int(0.3 * cfg.sample_rate)], 6.0, 5.0, cfg,
         stretch=1.0, noise_db=-12.0))[0]
-    ctrl = run_session(0.03, clean)
-    assert ctrl is not None and ctrl.track_id == "5"
+    for kw in ({}, {"spec_scan": False}):
+        ctrl = run_session(0.03, clean, **kw)
+        assert ctrl is not None and ctrl.track_id == "5"
+
+
+def test_streaming_tempo_acquire_track(cfg):
+    """The spec-scan session ACQUIRES with the full grid, LOCKS the true
+    tempo factor, then TRACKS with a 3-point mini-grid (rigid-only for an
+    in-tempo lock); variant provenance comes back through
+    TwoStageDB.match(return_variant=True)."""
+    import dataclasses
+
+    from hpfw_tpu.io import synth_jax
+    from hpfw_tpu.match.scaled import TwoStageDB
+
+    cfg2 = dataclasses.replace(cfg, stretch_span=0.03)
+    tracks = [np.asarray(t) for t in synth_jax.synth_batch(
+        np.arange(10), 6.0, cfg2)]
+    filters = _filters(cfg2)
+    db = api.build_db(tracks, filters, cfg2)
+    ts = TwoStageDB(db, stride=4)
+
+    def stream(stretch):
+        return np.asarray(synth_jax.live_query_batch(
+            [4], [int(0.3 * cfg2.sample_rate)], 6.0, 5.0, cfg2,
+            stretch=stretch, noise_db=-20.0))[0]
+
+    step = cfg2.sample_rate // 4
+    # 3%-fast rendition: session must lock tempo ~1.03 and be tracking.
+    sess = StreamingSession(ts, filters, cfg2, query_prints=128,
+                            chunk_prints=16)
+    assert sess._scan_state == "acquire"
+    best = None
+    for pos in range(0, len(stream(1.03)), step):
+        best = sess.feed(stream(1.03)[pos:pos + step])
+    assert best is not None and best.track_id == "4"
+    assert sess._scan_state == "track"
+    assert abs(sess.tempo - 1.03) < 0.015   # within one grid step
+    # In-tempo stream: locks at 1.0 and tracking degenerates to rigid.
+    sess2 = StreamingSession(ts, filters, cfg2, query_prints=128,
+                             chunk_prints=16)
+    for pos in range(0, len(stream(1.0)), step):
+        best2 = sess2.feed(stream(1.0)[pos:pos + step])
+    assert best2 is not None and best2.track_id == "4"
+    assert sess2._scan_state == "track" and sess2.tempo == 1.0
+    assert sess2._scan_factors() == ()      # rigid-only while locked
+
+
+def test_streaming_frame_ring_matches_whole_track(cfg):
+    """The extractor's frame ring matches the whole-track CQT frames to
+    float32 accumulation noise (the NDFT GEMM over different window
+    lengths reassociates — the PRINT-level chunking invariant is exact
+    because sign margins dwarf that ~1e-5 noise), and the spec-scan
+    identity row from the ring reproduces the print ring bit for bit —
+    so the streaming scan only ADDS hypotheses."""
+    import jax.numpy as jnp
+
+    from hpfw_tpu.ops import frontend
+    from hpfw_tpu.streaming.session import ChunkedExtractor
+
+    pcm = synth.synth_track(3, 5.0, cfg)
+    halo = cfg.context_w + cfg.delta_lag - 1
+    ex = ChunkedExtractor(_filters(cfg), cfg, chunk_prints=16,
+                          frame_ring=64 + halo)
+    step = cfg.sample_rate // 3
+    prints = []
+    for pos in range(0, len(pcm), step):
+        prints.append(ex.feed(pcm[pos:pos + step]))
+    prints = np.concatenate(prints, axis=0)
+    whole = np.asarray(frontend.cqt(jnp.asarray(pcm), cfg))
+    ring = np.asarray(ex.frame_ring)
+    n_emitted = prints.shape[0]
+    # ring covers frames [n_emitted + halo - len(ring), n_emitted + halo)
+    lo = n_emitted + halo - ring.shape[0]
+    np.testing.assert_allclose(ring, whole[lo:n_emitted + halo],
+                               rtol=1e-5, atol=1e-4)
+    # spec-scan identity row == the print ring, bit for bit (margins are
+    # audited orders of magnitude above the frame noise)
+    from hpfw_tpu import api as api_mod
+
+    frames = ring[-(64 + halo):]
+    stack = np.asarray(api_mod.scan_from_spec(
+        jnp.asarray(frames), jnp.asarray(_filters(cfg)), cfg,
+        (0.97, 1.0, 1.03)))
+    np.testing.assert_array_equal(stack[1], prints[-64:])
 
 
 def test_streaming_track_change_relocks(cfg):

@@ -252,6 +252,49 @@ def test_spec_scan_recovers_tempo_end_to_end(cfg):
         assert sc[0] > 1.05 * rsc[0]
 
 
+def test_match_scan_escalating(cfg):
+    """Identity-first serving: in-tempo queries resolve on the rigid
+    dispatch (no scan cost), sub-threshold (tempo-distorted) queries
+    escalate to the spec-level stack and recover; return_variant exposes
+    which hypothesis won."""
+    import dataclasses
+
+    from hpfw_tpu.io import synth_jax
+
+    cfg2 = dataclasses.replace(cfg, stretch_span=0.03)
+    tracks = np.asarray(synth_jax.synth_batch(np.arange(12), 6.0, cfg2))
+    filters = _filters(cfg2)
+    db = api.build_db(list(tracks), filters, cfg2)
+    ts = TwoStageDB(db, stride=4, use_pallas_fine=True, pallas_interpret=True)
+    truths = [3, 9]
+    # one in-tempo, one 3%-fast
+    pcm = np.stack([
+        np.asarray(synth_jax.live_query_batch(
+            [truths[0]], [int(0.5 * cfg2.sample_rate)], 6.0, 4.0, cfg2,
+            stretch=1.0, noise_db=-25.0))[0],
+        np.asarray(synth_jax.live_query_batch(
+            [truths[1]], [int(0.5 * cfg2.sample_rate)], 6.0, 4.0, cfg2,
+            stretch=1.03, noise_db=-25.0))[0]])
+    res = api.match_scan_escalating(pcm, filters, ts, cfg2, top_k=1, pool=16)
+    assert len(res) == 2
+    for (ids, sc, off), t in zip(res, truths):
+        assert ids[0] == str(t)
+    # return_variant: the stretched query's winner is a non-identity row
+    stack = api.fingerprint_scan_batch(pcm[1:2], filters, cfg2)[0]
+    ids, sc, off, var = ts.match(stack, top_k=1, pool=16,
+                                 return_variant=True)
+    assert ids[0] == str(truths[1])
+    from hpfw_tpu.match.stretch import stretch_grid
+
+    factors = stretch_grid(0.03, 0.01)
+    assert abs(factors[int(var[0])] - 1.03) < 0.015
+    # rigid match with return_variant reports variant 0
+    q = api.fingerprint_batch(pcm[:1], filters, cfg2)[0]
+    ids, sc, off, var = ts.match(q, top_k=2, pool=8, return_variant=True,
+                                 stretch_span=0.0)
+    assert (var == 0).all()
+
+
 def test_stretch_config_validation():
     HpfwConfig(stretch_span=0.03).validate()
     with pytest.raises(AssertionError):
