@@ -771,19 +771,24 @@ class TwoStageDB:
                                              phases=phases,
                                              prefilter=prefilter,
                                              phases1=phases1))
+        cal = None
         if n_var > 1:
             # (B*V, 3, K) -> (B, 3, V*K): variant rows concatenate along the
             # candidate axis so the per-query ranking sees every hypothesis.
             out = out.reshape(-1, n_var, 3, out.shape[-1])
             if calibrate:
-                # Per-hypothesis background subtraction (see match()).
-                out = out.astype(np.float64, copy=False)
-                out[:, :, 0] -= np.median(out[:, :, 0], axis=-1,
-                                          keepdims=True)
+                # Per-hypothesis background subtraction (see match());
+                # kept separate so idx/offs stay integer. Variant-major
+                # order matches the moveaxis reshape below.
+                cal = out[:, :, 0].astype(np.float64)
+                cal -= np.median(cal, axis=-1, keepdims=True)
+                cal = cal.reshape(cal.shape[0], -1)
             out = np.moveaxis(out, 1, 2).reshape(out.shape[0], 3, -1)
         results = []
         for b in range(out.shape[0]):
             scores, idx, offs = out[b]
+            if cal is not None:
+                scores = cal[b]
             real = idx < self.n_real
             scores, idx, offs = scores[real], idx[real], offs[real]
             results.append(_rank_dedup(scores, idx, offs, self.db.track_ids, top_k))

@@ -295,6 +295,25 @@ def test_match_scan_escalating(cfg):
     assert (var == 0).all()
 
 
+def test_calibrated_variant_ranking(small_db):
+    """calibrate=True ranks hypotheses by excess over each row's candidate
+    background; with a single variant it cannot change the winner, and on
+    a genuine stretched query the truth still wins (both paths exercise
+    the float-score/int-index split)."""
+    cfg, tracks, filters, db = small_db
+    ts = TwoStageDB(db, stride=4, use_pallas_fine=True, pallas_interpret=True)
+    q = _stretched_query(db, 13, 4, 100, 1.03)
+    plain = ts.match(q, top_k=1, pool=24, stretch_span=0.03)
+    cal = ts.match(q, top_k=1, pool=24, stretch_span=0.03, calibrate=True)
+    assert cal[0][0] == plain[0][0] == "13"
+    stack = print_variants(q, stretch_grid(0.03, 0.01))[0]
+    batch = ts.match_batch(stack[None], top_k=1, pool=24, calibrate=True)
+    assert batch[0][0][0] == "13"
+    # calibrated scores are floats (excess over background), idx/offs ints
+    assert isinstance(batch[0][0][0], str)
+    assert np.issubdtype(np.asarray(batch[0][2]).dtype, np.integer)
+
+
 def test_stretch_config_validation():
     HpfwConfig(stretch_span=0.03).validate()
     with pytest.raises(AssertionError):
