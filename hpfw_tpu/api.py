@@ -209,6 +209,7 @@ def match_scan_escalating(
     cfg: HpfwConfig = DEFAULT_CONFIG,
     *,
     threshold: float = 0.62,
+    margin: float = 0.05,
     span: float | None = None,
     step: float | None = None,
     top_k: int | None = None,
@@ -220,15 +221,18 @@ def match_scan_escalating(
     serving shape for live-rendition queries against a TwoStageDB.
 
     Every query is first extracted and matched rigid (one cheap dispatch).
-    Only queries whose best similarity falls below `threshold` (fraction of
-    the 64*N perfect score; in-tempo true matches at 250k sit at ~0.7+,
-    the imposter floor at ~0.52-0.55, tempo-distorted truths AT the floor)
-    are re-extracted as a spec-level tempo-hypothesis stack
-    (fingerprint_scan_batch) and re-matched with every hypothesis ranking
-    together. In-tempo traffic therefore pays the scan NOTHING — measured
-    at 250k: always-scan costs 2.5 points of noise-only top-1 (variant
-    competition) and ~7x extraction; escalation removes both — while
-    tempo-distorted queries get the full scan recovery.
+    A query escalates — re-extracted as a spec-level tempo-hypothesis
+    stack (fingerprint_scan_batch) and re-matched with every hypothesis
+    ranking together — unless its rigid answer is CONFIDENT: top-1
+    similarity >= `threshold` AND a top1->top2 relative margin >=
+    `margin`. The margin is the discriminative half: at 250k real-audio
+    tracks a wrong rigid answer (tempo-distorted query) sits in a dense
+    imposter tail whose top scores are both HIGH (0.62+ of perfect — an
+    absolute threshold alone fails, measured) and nearly TIED, while a
+    true match clears its runner-up by a wide gap. In-tempo traffic
+    therefore pays the scan ~nothing — always-scan costs 2.5 points of
+    noise-only top-1 (variant competition) and ~7x extraction; escalation
+    removes both — while distorted queries get the full scan recovery.
 
     Returns match_batch-shaped results: a list of (ids, scores, offsets).
     If `stats` is given it is filled with {"escalated": [query indices]}.
@@ -238,12 +242,23 @@ def match_scan_escalating(
         raise ValueError(f"expected (B, S) PCM batch, got shape {pcms.shape}")
     prints = fingerprint_batch(pcms, filters, cfg)
     n = prints.shape[1]
+    k_int = max(2, top_k if top_k is not None else cfg.top_k)
     results = []
     for i in range(0, prints.shape[0], batch):
-        results.extend(ts.match_batch(prints[i:i + batch], top_k=top_k,
+        results.extend(ts.match_batch(prints[i:i + batch], top_k=k_int,
                                       pool=pool, stretch_span=0.0))
+
+    def confident(ids, sc):
+        if not len(ids):
+            return False
+        s1 = float(sc[0])
+        if s1 < threshold * 64.0 * n:
+            return False
+        s2 = float(sc[1]) if len(sc) > 1 else 0.0
+        return (s1 - s2) / max(s1, 1e-9) >= margin
+
     low = [i for i, (ids, sc, _) in enumerate(results)
-           if not len(ids) or float(sc[0]) < threshold * 64.0 * n]
+           if not confident(ids, sc)]
     if stats is not None:
         stats["escalated"] = list(low)
     if low:
@@ -251,10 +266,13 @@ def match_scan_escalating(
                                         span=span, step=step)
         rescued = []
         for i in range(0, stacks.shape[0], batch):
-            rescued.extend(ts.match_batch(stacks[i:i + batch], top_k=top_k,
+            rescued.extend(ts.match_batch(stacks[i:i + batch], top_k=k_int,
                                           pool=pool))
         for i, r in zip(low, rescued):
             results[i] = r
+    k = top_k if top_k is not None else cfg.top_k
+    if k < k_int:   # the internal rank ran deeper for the margin test
+        results = [(ids[:k], sc[:k], off[:k]) for ids, sc, off in results]
     return results
 
 

@@ -301,6 +301,14 @@ class TwoStageDB:
 
                 self.prints = None
                 del prints_dev, parts
+                # Drain the queued coarse derivation BEFORE uploading the
+                # planes: under this relay's deferred dispatch the packed-
+                # prints buffer only frees once its queued consumers run,
+                # and letting the 6+ GB plane upload overlap the 5+ GB
+                # prints (+ coarse intermediates) OOMs a 16 GB chip at
+                # 250k tracks (measured round 4 — the whole lazy build
+                # materialized at the first downstream sync otherwise).
+                jax.block_until_ready(self.db_c)
                 d0, d1, self.lpad = plane_pad(prints, tight=True)
                 self.l_true = prints.shape[1]
                 self.d0 = jnp.asarray(d0)

@@ -140,7 +140,8 @@ class StreamingSession:
                  *, query_prints: int = 128, chunk_prints: int = 32,
                  match_every: int = 1, vote_decay: float = 0.8,
                  query_buckets: tuple | None = None,
-                 vote_floor: float = 0.55, spec_scan: bool | None = None):
+                 vote_floor: float = 0.55, spec_scan: bool | None = None,
+                 lock_margin: float = 0.05):
         self.db = db                      # FingerprintDB, ShardedDB, TwoStageDB
         self.cfg = cfg if cfg is not None else getattr(db, "cfg", None) or db.db.cfg
         # Live-rendition tempo handling (cfg.stretch_span > 0): the SPEC-
@@ -161,7 +162,8 @@ class StreamingSession:
         self._scan_progs: dict[tuple, object] = {}
         self._scan_state = "acquire"   # full grid until a lock, then track
         self.tempo = 1.0               # locked tempo-hypothesis factor
-        self._subfloor = 0             # consecutive sub-floor windows
+        self._subfloor = 0             # consecutive unconfident windows
+        self.lock_margin = lock_margin  # top1->top2 gap to lock tempo
         self.query_prints = query_prints
         self.match_every = match_every
         # Live song ID integrates evidence over time (SURVEY.md §3.4
@@ -247,13 +249,14 @@ class StreamingSession:
                    >= n + self.extractor.halo_frames else ())
         t0 = time.perf_counter()
         win_factor = 1.0
+        k = 2 if self._spec_scan else 1   # runner-up feeds the lock margin
         if factors:
             stack = self._scan_stack(n, factors)
             if hasattr(self.db, "match"):
                 # TwoStageDB ranks the (V, n, 2) stack's rows together
                 # (pre-scanned variants supersede its print-level scan).
                 ids, scores, offs, var = self.db.match(
-                    stack, top_k=1, return_variant=True)
+                    stack, top_k=k, return_variant=True)
                 if len(ids):
                     win_factor = factors[int(var[0])]
             else:
@@ -262,23 +265,31 @@ class StreamingSession:
 
                 best, ids, scores, offs = None, [], [], []
                 for s, v in zip(factors, stack):
-                    r = api.match(v, self.db, top_k=1)
+                    r = api.match(v, self.db, top_k=k)
                     if len(r[0]) and (best is None or r[1][0] > scores[0]):
                         best, (ids, scores, offs) = s, r
                 if best is not None:
                     win_factor = best
         elif hasattr(self.db, "match"):  # ShardedDB / TwoStageDB
-            ids, scores, offs = self.db.match(q, top_k=1)
+            ids, scores, offs = self.db.match(q, top_k=k)
         else:  # dense FingerprintDB
             from .. import api
 
-            ids, scores, offs = api.match(q, self.db, top_k=1)
+            ids, scores, offs = api.match(q, self.db, top_k=k)
         self.match_latencies_ms.append((time.perf_counter() - t0) * 1e3)
         if self._spec_scan and full and len(ids):
-            # Tempo lock state: a full-ring window clearing the imposter
-            # floor locks (or re-centers) the tempo; consecutive sub-floor
-            # windows (track change, tempo shift) fall back to acquisition.
-            if float(scores[0]) > self.vote_floor * 64.0 * n:
+            # Tempo lock state: locking (or re-centering) the tempo needs a
+            # CONFIDENT window — above the imposter floor AND clear of its
+            # runner-up. Absolute score alone cannot gate this: at 250k a
+            # wrong answer on a tempo-distorted window scores high but
+            # nearly TIED with the dense imposter tail (measured, round 4),
+            # while a true match separates. Consecutive unconfident windows
+            # (track change, tempo shift) fall back to acquisition.
+            s1 = float(scores[0])
+            s2 = float(scores[1]) if len(scores) > 1 else 0.0
+            clear = (s1 > self.vote_floor * 64.0 * n
+                     and (s1 - s2) / max(s1, 1e-9) >= self.lock_margin)
+            if clear:
                 self._scan_state = "track"
                 self.tempo = float(win_factor) if factors else 1.0
                 self._subfloor = 0
