@@ -89,13 +89,17 @@ def _roundtrip_opus(pcm, cfg):
     streaming-codec chain, binding the round-4 Opus stack into the headline
     eval. decode_opus honors pre-skip exactly, so only resampler edge
     effects need the lag search."""
+    from hpfw_tpu.io import native
     from hpfw_tpu.io.opus import decode_opus
     from hpfw_tpu.io.opus_ref import opus_ref_encode_ogg
     from hpfw_tpu.io.wav import resample
 
     up = resample(pcm, cfg.sample_rate, 48000)
     blob = opus_ref_encode_ogg(up.astype(np.float32), bitrate=96_000)
-    dec, sr = decode_opus(blob)
+    if native.available():   # C++ twin: same output, ~30x the NumPy speed
+        dec, sr = native.decode_opus(blob)
+    else:
+        dec, sr = decode_opus(blob)
     out = resample(dec.astype(np.float32), sr, cfg.sample_rate)
     n = pcm.shape[0]
     lag = _best_lag(pcm, out, 2000)

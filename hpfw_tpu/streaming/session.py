@@ -252,7 +252,7 @@ class StreamingSession:
         k = 2 if self._spec_scan else 1   # runner-up feeds the lock margin
         if factors:
             stack = self._scan_stack(n, factors)
-            if hasattr(self.db, "match"):
+            if hasattr(self.db, "dispatch"):
                 # TwoStageDB ranks the (V, n, 2) stack's rows together
                 # (pre-scanned variants supersede its print-level scan).
                 ids, scores, offs, var = self.db.match(
@@ -260,12 +260,18 @@ class StreamingSession:
                 if len(ids):
                     win_factor = factors[int(var[0])]
             else:
-                # Dense FingerprintDB: per-variant match, best score wins.
+                # Dense FingerprintDB / ShardedDB: per-variant match, best
+                # score wins.
                 from .. import api
+
+                def one(v):
+                    if hasattr(self.db, "match"):
+                        return self.db.match(v, top_k=k)
+                    return api.match(v, self.db, top_k=k)
 
                 best, ids, scores, offs = None, [], [], []
                 for s, v in zip(factors, stack):
-                    r = api.match(v, self.db, top_k=k)
+                    r = one(v)
                     if len(r[0]) and (best is None or r[1][0] > scores[0]):
                         best, (ids, scores, offs) = s, r
                 if best is not None:

@@ -211,6 +211,35 @@ def test_streaming_tempo_acquire_track(cfg):
     assert sess2._scan_factors() == ()      # rigid-only while locked
 
 
+def test_streaming_spec_scan_sharded_db(cfg):
+    """The spec-scan session also works against a mesh-sharded dense DB
+    (per-variant fallback path): a 3%-fast stream locks the right track."""
+    import dataclasses
+
+    import jax
+
+    from hpfw_tpu.io import synth_jax
+    from hpfw_tpu.match.sharded import ShardedDB
+
+    cfg2 = dataclasses.replace(cfg, stretch_span=0.03)
+    tracks = [np.asarray(t) for t in synth_jax.synth_batch(
+        np.arange(8), 6.0, cfg2)]
+    filters = _filters(cfg2)
+    db = api.build_db(tracks, filters, cfg2)
+    sdb = ShardedDB(db, jax.make_mesh((8,), ("db",)))
+    live = np.asarray(synth_jax.live_query_batch(
+        [5], [int(0.3 * cfg2.sample_rate)], 6.0, 4.0, cfg2,
+        stretch=1.03, noise_db=-20.0))[0]
+    sess = StreamingSession(sdb, filters, cfg2, query_prints=64,
+                            chunk_prints=16)
+    step = cfg2.sample_rate // 4
+    best = None
+    for pos in range(0, len(live), step):
+        best = sess.feed(live[pos:pos + step])
+    assert best is not None and best.track_id == "5"
+    assert sess._scan_state == "track" and abs(sess.tempo - 1.03) < 0.015
+
+
 def test_streaming_frame_ring_matches_whole_track(cfg):
     """The extractor's frame ring matches the whole-track CQT frames to
     float32 accumulation noise (the NDFT GEMM over different window
