@@ -209,7 +209,9 @@ def match_scan_escalating(
     cfg: HpfwConfig = DEFAULT_CONFIG,
     *,
     threshold: float = 0.62,
-    margin: float = 0.05,
+    margin: float = 0.04,
+    hi_sim: float = 0.78,
+    override: float = 0.02,
     span: float | None = None,
     step: float | None = None,
     top_k: int | None = None,
@@ -223,19 +225,27 @@ def match_scan_escalating(
     Every query is first extracted and matched rigid (one cheap dispatch).
     A query escalates — re-extracted as a spec-level tempo-hypothesis
     stack (fingerprint_scan_batch) and re-matched with every hypothesis
-    ranking together — unless its rigid answer is CONFIDENT: top-1
-    similarity >= `threshold` AND a top1->top2 relative margin >=
+    ranking together — unless its rigid answer is CONFIDENT: similarity
+    >= `hi_sim` (no wrong rigid answer was measured above ~0.74 at 250k),
+    or similarity >= `threshold` with a top1->top2 relative margin >=
     `margin`. The margin is the discriminative half: at 250k real-audio
     tracks a wrong rigid answer (tempo-distorted query) sits in a dense
     imposter tail whose top scores are both HIGH (0.62+ of perfect — an
-    absolute threshold alone fails, measured) and nearly TIED, while a
-    true match clears its runner-up by a wide gap. In-tempo traffic
-    therefore pays the scan ~nothing — always-scan costs 2.5 points of
-    noise-only top-1 (variant competition) and ~7x extraction; escalation
-    removes both — while distorted queries get the full scan recovery.
+    absolute threshold alone fails, measured; escalation_probe.py) and
+    nearly TIED (margin p50 0.007), while a true match clears its
+    runner-up (margin p50 0.090).
+
+    The scan result then only OVERRIDES the rigid answer when its top
+    score beats the rigid top score by the relative `override` margin:
+    variant competition beats a weak-but-correct rigid answer only
+    BARELY (tied imposter tails), while a genuine tempo rescue clears the
+    rigid score decisively — so escalation can recover distorted queries
+    without ever degrading in-tempo ones (measured: always-scan and
+    unconditional-replace both cost ~2 points of noise-only top-1).
 
     Returns match_batch-shaped results: a list of (ids, scores, offsets).
-    If `stats` is given it is filled with {"escalated": [query indices]}.
+    If `stats` is given it is filled with {"escalated": [indices],
+    "overridden": [indices]}.
     """
     pcms = np.asarray(pcms, dtype=np.float32)
     if pcms.ndim != 2:
@@ -252,6 +262,8 @@ def match_scan_escalating(
         if not len(ids):
             return False
         s1 = float(sc[0])
+        if s1 >= hi_sim * 64.0 * n:
+            return True
         if s1 < threshold * 64.0 * n:
             return False
         s2 = float(sc[1]) if len(sc) > 1 else 0.0
@@ -261,6 +273,7 @@ def match_scan_escalating(
            if not confident(ids, sc)]
     if stats is not None:
         stats["escalated"] = list(low)
+        stats["overridden"] = []
     if low:
         stacks = fingerprint_scan_batch(pcms[low], filters, cfg,
                                         span=span, step=step)
@@ -269,7 +282,12 @@ def match_scan_escalating(
             rescued.extend(ts.match_batch(stacks[i:i + batch], top_k=k_int,
                                           pool=pool))
         for i, r in zip(low, rescued):
-            results[i] = r
+            rigid_s = (float(results[i][1][0])
+                       if len(results[i][0]) else 0.0)
+            if len(r[0]) and float(r[1][0]) > (1.0 + override) * rigid_s:
+                results[i] = r
+                if stats is not None:
+                    stats["overridden"].append(i)
     k = top_k if top_k is not None else cfg.top_k
     if k < k_int:   # the internal rank ran deeper for the margin test
         results = [(ids[:k], sc[:k], off[:k]) for ids, sc, off in results]
