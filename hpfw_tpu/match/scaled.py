@@ -245,11 +245,19 @@ class TwoStageDB:
         parts = [coarse_fn(prints_dev[i:i + chunk])
                  for i in range(0, prints.shape[0], chunk)]
         coarse = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        del parts
         # Zero out padded coarse windows (majority of all-zero packed prints
         # is -1, which would correlate; real scan masks via zeroing).
         lc = coarse.shape[1]
         mask = (jnp.arange(lc)[None, :] < (jnp.asarray(lengths) // self.stride)[:, None])
         coarse = jnp.where(mask[..., None], coarse, 0).astype(jnp.int8)
+        # Drain the queued derivation NOW: under this relay's deferred
+        # dispatch every queued op's output buffer is allocated up front,
+        # so letting chunks + concat + mask + the flatten below all queue
+        # unexecuted puts ~13 GB of intermediates next to the 5 GB packed
+        # prints and OOMs a 16 GB chip at 250k tracks (measured round 4).
+        # One sync here bounds the peak at prints + one coarse copy.
+        coarse = jax.block_until_ready(coarse)
         self.lc_true = lc
         coarse1 = None
         if not use_pallas_coarse:
@@ -300,7 +308,7 @@ class TwoStageDB:
                 from ..ops.pallas_fine import plane_pad
 
                 self.prints = None
-                del prints_dev, parts
+                del prints_dev
                 # Drain the queued coarse derivation BEFORE uploading the
                 # planes: under this relay's deferred dispatch the packed-
                 # prints buffer only frees once its queued consumers run,
