@@ -95,5 +95,74 @@ def main(stretch=1.03, n_q=100):
          **{k: round(v, 4) for k, v in out.items()})
 
 
+def dense_retimed(stretch=1.03, n_q=50):
+    """The honest ceiling for ANY query-side re-timing at 250k: exhaustive
+    DENSE matching of the spec-level TRUE-FACTOR re-extraction. If dense
+    lands near the two-stage oracle-row 0.66, the residual loss is the
+    REPRESENTATION under this distortion (the rendition's frames differ
+    beyond re-timing) and no matcher work can recover it; if dense is well
+    above, the two-stage coarse stage drops distorted truths and matcher
+    escalation has headroom. Chunk-resumable like dense_1m."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.real_catalog import paths
+    from hpfw_tpu.match import matcher
+
+    cfg = HpfwConfig.catalog_scale()
+    d = paths(N_TRACKS, TRACK_S)
+    filters = np.load(os.path.join(d, "filters.npy"))
+    prints = np.load(os.path.join(d, "prints.npy"), mmap_mode="r")
+    fdev = jnp.asarray(filters)
+    qspec, truths = _extract_queries(fdev, 0.0, stretch, cfg, scan_span=0.03)
+    s_idx = int(round((stretch - 1.0) / 0.01)) + 3
+    qrow = qspec[:n_q, s_idx]
+    truths = truths[:n_q]
+
+    @jax.jit
+    def dense_chunk(qs, prints_dev, lengths_dev):
+        return jax.lax.map(
+            lambda q: matcher.score_tracks(q, prints_dev, lengths_dev), qs)
+
+    chunk_t, qbatch = 8192, 10
+    ids = np.full(n_q, -1, np.int64)
+    scores = np.full(n_q, -1, np.int64)
+    part = os.path.join(d, f"dense_retimed_{stretch}_{n_q}_part.npz")
+    c_start = 0
+    if os.path.exists(part):
+        z = np.load(part)
+        ids, scores, c_start = z["ids"], z["scores"], int(z["c_next"])
+        log(f"resuming at chunk {c_start}")
+    t0 = time.time()
+    lengths_dev = jnp.full((chunk_t,), prints.shape[1], jnp.int32)
+    for c0 in range(c_start, N_TRACKS, chunk_t):
+        pd = jnp.asarray(np.asarray(prints[c0:c0 + chunk_t]))
+        for q0 in range(0, n_q, qbatch):
+            q1 = min(q0 + qbatch, n_q)
+            s_all, o_all = (np.asarray(x) for x in dense_chunk(
+                jnp.asarray(qrow[q0:q1]), pd, lengths_dev))
+            best = np.argmax(s_all, axis=1)
+            for i in range(q1 - q0):
+                s0, gi0 = int(s_all[i, best[i]]), c0 + int(best[i])
+                gq = q0 + i
+                if s0 > scores[gq] or (s0 == scores[gq] and gi0 < ids[gq]):
+                    scores[gq], ids[gq] = s0, gi0
+        np.savez(part, ids=ids, scores=scores, c_next=c0 + chunk_t)
+        if (c0 // chunk_t) % 4 == 0:
+            log(f"chunk {c0}/{N_TRACKS} ({time.time() - t0:.0f}s)")
+        del pd
+    top1 = float(np.mean(ids == truths))
+    log(f"dense on true-factor re-timed row: top-1 {top1:.3f} "
+        f"({(time.time() - t0) / n_q:.1f} s/query)")
+    emit("stretch_dense_ceiling_250k", top1, "top1_accuracy",
+         stretch=stretch, n_q=n_q)
+
+
 if __name__ == "__main__":
-    main(*(float(a) if "." in a else int(a) for a in sys.argv[1:]))
+    if len(sys.argv) > 1 and sys.argv[1] == "dense":
+        dense_retimed(*(float(a) if "." in a else int(a)
+                        for a in sys.argv[2:]))
+    else:
+        main(*(float(a) if "." in a else int(a) for a in sys.argv[1:]))
