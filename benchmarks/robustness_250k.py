@@ -235,6 +235,7 @@ def escalate(conditions=None, threshold=0.62):
             st: dict = {}
             res = api.match_scan_escalating(
                 pcm, filters, ts, cfg, threshold=threshold, span=0.03,
+                override=float(os.environ.get("HPFW_ESC_OVERRIDE", "0.02")),
                 top_k=1, batch=10, stats=st)
             esc += len(st["escalated"])
             for j, (tid, s, o) in enumerate(res):
