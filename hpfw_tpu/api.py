@@ -243,6 +243,11 @@ def match_scan_escalating(
     without ever degrading in-tempo ones (measured: always-scan and
     unconditional-replace both cost ~2 points of noise-only top-1).
 
+    `hi_sim <= 0` disables escalation entirely (every query is rigid-only,
+    including ones whose rigid result set is empty) — the explicit "pin
+    exact rigid behavior" switch for deployments that never see
+    tempo-distorted queries.
+
     Returns match_batch-shaped results: a list of (ids, scores, offsets).
     If `stats` is given it is filled with {"escalated": [indices],
     "overridden": [indices]}.
@@ -259,6 +264,8 @@ def match_scan_escalating(
                                       pool=pool, stretch_span=0.0))
 
     def confident(ids, sc):
+        if hi_sim <= 0.0:   # escalation disabled: rigid answers are final
+            return True
         if not len(ids):
             return False
         s1 = float(sc[0])
