@@ -116,27 +116,39 @@ def scan_from_spec(spec, filters, cfg: HpfwConfig, factors: tuple,
                    interp: str = "linear"):
     """Jittable (F, n_bins) log-mag CQT frames -> (V, F-halo, 2) variants.
 
-    The back half of the spec-level tempo scan: each hypothesis s gathers
-    the frames back onto the catalog frame grid (frame i <- rendition
-    frame i/s, the print_variants geometry) and re-runs context assembly +
-    projection + delta + sign + pack. Context windows and delta lags are
-    thus built on catalog-cadence frames — no within-context drift, no
-    pitch shift; the residual is sub-frame interpolation ("linear" blends
-    adjacent frames, "nearest" rounds). Shared by fingerprint_scan_batch
-    (offline, from PCM) and StreamingSession's frame-ring scan (live)."""
-    f = spec.shape[0]
-    base = jnp.arange(f, dtype=jnp.float32)
+    The back half of the spec-level rendition scan. Each hypothesis is a
+    tempo factor s (plain float, back-compatible) or a (s, roll) pair:
 
-    def retime(s):
+    - TEMPO: gather the frames back onto the catalog frame grid (frame
+      i <- rendition frame i/s, the print_variants geometry), so context
+      windows + delta lags are built on catalog-cadence frames — no
+      within-context drift; the residual is sub-frame interpolation
+      ("linear" blends adjacent frames, "nearest" rounds).
+    - PITCH: re-key by rolling the log-mag bins (catalog bin k <- query
+      bin k+roll, edge-clamped) — exact at 24 bins/octave where a key
+      shift of roll*0.5 st IS a roll-bin translation of the CQT
+      (match/stretch.py pitch_grid). BASELINE.json:11's pitch axis.
+
+    Then re-run context assembly + projection + delta + sign + pack per
+    hypothesis; the NDFT frontend (the expensive GEMM) is shared. Used by
+    fingerprint_scan_batch (offline, from PCM) and StreamingSession's
+    frame-ring scan (live)."""
+    hyps = [h if isinstance(h, tuple) else (float(h), 0) for h in factors]
+    f, nb = spec.shape
+    base = jnp.arange(f, dtype=jnp.float32)
+    bins = jnp.arange(nb, dtype=jnp.int32)
+
+    def variant(s, roll):
+        sv = spec if roll == 0 else spec[:, jnp.clip(bins + roll, 0, nb - 1)]
         pos = jnp.clip(base / s, 0.0, f - 1.0)
         if interp == "linear":
             i0 = jnp.floor(pos).astype(jnp.int32)
             i1 = jnp.minimum(i0 + 1, f - 1)
             frac = (pos - i0.astype(jnp.float32))[:, None]
-            return spec[i0] * (1.0 - frac) + spec[i1] * frac
-        return spec[jnp.round(pos).astype(jnp.int32)]
+            return sv[i0] * (1.0 - frac) + sv[i1] * frac
+        return sv[jnp.round(pos).astype(jnp.int32)]
 
-    specs = jnp.stack([retime(s) for s in factors])     # (V, F, n_bins)
+    specs = jnp.stack([variant(s, r) for s, r in hyps])  # (V, F, n_bins)
     return jax.vmap(
         lambda sv: fp_ops.fingerprint_from_spec(sv, filters, cfg))(specs)
 
@@ -163,6 +175,27 @@ def _fingerprint_scan_batch_jit(cfg: HpfwConfig, n_samples: int,
     return jax.jit(run)
 
 
+def scan_hypotheses(cfg: HpfwConfig, span=None, step=None,
+                    pitch_span_bins=None) -> tuple:
+    """The (tempo factor, pitch roll) product grid a scan call will use.
+
+    Resolves span/step/pitch_span_bins against the config's knobs; the
+    combined identity hypothesis (1.0, 0) always sits at index V//2.
+    """
+    from .match.stretch import hypothesis_grid, pitch_grid, stretch_grid
+
+    span = span if span is not None else cfg.stretch_span
+    step = step if step is not None else cfg.stretch_step
+    p = (pitch_span_bins if pitch_span_bins is not None
+         else cfg.pitch_span_bins)
+    if span <= 0.0 and p <= 0:
+        raise ValueError("scan needs a positive stretch span and/or pitch "
+                         "span (set cfg.stretch_span / cfg.pitch_span_bins "
+                         "or pass span= / pitch_span_bins=)")
+    factors = stretch_grid(span, step) if span > 0.0 else [1.0]
+    return tuple(hypothesis_grid(factors, pitch_grid(max(p, 0))))
+
+
 def fingerprint_scan_batch(
     pcms: np.ndarray,
     filters: np.ndarray,
@@ -170,34 +203,30 @@ def fingerprint_scan_batch(
     *,
     span: float | None = None,
     step: float | None = None,
+    pitch_span_bins: int | None = None,
     interp: str = "linear",
 ) -> np.ndarray:
-    """(B, S) PCM -> (B, V, N, 2) uint32: tempo-hypothesis print variants.
+    """(B, S) PCM -> (B, V, N, 2) uint32: rendition-hypothesis variants.
 
-    The quality rung of the live-rendition tempo scan: V = 2*span/step + 1
-    catalog-tempo re-extractions per query, sharing one NDFT frontend pass
-    (the scan costs V cheap projection GEMMs, not V full extractions).
-    Feed the stack straight to TwoStageDB.match_batch — a 4-D query batch
-    ranks each query's variant rows together. span/step default to the
-    config's stretch_span/stretch_step knobs. The middle variant is always
-    the identity hypothesis (exact plain extraction).
+    The quality rung of the live-rendition scan: V = (2*span/step + 1) *
+    (2*pitch_span_bins + 1) catalog-tempo, catalog-key re-extractions per
+    query, sharing one NDFT frontend pass (the scan costs V cheap
+    projection GEMMs, not V full extractions). Feed the stack straight to
+    TwoStageDB.match_batch — a 4-D query batch ranks each query's variant
+    rows together. span/step/pitch_span_bins default to the config's
+    stretch_span/stretch_step/pitch_span_bins knobs. The middle variant
+    (index V//2) is always the combined identity hypothesis — exact plain
+    extraction.
     """
     pcms = np.asarray(pcms, dtype=np.float32)
     if pcms.ndim != 2:
         raise ValueError(f"expected (B, S) PCM batch, got shape {pcms.shape}")
-    span = span if span is not None else cfg.stretch_span
-    step = step if step is not None else cfg.stretch_step
-    if span <= 0.0:
-        raise ValueError("fingerprint_scan_batch needs a positive stretch "
-                         "span (set cfg.stretch_span or pass span=)")
     if interp not in ("linear", "nearest"):
         raise ValueError(f"unknown interp {interp!r}")
-    from .match.stretch import stretch_grid
-
-    factors = tuple(stretch_grid(span, step))
+    hyps = scan_hypotheses(cfg, span, step, pitch_span_bins)
     if cfg.n_hashprints(pcms.shape[1]) == 0:
-        return np.zeros((pcms.shape[0], len(factors), 0, 2), dtype=np.uint32)
-    fn = _fingerprint_scan_batch_jit(cfg, pcms.shape[1], factors, interp)
+        return np.zeros((pcms.shape[0], len(hyps), 0, 2), dtype=np.uint32)
+    fn = _fingerprint_scan_batch_jit(cfg, pcms.shape[1], hyps, interp)
     return np.asarray(fn(jnp.asarray(pcms),
                          jnp.asarray(filters, dtype=jnp.float32)))
 
@@ -214,6 +243,7 @@ def match_scan_escalating(
     override: float = 0.02,
     span: float | None = None,
     step: float | None = None,
+    pitch_span_bins: int | None = None,
     top_k: int | None = None,
     pool: int | None = None,
     batch: int = 10,
@@ -223,9 +253,10 @@ def match_scan_escalating(
     serving shape for live-rendition queries against a TwoStageDB.
 
     Every query is first extracted and matched rigid (one cheap dispatch).
-    A query escalates — re-extracted as a spec-level tempo-hypothesis
-    stack (fingerprint_scan_batch) and re-matched with every hypothesis
-    ranking together — unless its rigid answer is CONFIDENT: similarity
+    A query escalates — re-extracted as a spec-level rendition-hypothesis
+    stack (fingerprint_scan_batch: tempo re-timing x pitch re-keying) and
+    re-matched with every hypothesis ranking together — unless its rigid
+    answer is CONFIDENT: similarity
     >= `hi_sim` (no wrong rigid answer was measured above ~0.74 at 250k),
     or similarity >= `threshold` with a top1->top2 relative margin >=
     `margin`. The margin is the discriminative half: at 250k real-audio
@@ -283,10 +314,15 @@ def match_scan_escalating(
         stats["overridden"] = []
     if low:
         stacks = fingerprint_scan_batch(pcms[low], filters, cfg,
-                                        span=span, step=step)
+                                        span=span, step=step,
+                                        pitch_span_bins=pitch_span_bins)
+        # B*V*pool rides in the fine kernel's SMEM candidate window; size
+        # the scan dispatches so bigger hypothesis grids batch fewer
+        # queries (~70 variant rows per dispatch at the default pool).
+        sbatch = max(1, min(batch, 70 // stacks.shape[1]))
         rescued = []
-        for i in range(0, stacks.shape[0], batch):
-            rescued.extend(ts.match_batch(stacks[i:i + batch], top_k=k_int,
+        for i in range(0, stacks.shape[0], sbatch):
+            rescued.extend(ts.match_batch(stacks[i:i + sbatch], top_k=k_int,
                                           pool=pool))
         for i, r in zip(low, rescued):
             rigid_s = (float(results[i][1][0])

@@ -110,6 +110,15 @@ class HpfwConfig:
     stretch_step: float = 0.01    # tempo-hypothesis grid spacing (residual
                                   # <= step/2 after the scan; the rigid
                                   # aligner absorbs <=0.5% — stretch_study)
+    pitch_span_bins: int = 0      # query-side pitch-scan half-width in CQT
+                                  # bins: >0 additionally matches each
+                                  # query re-keyed by bin rolls -p..+p
+                                  # (one bin = 0.5 st at 24 bins/octave;
+                                  # spec-level re-key before context
+                                  # assembly, match/stretch.py pitch_grid).
+                                  # Composes with the tempo grid as a
+                                  # product: V = (2p+1) * (2*span/step+1)
+                                  # hypothesis rows per query
 
     # ---- derived ----
     @property
@@ -199,6 +208,9 @@ class HpfwConfig:
         if self.stretch_span:
             assert self.stretch_span >= self.stretch_step, \
                 "stretch_span must be at least one grid step"
+        assert 0 <= self.pitch_span_bins <= self.bins_per_octave // 4, \
+            ("pitch_span_bins is a CQT bin-roll half-width (0 disables; "
+             "more than ±1.5 st is not the same performance's key range)")
         assert self.window in ("hann", "hamming")
         max_kernel = int(-(-self.q_factor * self.sample_rate // self.fmin))
         assert self.frame_len >= max_kernel, (

@@ -16,8 +16,14 @@ benchmarks/stretch_study.py). Scanning a small grid of hypotheses and
 keeping the best score recovers stretched queries; grid spacing 1%
 (residual <= 0.5%) preserves top-1 per the study's tolerance curve.
 
-Tempo changes the FRAME GRID, not the spectrum: pitch-shift robustness is
-the learned filters' job (config 5); tempo robustness is this module's.
+Tempo changes the FRAME GRID, not the spectrum; pitch changes the
+SPECTRUM, not the frame grid — at 24 bins/octave a key shift of k*0.5 st
+is exactly a k-bin roll of the log-mag CQT. The learned filters absorb
+part of a key change (config 5: 0.63-0.71 at ±0.5-1 st vs 0.865 in-key at
+250k, RESULTS r4) and the pitch-hypothesis scan (pitch_grid + the
+spec-level re-key in api.scan_from_spec) recovers the rest; the two axes
+compose as a product grid (hypothesis_grid) for the realistic live case
+where both move at once.
 
 Two re-timing levels share this module's frame-grid geometry:
 
@@ -50,6 +56,32 @@ def stretch_grid(span: float = 0.03, step: float = 0.01) -> list[float]:
     """
     k = int(round(span / step))
     return [round(1.0 + i * step, 6) for i in range(-k, k + 1)]
+
+
+def pitch_grid(span_bins: int) -> list[int]:
+    """Symmetric pitch-hypothesis grid: CQT bin rolls -span..+span.
+
+    At 24 bins/octave one bin = 0.5 semitone, so span_bins=2 covers the
+    ±1 st live-key range (BASELINE.json:11 names pitch-shift; the r4
+    measurement put the unmitigated hole at 16-24 points of top-1 at
+    250k). Roll +r hypothesizes the query is performed r bins HIGH:
+    content at catalog bin k sits at query bin k+r, so re-keying gathers
+    query bin k+r back to catalog bin k. 0 (the identity key) is always
+    the center element.
+    """
+    return list(range(-int(span_bins), int(span_bins) + 1))
+
+
+def hypothesis_grid(factors, rolls) -> list[tuple[float, int]]:
+    """Product grid of (tempo factor, pitch roll) hypotheses.
+
+    Ordered rolls-major so that with both axes centered (stretch_grid,
+    pitch_grid) the combined identity hypothesis (1.0, 0) sits at index
+    V//2 — the same center-row invariant the tempo-only scan's callers
+    rely on (the identity row of a scan stack is bit-exact plain
+    extraction).
+    """
+    return [(float(s), int(r)) for r in rolls for s in factors]
 
 
 def print_variants(qprints: np.ndarray, factors) -> np.ndarray:

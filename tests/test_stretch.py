@@ -322,3 +322,112 @@ def test_stretch_config_validation():
         HpfwConfig(stretch_span=0.005, stretch_step=0.01).validate()
     with pytest.raises(AssertionError):
         HpfwConfig(stretch_step=0.0).validate()
+    HpfwConfig(pitch_span_bins=2).validate()
+    with pytest.raises(AssertionError):
+        HpfwConfig(pitch_span_bins=-1).validate()
+    with pytest.raises(AssertionError):
+        HpfwConfig(pitch_span_bins=7).validate()     # > 1.5 st at 24 b/o
+
+
+def test_pitch_and_hypothesis_grids():
+    from hpfw_tpu.match.stretch import hypothesis_grid, pitch_grid
+
+    assert pitch_grid(0) == [0]
+    assert pitch_grid(2) == [-2, -1, 0, 1, 2]
+    g = hypothesis_grid(stretch_grid(0.01, 0.01), pitch_grid(1))
+    assert len(g) == 9
+    assert g[len(g) // 2] == (1.0, 0)        # combined identity at V//2
+    assert g[0] == (0.99, -1) and g[-1] == (1.01, 1)
+
+
+def test_scan_from_spec_pitch_roll_rekeys_bins(cfg):
+    """A (1.0, roll) hypothesis is exactly fingerprinting the bin-rolled
+    (edge-clamped) spectrogram: catalog bin k <- query bin k+roll."""
+    import jax.numpy as jnp
+
+    from hpfw_tpu.ops import fingerprint as fp_ops
+
+    rng = np.random.default_rng(5)
+    spec = rng.standard_normal((60, cfg.n_bins)).astype(np.float32)
+    filters = _filters(cfg)
+    out = np.asarray(api.scan_from_spec(
+        jnp.asarray(spec), jnp.asarray(filters), cfg,
+        ((1.0, -2), (1.0, 0), (1.0, 1))))
+    for v, roll in [(0, -2), (1, 0), (2, 1)]:
+        idx = np.clip(np.arange(cfg.n_bins) + roll, 0, cfg.n_bins - 1)
+        want = np.asarray(fp_ops.fingerprint_from_spec(
+            jnp.asarray(spec[:, idx]), jnp.asarray(filters), cfg))
+        np.testing.assert_array_equal(out[v], want, err_msg=f"roll {roll}")
+
+
+def test_scan_batch_product_grid_identity_row(cfg):
+    """The combined pitch x tempo grid's center variant (V//2) is still
+    bit-exact plain extraction, and the stack has V = tempo * pitch rows."""
+    pcm = np.stack([synth.synth_track(51 + i, 4.0, cfg) for i in range(2)])
+    filters = _filters(cfg)
+    plain = api.fingerprint_batch(pcm, filters, cfg)
+    var = api.fingerprint_scan_batch(pcm, filters, cfg, span=0.02,
+                                     pitch_span_bins=1)
+    assert var.shape == (2, 15, plain.shape[1], 2)
+    np.testing.assert_array_equal(var[:, 7], plain)
+    # pitch-only scan (span 0): V = 2p+1, identity still centered
+    var_p = api.fingerprint_scan_batch(pcm, filters, cfg, span=0.0,
+                                       pitch_span_bins=2)
+    assert var_p.shape == (2, 5, plain.shape[1], 2)
+    np.testing.assert_array_equal(var_p[:, 2], plain)
+
+
+def test_pitch_scan_recovers_key_end_to_end(cfg):
+    """PCM-level: a +0.5 st rendition (one CQT bin at 24 bins/octave) is
+    re-keyed by the +1-bin-roll hypothesis — the scan's best score beats
+    the rigid score and the winning variant is the true roll. Small-scale
+    twin of the 250k pitch measurement."""
+    from hpfw_tpu.io import synth_jax
+
+    tracks = np.asarray(synth_jax.synth_batch(np.arange(16), 6.0, cfg))
+    filters = _filters(cfg)
+    db = api.build_db(list(tracks), filters, cfg)
+    ts = TwoStageDB(db, stride=4, use_pallas_fine=True, pallas_interpret=True)
+    truths = [3, 11]
+    pcm = np.asarray(synth_jax.live_query_batch(
+        truths, [int(0.5 * cfg.sample_rate)] * 2, 6.0, 4.0, cfg,
+        pitch_st=0.5, noise_db=-25.0))
+    qvar = api.fingerprint_scan_batch(pcm, filters, cfg, span=0.0,
+                                      pitch_span_bins=1)   # V=3: rolls -1,0,1
+    res = ts.match_batch(qvar, top_k=1, pool=16)
+    for (ids, sc, off), t in zip(res, truths):
+        assert ids[0] == str(t)
+    # the re-keyed score clearly beats the rigid (identity-row) score
+    rigid = ts.match_batch(qvar[:, 1], top_k=1, pool=16)
+    for (ids, sc, _), (rids, rsc, _) in zip(res, rigid):
+        assert sc[0] > 1.03 * rsc[0]
+    # the winning hypothesis is the true roll (+1 = index 2)
+    ids, sc, off, var = ts.match(qvar[0], top_k=1, pool=16,
+                                 return_variant=True)
+    assert int(var[0]) == 2
+
+
+def test_combined_pitch_tempo_scan_end_to_end(cfg):
+    """The realistic live case: pitched +0.5 st AND 3% fast. The product
+    grid contains the true (tempo, roll) combo and recovers the track
+    where both single-axis scans mis-score."""
+    from hpfw_tpu.io import synth_jax
+
+    tracks = np.asarray(synth_jax.synth_batch(np.arange(16), 6.0, cfg))
+    filters = _filters(cfg)
+    db = api.build_db(list(tracks), filters, cfg)
+    ts = TwoStageDB(db, stride=4, use_pallas_fine=True, pallas_interpret=True)
+    truths = [5, 13]
+    pcm = np.asarray(synth_jax.live_query_batch(
+        truths, [int(0.5 * cfg.sample_rate)] * 2, 6.0, 4.0, cfg,
+        pitch_st=0.5, stretch=1.03, noise_db=-25.0))
+    qvar = api.fingerprint_scan_batch(pcm, filters, cfg, span=0.03,
+                                      pitch_span_bins=1)   # V = 7*3 = 21
+    assert qvar.shape[1] == 21
+    res = ts.match_batch(qvar, top_k=1, pool=16)
+    for (ids, sc, off), t in zip(res, truths):
+        assert ids[0] == str(t)
+    # ...and the product-grid best clearly beats the rigid identity row
+    rigid = ts.match_batch(qvar[:, 10], top_k=1, pool=16)
+    for (ids, sc, _), (rids, rsc, _) in zip(res, rigid):
+        assert sc[0] > 1.03 * rsc[0]
