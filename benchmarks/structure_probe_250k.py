@@ -1,0 +1,161 @@
+"""Alignment-structure evidence at 250k (VERDICT r4 item 2).
+
+Round 4 exhausted score arithmetic: the tempo scan's recovery plateaus at
+0.38-0.45 against its own 0.66 representation ceiling because (a) the
+true factor COMPETES with neighboring hypotheses' imposters on the grid
+(-12 points) and (b) the override bar rejects genuine rescues (-6). This
+probe measures whether sub-window offset REGRESSION (match/align.py) can
+replace score competition:
+
+    gate  — for the RIGID top-1, does structural consistency separate
+            correct from wrong answers better than score/margin (the
+            27.5% false-escalation lever, VERDICT weak #2)?
+    pick  — among the scan's top-K candidates, does picking by structure
+            instead of raw max score close the competition gap?
+
+    python benchmarks/structure_probe_250k.py gate [conditions...]
+    python benchmarks/structure_probe_250k.py pick [conditions...]
+
+Artifacts reuse /tmp/hpfw_real_cat/250000_60. Structure evidence runs
+host-side on the handful of top candidates per query (print rows come
+from the catalog mmap — ~20 KB/track).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from benchmarks.common import emit, log
+from benchmarks.real_catalog import NOISE_DB, QUERY_SECONDS, paths
+from benchmarks.robustness_250k import (BATCH, CONDITIONS, N_Q, N_TRACKS,
+                                        TRACK_S, _extract_queries,
+                                        _query_plan, _two_stage)
+from hpfw_tpu.config import HpfwConfig
+from hpfw_tpu.match.align import structure_evidence
+
+K_WINDOWS = 8
+BAND = 32
+TOL = 2.0
+
+
+def _pct(a):
+    a = np.asarray(a, dtype=np.float64)
+    if not a.size:
+        return None
+    return [round(float(np.percentile(a, p)), 4) for p in (10, 50, 90)]
+
+
+def _load():
+    import jax.numpy as jnp
+
+    cfg = HpfwConfig.catalog_scale()
+    d = paths(N_TRACKS, TRACK_S)
+    filters = np.load(os.path.join(d, "filters.npy"))
+    prints = np.load(os.path.join(d, "prints.npy"), mmap_mode="r")
+    return cfg, filters, jnp.asarray(filters), prints, _two_stage(
+        cfg, prints, filters)
+
+
+def gate(conditions=None):
+    """Structure evidence of the RIGID top-1, split by correctness."""
+    cfg, filters, fdev, prints, ts = _load()
+    conds = [c for c in CONDITIONS
+             if c[0] in (conditions or ["noise", "pitch+0.5", "stretch+3%"])]
+    rows = []
+    for name, pst, stretch in conds:
+        qprints, truths = _extract_queries(fdev, pst, stretch, cfg)
+        t0 = time.time()
+        for i in range(0, N_Q, 10):
+            res = ts.match_batch(qprints[i:i + 10], top_k=2)
+            for j, (tid, sc, off) in enumerate(res):
+                q = i + j
+                ev = structure_evidence(qprints[q], prints[int(tid[0])],
+                                        int(off[0]), k=K_WINDOWS, band=BAND,
+                                        tol=TOL)
+                n = qprints.shape[1]
+                rows.append(dict(
+                    cond=name, correct=int(tid[0]) == truths[q],
+                    sim=float(sc[0]) / (64.0 * n),
+                    margin=(float(sc[0]) - float(sc[1])) / max(float(sc[0]), 1e-9),
+                    slope=ev["slope"], inlier=ev["inlier_frac"],
+                    rms=ev["rms"], mean_sim=ev["mean_sim"]))
+        log(f"gate / {name}: {time.time() - t0:.0f}s")
+    out = {}
+    for name, _, _ in conds:
+        for corr in (True, False):
+            sub = [r for r in rows if r["cond"] == name and r["correct"] == corr]
+            if not sub:
+                continue
+            key = f"{name}/{'T' if corr else 'F'}"
+            out[key] = dict(
+                n=len(sub),
+                inlier=_pct([r["inlier"] for r in sub]),
+                abs_slope=_pct([abs(r["slope"]) for r in sub]),
+                rms=_pct([r["rms"] for r in sub]),
+                margin=_pct([r["margin"] for r in sub]))
+            log(f"{key}: {out[key]}")
+    emit("structure_probe_gate", len(rows), "evidence_rows",
+         k=K_WINDOWS, band=BAND, tol=TOL, **out)
+    return out
+
+
+def pick(conditions=None, span=0.03, pitch=0, top_c=5):
+    """Scan top-K candidates re-picked by structure vs raw max score."""
+    cfg, filters, fdev, prints, ts = _load()
+    conds = [c for c in CONDITIONS
+             if c[0] in (conditions or ["stretch+3%", "stretch-3%"])]
+    results = {}
+    for name, pst, stretch in conds:
+        stacks, truths = _extract_queries(fdev, pst, stretch, cfg,
+                                          scan_span=span, scan_pitch=pitch)
+        v = stacks.shape[1]
+        bsz = max(1, min(10, 70 // v))
+        t0 = time.time()
+        raw = structp = comb = in_pool = 0
+        for i in range(0, N_Q, bsz):
+            res = ts.match_batch(stacks[i:i + bsz], top_k=top_c)
+            for j, (tid, sc, off) in enumerate(res):
+                q = i + j
+                truth = truths[q]
+                cands = [int(t) for t in tid]
+                in_pool += truth in cands
+                raw += cands[0] == truth
+                # structure evidence vs the RIGID query (identity row):
+                # slope then estimates the true tempo error directly.
+                rigid_q = stacks[q, v // 2]
+                evs = [structure_evidence(rigid_q, prints[c], int(o),
+                                          k=K_WINDOWS, band=BAND, tol=TOL)
+                       for c, o in zip(cands, off)]
+                # pure structure pick: most collinear wins, sim breaks ties
+                order = sorted(range(len(cands)), key=lambda x: (
+                    -evs[x]["inlier_frac"], -evs[x]["mean_sim"]))
+                structp += cands[order[0]] == truth
+                # combined: keep the raw pick unless a candidate is clearly
+                # more structured (inlier lead >= 2 windows' worth)
+                best = max(range(len(cands)),
+                           key=lambda x: evs[x]["inlier_frac"])
+                if (evs[best]["inlier_frac"]
+                        >= evs[0]["inlier_frac"] + 2.0 / K_WINDOWS):
+                    comb += cands[best] == truth
+                else:
+                    comb += cands[0] == truth
+        results[name] = dict(raw=raw / N_Q, struct=structp / N_Q,
+                             combined=comb / N_Q, truth_in_pool=in_pool / N_Q,
+                             wall_s=round(time.time() - t0, 1))
+        log(f"pick / {name}: {results[name]}")
+    emit("structure_probe_pick", results[conds[0][0]]["struct"],
+         "top1_accuracy", k=K_WINDOWS, band=BAND, span=span, pitch=pitch,
+         top_c=top_c, **{k: v for k, v in results.items()})
+    return results
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "gate"
+    if mode == "gate":
+        gate(conditions=sys.argv[2:] or None)
+    else:
+        pick(conditions=sys.argv[2:] or None)
