@@ -231,6 +231,44 @@ def fingerprint_scan_batch(
                          jnp.asarray(filters, dtype=jnp.float32)))
 
 
+def rigid_confident(scores, n_prints: int, *, threshold: float = 0.62,
+                    margin: float = 0.04, hi_sim: float = 0.78) -> bool:
+    """The escalation gate: is a rigid ranked result CONFIDENT (final)?
+
+    True when top-1 similarity >= hi_sim (no wrong rigid answer was
+    measured above ~0.74 at 250k), or >= threshold with a top1->top2
+    relative margin >= margin (wrong answers sit nearly TIED with their
+    imposter tail — RESULTS r4 escalation probe). hi_sim <= 0 disables
+    escalation entirely. Shared by match_scan_escalating and
+    serve.EscalatingMatchServer so batch and serving gate identically.
+    """
+    if hi_sim <= 0.0:
+        return True
+    if not len(scores):
+        return False
+    s1 = float(scores[0])
+    if s1 >= hi_sim * 64.0 * n_prints:
+        return True
+    if s1 < threshold * 64.0 * n_prints:
+        return False
+    s2 = float(scores[1]) if len(scores) > 1 else 0.0
+    return (s1 - s2) / max(s1, 1e-9) >= margin
+
+
+def scan_overrides(scan_scores, rigid_scores, *,
+                   override: float = 0.02) -> bool:
+    """The override rule: does a scan result REPLACE the rigid answer?
+
+    Only when its top score beats the rigid top score by the relative
+    `override` margin: variant competition beats a weak-but-correct rigid
+    answer only barely (tied imposter tails), while a genuine rendition
+    rescue clears it decisively (RESULTS r4, escalation-override)."""
+    if not len(scan_scores):
+        return False
+    rigid_s = float(rigid_scores[0]) if len(rigid_scores) else 0.0
+    return float(scan_scores[0]) > (1.0 + override) * rigid_s
+
+
 def match_scan_escalating(
     pcms: np.ndarray,
     filters: np.ndarray,
@@ -294,21 +332,9 @@ def match_scan_escalating(
         results.extend(ts.match_batch(prints[i:i + batch], top_k=k_int,
                                       pool=pool, stretch_span=0.0))
 
-    def confident(ids, sc):
-        if hi_sim <= 0.0:   # escalation disabled: rigid answers are final
-            return True
-        if not len(ids):
-            return False
-        s1 = float(sc[0])
-        if s1 >= hi_sim * 64.0 * n:
-            return True
-        if s1 < threshold * 64.0 * n:
-            return False
-        s2 = float(sc[1]) if len(sc) > 1 else 0.0
-        return (s1 - s2) / max(s1, 1e-9) >= margin
-
     low = [i for i, (ids, sc, _) in enumerate(results)
-           if not confident(ids, sc)]
+           if not rigid_confident(sc, n, threshold=threshold, margin=margin,
+                                  hi_sim=hi_sim)]
     if stats is not None:
         stats["escalated"] = list(low)
         stats["overridden"] = []
@@ -325,9 +351,7 @@ def match_scan_escalating(
             rescued.extend(ts.match_batch(stacks[i:i + sbatch], top_k=k_int,
                                           pool=pool))
         for i, r in zip(low, rescued):
-            rigid_s = (float(results[i][1][0])
-                       if len(results[i][0]) else 0.0)
-            if len(r[0]) and float(r[1][0]) > (1.0 + override) * rigid_s:
+            if scan_overrides(r[1], results[i][1], override=override):
                 results[i] = r
                 if stats is not None:
                     stats["overridden"].append(i)

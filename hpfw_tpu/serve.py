@@ -222,3 +222,339 @@ class MatchServer:
         return _rank_dedup(scores[real], idx[real], offs[real],
                            self.ts.db.track_ids,
                            self.top_k if self.top_k else cfg.top_k)
+
+
+class EscalatingMatchServer:
+    """PCM-in serving loop with identity-first rendition-scan escalation.
+
+    The production shape of api.match_scan_escalating (RESULTS r4:
+    escalation-override at 250k) as a service: callers submit raw PCM
+    windows; a rigid dispatcher batches extraction (one jitted program
+    yields the log-mag CQT AND the packed prints) plus one rigid match
+    dispatch per batch; results that fail the confidence gate
+    (api.rigid_confident) re-enter on a SECOND dispatch class — a scan
+    dispatcher that re-runs the cheap back half of extraction per
+    (tempo, pitch) hypothesis on the saved spec (api.scan_from_spec; the
+    NDFT GEMM is never recomputed) and re-matches the variant stack,
+    overriding the rigid answer only on decisively better evidence
+    (api.scan_overrides). Two dispatch classes mean clean traffic never
+    queues behind scans on the host side; the device interleaves the
+    ms-scale dispatches FIFO.
+
+    Futures resolve to (ids, scores, offsets, escalated: bool). The
+    reference has no serving stack (SURVEY.md §1.1); this wraps its
+    match() surface the TPU-native way.
+    """
+
+    def __init__(self, ts, filters, query_samples: int, *,
+                 max_batch: int = 16, max_wait_ms: float = 5.0,
+                 scan_batch: int | None = None,
+                 scan_wait_ms: float | None = None,
+                 depth: int = 2, top_k: int | None = None,
+                 pool: int | None = None, max_queue: int = 256,
+                 submit_timeout_ms: float = 0.0, rank_workers: int = 4,
+                 threshold: float = 0.62, margin: float = 0.04,
+                 hi_sim: float = 0.78, override: float = 0.02,
+                 span: float | None = None, step: float | None = None,
+                 pitch_span_bins: int | None = None,
+                 interp: str = "linear"):
+        import jax
+        import jax.numpy as jnp
+
+        from . import api
+        from .ops import fingerprint as fp_ops
+        from .ops import frontend
+
+        self._jnp = jnp
+        self._api = api
+        self.ts = ts
+        cfg = ts.db.cfg
+        self.cfg = cfg
+        self.n_samples = int(query_samples)
+        self.n_q = cfg.n_hashprints(self.n_samples)
+        if self.n_q <= 0:
+            raise ValueError(f"query window of {query_samples} samples "
+                             "yields no hashprints")
+        self.max_batch = int(max_batch)
+        self.max_wait = max_wait_ms / 1e3
+        self.top_k = top_k
+        self.pool = pool
+        self.gate = dict(threshold=threshold, margin=margin, hi_sim=hi_sim)
+        self.override = override
+        self.hyps = api.scan_hypotheses(cfg, span, step, pitch_span_bins)
+        # B*V*pool rides in the fine kernel's SMEM candidate window
+        # (~130k); bound the scan dispatch class accordingly.
+        v = len(self.hyps)
+        auto = max(1, 70 // v)
+        self.scan_batch = int(scan_batch) if scan_batch else auto
+        self.scan_wait = (scan_wait_ms / 1e3 if scan_wait_ms is not None
+                          else 2 * self.max_wait)
+        self.submit_timeout = submit_timeout_ms / 1e3
+        self._filters = jnp.asarray(np.asarray(filters, dtype=np.float32))
+
+        def extract(pcms, filt):
+            def one(p):
+                spec = frontend.cqt(p, cfg)
+                return spec, fp_ops.fingerprint_from_spec(spec, filt, cfg)
+            return jax.lax.map(one, pcms)
+
+        self._extract = jax.jit(extract)
+
+        def scan(specs, filt):
+            return jax.lax.map(
+                lambda s: api.scan_from_spec(s, filt, cfg, self.hyps,
+                                             interp), specs)
+
+        self._scan = jax.jit(scan)
+        self._q: queue.Queue = queue.Queue(maxsize=int(max_queue))
+        self._scan_q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._device_slots = threading.Semaphore(int(depth))
+        self._rank_pool = ThreadPoolExecutor(
+            max_workers=int(rank_workers), thread_name_prefix="hpfw-esc")
+        self._lock = threading.Lock()
+        self.stats = {"submitted": 0, "confident": 0, "escalated": 0,
+                      "overridden": 0, "shed": 0}
+        self._rigid_thread = threading.Thread(target=self._run_rigid,
+                                              daemon=True)
+        self._scan_thread = threading.Thread(target=self._run_scan,
+                                             daemon=True)
+        self._rigid_thread.start()
+        self._scan_thread.start()
+
+    def _count(self, key, n=1):
+        with self._lock:
+            self.stats[key] += n
+
+    # ---- client surface -------------------------------------------------
+    def submit(self, pcm: np.ndarray,
+               timeout_ms: float | None = None) -> Future:
+        """Queue one PCM window; resolves to (ids, scores, offs, escalated)."""
+        p = np.asarray(pcm, dtype=np.float32)
+        fut: Future = Future()
+        if p.shape != (self.n_samples,):
+            fut.set_exception(ValueError(
+                f"server is pinned to {self.n_samples}-sample queries, "
+                f"got {p.shape}"))
+            return fut
+        if self._stop.is_set():
+            fut.set_exception(RuntimeError("server closed"))
+            return fut
+        wait = self.submit_timeout if timeout_ms is None else timeout_ms / 1e3
+        try:
+            if wait > 0:
+                self._q.put((p, fut), timeout=wait)
+            else:
+                self._q.put_nowait((p, fut))
+            self._count("submitted")
+        except queue.Full:
+            self._count("shed")
+            fut.set_exception(ServerSaturated(
+                f"submit queue full ({self._q.maxsize} pending)"))
+        return fut
+
+    def match(self, pcm: np.ndarray):
+        return self.submit(pcm, timeout_ms=None).result()
+
+    def _bucket(self, n: int, cap: int) -> int:
+        b = 1
+        while b < n:
+            b *= 4
+        return min(b, cap)
+
+    def warmup(self, example_pcm: np.ndarray) -> None:
+        """Compile extraction, rigid-match, and scan buckets up front."""
+        p = np.asarray(example_pcm, dtype=np.float32)
+        spec1 = None
+        b = 1
+        while True:
+            bb = min(b, self.max_batch)
+            pcms = self._jnp.asarray(np.broadcast_to(p, (bb, self.n_samples)))
+            specs, prints = self._extract(pcms, self._filters)
+            if spec1 is None:
+                spec1 = specs[0]
+            np.asarray(self.ts.dispatch_batch(prints, pool=self.pool))
+            if b >= self.max_batch:
+                break
+            b *= 4
+        b = 1
+        while True:
+            bb = self._bucket(b, self.scan_batch)
+            specs = self._jnp.stack([spec1] * bb)
+            stacks = self._scan(specs, self._filters)
+            np.asarray(self.ts.dispatch_batch(
+                stacks.reshape(-1, self.n_q, 2), pool=self.pool))
+            if bb >= self.scan_batch:
+                break
+            b *= 4
+
+    def close(self) -> None:
+        self._stop.set()
+        for q in (self._q, self._scan_q):
+            try:
+                q.put_nowait(None)
+            except queue.Full:
+                pass
+        self._rigid_thread.join()
+        self._scan_thread.join()
+        self._rank_pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---- dispatchers ----------------------------------------------------
+    def _collect(self, q, first_block, max_n, max_wait):
+        try:
+            item = q.get() if first_block else q.get(timeout=max_wait)
+        except queue.Empty:
+            return []
+        if item is None:
+            return []
+        batch = [item]
+        deadline = time.monotonic() + max_wait
+        while len(batch) < max_n:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                break
+            try:
+                nxt = q.get(timeout=left)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    def _acquire_slot(self) -> bool:
+        while not self._stop.is_set():
+            if self._device_slots.acquire(timeout=0.1):
+                return True
+        return False
+
+    def _run_rigid(self):
+        while not self._stop.is_set():
+            batch = self._collect(self._q, True, self.max_batch,
+                                  self.max_wait)
+            if not batch:
+                if self._stop.is_set():
+                    break
+                continue
+            rows = [p for p, _ in batch]
+            rows += [rows[-1]] * (self._bucket(len(rows), self.max_batch)
+                                  - len(rows))
+            if not self._acquire_slot():
+                for _, fut in batch:
+                    if fut.set_running_or_notify_cancel():
+                        fut.set_exception(RuntimeError("server closed"))
+                break
+            pcms = self._jnp.asarray(np.stack(rows))
+            specs, prints = self._extract(pcms, self._filters)
+            out_dev = self.ts.dispatch_batch(prints, pool=self.pool)
+            self._rank_pool.submit(self._finish_rigid, out_dev, specs,
+                                   [f for _, f in batch])
+        self._drain(self._q)
+
+    def _finish_rigid(self, out_dev, specs, futs):
+        try:
+            out = np.asarray(out_dev)
+        except Exception as e:
+            self._device_slots.release()
+            for fut in futs:
+                if fut.set_running_or_notify_cancel():
+                    fut.set_exception(e)
+            return
+        self._device_slots.release()
+        for b, fut in enumerate(futs):
+            try:
+                ranked = self._rank(out[b], 1)
+                if self._api.rigid_confident(ranked[1], self.n_q,
+                                             **self.gate):
+                    self._count("confident")
+                    if fut.set_running_or_notify_cancel():
+                        fut.set_result(self._trim(ranked) + (False,))
+                else:
+                    self._count("escalated")
+                    self._scan_q.put((specs[b], ranked, fut))
+            except Exception as e:
+                if fut.set_running_or_notify_cancel():
+                    fut.set_exception(e)
+
+    def _run_scan(self):
+        while not self._stop.is_set():
+            batch = self._collect(self._scan_q, False, self.scan_batch,
+                                  self.scan_wait)
+            if not batch:
+                continue
+            rows = [s for s, _, _ in batch]
+            pad = self._bucket(len(rows), self.scan_batch) - len(rows)
+            rows += [rows[-1]] * pad
+            if not self._acquire_slot():
+                for _, _, fut in batch:
+                    if fut.set_running_or_notify_cancel():
+                        fut.set_exception(RuntimeError("server closed"))
+                break
+            specs = self._jnp.stack(rows)
+            stacks = self._scan(specs, self._filters)
+            out_dev = self.ts.dispatch_batch(
+                stacks.reshape(-1, self.n_q, 2), pool=self.pool)
+            self._rank_pool.submit(self._finish_scan, out_dev,
+                                   [(r, f) for _, r, f in batch])
+        self._drain(self._scan_q, triple=True)
+
+    def _finish_scan(self, out_dev, items):
+        try:
+            out = np.asarray(out_dev)
+        except Exception as e:
+            self._device_slots.release()
+            for _, fut in items:
+                if fut.set_running_or_notify_cancel():
+                    fut.set_exception(e)
+            return
+        self._device_slots.release()
+        v = len(self.hyps)
+        # (B*V, 3, K) -> (B, 3, V*K): each query's hypothesis rows rank
+        # together (match_batch's pre-scanned regrouping).
+        out = np.moveaxis(out.reshape(-1, v, 3, out.shape[-1]), 1, 2)
+        out = out.reshape(out.shape[0], 3, -1)
+        for b, (rigid, fut) in enumerate(items):
+            try:
+                ranked = self._rank(out[b], v)
+                if self._api.scan_overrides(ranked[1], rigid[1],
+                                            override=self.override):
+                    self._count("overridden")
+                    result = ranked
+                else:
+                    result = rigid
+                if fut.set_running_or_notify_cancel():
+                    fut.set_result(self._trim(result) + (True,))
+            except Exception as e:
+                if fut.set_running_or_notify_cancel():
+                    fut.set_exception(e)
+
+    def _rank(self, out_b, n_var):
+        from .match.scaled import _rank_dedup
+
+        scores, idx, offs = out_b
+        real = idx < self.ts.n_real
+        k = self.top_k if self.top_k else self.cfg.top_k
+        # rank one deeper than requested: the margin gate reads top-2
+        return _rank_dedup(scores[real], idx[real], offs[real],
+                           self.ts.db.track_ids, max(2, k))
+
+    def _trim(self, ranked):
+        k = self.top_k if self.top_k else self.cfg.top_k
+        return tuple(x[:k] for x in ranked)
+
+    def _drain(self, q, triple=False):
+        while True:
+            try:
+                item = q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                fut = item[2] if triple else item[1]
+                if fut.set_running_or_notify_cancel():
+                    fut.set_exception(RuntimeError("server closed"))

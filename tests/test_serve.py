@@ -106,3 +106,75 @@ def test_server_on_mesh(cfg):
     w_ids, w_scores, w_offs = ts.match(qfp, pool=16)
     assert ids == w_ids
     np.testing.assert_array_equal(scores, w_scores)
+
+
+def test_escalating_server_end_to_end(cfg):
+    """EscalatingMatchServer: in-tempo queries resolve on the rigid class
+    (escalated=False), a stretched rendition escalates to the scan class
+    and recovers (escalated=True); results agree with the batch API's
+    escalation semantics; stats are consistent."""
+    import dataclasses
+
+    from hpfw_tpu.io import synth_jax
+    from hpfw_tpu.serve import EscalatingMatchServer
+
+    cfg2 = dataclasses.replace(cfg, stretch_span=0.03, pitch_span_bins=0)
+    tracks = np.asarray(synth_jax.synth_batch(np.arange(12), 6.0, cfg2))
+    filters = _filters(cfg2)
+    db = api.build_db(list(tracks), filters, cfg2)
+    ts = TwoStageDB(db, stride=4, use_pallas_fine=True, coarse_tile=8,
+                    pallas_interpret=True)
+    n_samples = int(4.0 * cfg2.sample_rate)
+    truths = [3, 9, 5]
+    pcms = [
+        np.asarray(synth_jax.live_query_batch(
+            [truths[0]], [int(0.5 * cfg2.sample_rate)], 6.0, 4.0, cfg2,
+            stretch=1.0, noise_db=-25.0))[0],
+        np.asarray(synth_jax.live_query_batch(
+            [truths[1]], [int(0.5 * cfg2.sample_rate)], 6.0, 4.0, cfg2,
+            stretch=1.03, noise_db=-25.0))[0],
+        np.asarray(synth_jax.live_query_batch(
+            [truths[2]], [int(0.8 * cfg2.sample_rate)], 6.0, 4.0, cfg2,
+            stretch=1.0, noise_db=-25.0))[0]]
+    with EscalatingMatchServer(ts, filters, n_samples, max_batch=4,
+                               max_wait_ms=20.0, pool=16,
+                               top_k=2) as srv:
+        srv.warmup(pcms[0])
+        futs = [srv.submit(p) for p in pcms]
+        got = [f.result(timeout=600) for f in futs]
+        stats = dict(srv.stats)
+    for (ids, sc, off, esc), t in zip(got, truths):
+        assert ids[0] == str(t)
+        assert len(ids) == 2            # top_k honored
+    assert got[1][3] is True            # the stretched one escalated
+    assert stats["submitted"] == 3
+    assert stats["escalated"] >= 1
+    assert stats["confident"] + stats["escalated"] == 3
+    # batch-API agreement on the stretched query
+    res = api.match_scan_escalating(np.stack(pcms), filters, ts, cfg2,
+                                    top_k=2, pool=16)
+    assert got[1][0][0] == res[1][0][0]
+
+
+def test_escalating_server_rejects_and_closes(cfg):
+    import dataclasses
+
+    from hpfw_tpu.io import synth_jax
+    from hpfw_tpu.serve import EscalatingMatchServer
+
+    cfg2 = dataclasses.replace(cfg, stretch_span=0.02)
+    tracks = np.asarray(synth_jax.synth_batch(np.arange(6), 6.0, cfg2))
+    filters = _filters(cfg2)
+    db = api.build_db(list(tracks), filters, cfg2)
+    ts = TwoStageDB(db, stride=4, use_pallas_fine=True, coarse_tile=8,
+                    pallas_interpret=True)
+    n_samples = int(4.0 * cfg2.sample_rate)
+    srv = EscalatingMatchServer(ts, filters, n_samples, max_batch=2,
+                                max_wait_ms=1.0, pool=8)
+    bad = srv.submit(np.zeros(100, np.float32))
+    with pytest.raises(ValueError):
+        bad.result(timeout=10)
+    srv.close()
+    late = srv.submit(np.zeros(n_samples, np.float32))
+    with pytest.raises(RuntimeError):
+        late.result(timeout=10)
