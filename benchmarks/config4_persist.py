@@ -13,6 +13,15 @@ Two phases, run as SEPARATE processes so the warm numbers are honest:
         run queries. Reports process-start -> db-ready and -> first-result,
         plus steady-state latency — the numbers that were ~222 s and ~474 s
         without persistence (RESULTS.md round 2).
+
+    HPFW_COMPILE_CACHE_DIR=<empty dir> \\
+    python benchmarks/config4_persist.py coldquery [n] [s] [cache] [bundle]
+        The SHIPPED-cache cold start (VERDICT r3 item 5 / r4 missing #4):
+        a never-compiled machine, simulated by pointing the persistent XLA
+        cache at a fresh empty dir. bundle=1 (default) installs the cache
+        entries bundled inside the DB artifact (load(install_cache=True))
+        so first-query pays I/O, not remote Mosaic compiles; bundle=0 is
+        the honest no-bundle baseline (full cold compile).
 """
 
 import os
@@ -76,13 +85,13 @@ def build(n_tracks, track_s, cache):
         f"{t_warm:.0f}s ({n_bundled} cache entries shipped)")
 
 
-def query(n_tracks, track_s, cache):
+def query(n_tracks, track_s, cache, *, install_cache=False, tag="warm"):
     from hpfw_tpu.match.scaled import TwoStageDB
 
     import jax
 
     t0 = _PROC_START
-    ts = TwoStageDB.load(cache)
+    ts = TwoStageDB.load(cache, install_cache=install_cache)
     # device_put is async: block so db-ready honestly includes the host->
     # device transfer (on this relay ~40 MB/s, the dominant cost; a real
     # host's PCIe moves the same bytes in well under a second).
@@ -129,14 +138,20 @@ def query(n_tracks, track_s, cache):
         ids, s, o = ts.match(q, top_k=5)
         lat.append(time.perf_counter() - t0)
         hits += ids[0] == str(tid)
-    emit("persist_warm_start", round(time.perf_counter() - _PROC_START, 1),
+    from hpfw_tpu.utils.cache import active_cache_dir
+
+    emit(f"persist_{tag}_start", round(time.perf_counter() - _PROC_START, 1),
          "s_process_to_done",
          db_ready_s=round(t_ready, 1),
          first_query_s=round(t_first, 1), first_hit=bool(hit0),
          steady_p50_ms=round(float(np.percentile(lat, 50)) * 1e3, 1),
          recall=f"{hits}/{len(queries)}", n_tracks=n_tracks,
-         was_cold_s={"db_ready": 222.6, "first_query": 474.0})
-    log(f"warm start: ready {t_ready:.1f}s, first query {t_first:.1f}s, "
+         install_cache=bool(install_cache),
+         xla_cache_dir=active_cache_dir(),
+         no_persistence_s={"db_ready": 222.6, "first_query": 474.0,
+                           "source": "RESULTS.md round 2 (re-derivation, "
+                                     "no persistent XLA cache)"})
+    log(f"{tag} start: ready {t_ready:.1f}s, first query {t_first:.1f}s, "
         f"steady p50 {np.percentile(lat, 50) * 1e3:.1f}ms, "
         f"recall {hits}/{len(queries)}")
 
@@ -150,8 +165,16 @@ def main():
         build(n_tracks, track_s, cache)
     elif phase == "query":
         query(n_tracks, track_s, cache)
+    elif phase == "coldquery":
+        bundle = sys.argv[5] != "0" if len(sys.argv) > 5 else True
+        if os.environ.get("HPFW_COMPILE_CACHE_DIR") is None:
+            raise SystemExit("coldquery simulates a never-compiled machine: "
+                             "set HPFW_COMPILE_CACHE_DIR to a fresh empty "
+                             "dir first")
+        query(n_tracks, track_s, cache, install_cache=bundle,
+              tag="cold_bundled" if bundle else "cold_nobundle")
     else:
-        raise SystemExit("phase must be build|query")
+        raise SystemExit("phase must be build|query|coldquery")
 
 
 if __name__ == "__main__":
