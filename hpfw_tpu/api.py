@@ -269,6 +269,26 @@ def scan_overrides(scan_scores, rigid_scores, *,
     return float(scan_scores[0]) > (1.0 + override) * rigid_s
 
 
+def rigid_structured(query_prints, track_prints, offset, *,
+                     inlier: float = 0.75, slope_tol: float = 0.005,
+                     k: int = 8, band: int = 24, tol: float = 2.0,
+                     length: int | None = None) -> bool:
+    """Structural second opinion on a rigid answer (match/align.py).
+
+    A genuine rigid match's per-sub-window best offsets lie on a ~zero-
+    slope line (the rigid aligner already absorbed any sub-0.5% tempo
+    residual); an imposter's scatter across the band. True when the
+    Theil-Sen fit has inlier_frac >= `inlier` AND |slope| <= `slope_tol`
+    (slope estimates the tempo error directly — a large slope means the
+    answer needs the tempo scan even if collinear)."""
+    from .match.align import structure_evidence
+
+    ev = structure_evidence(np.asarray(query_prints),
+                            np.asarray(track_prints), int(offset),
+                            k=k, band=band, tol=tol, length=length)
+    return ev["inlier_frac"] >= inlier and abs(ev["slope"]) <= slope_tol
+
+
 def match_scan_escalating(
     pcms: np.ndarray,
     filters: np.ndarray,
@@ -285,6 +305,10 @@ def match_scan_escalating(
     top_k: int | None = None,
     pool: int | None = None,
     batch: int = 10,
+    retry_pool: int | None = None,
+    retry_fine_window: int | None = None,
+    structure_gate: float | None = None,
+    structure_slope_tol: float = 0.005,
     stats: dict | None = None,
 ) -> list:
     """Identity-first matching with tempo-scan ESCALATION — the production
@@ -317,9 +341,26 @@ def match_scan_escalating(
     exact rigid behavior" switch for deployments that never see
     tempo-distorted queries.
 
+    Two cheaper rungs sit between "confident" and the rendition scan:
+
+    - `retry_pool` / `retry_fine_window`: an unconfident query is first
+      re-matched RIGID with a deeper candidate pool / wider fine window
+      (one extra dispatch, no variant competition). Deepening the
+      two-stage search can only raise a true track's score, so the retry
+      result replaces the first unconditionally; a now-confident retry
+      skips the scan.
+    - `structure_gate`: a still-unconfident rigid answer is accepted
+      WITHOUT scanning when its sub-window offset structure is collinear
+      at ~zero slope (rigid_structured: inlier_frac >= structure_gate,
+      |slope| <= structure_slope_tol) — score arithmetic says "tied with
+      the imposter tail", alignment geometry says "real" (match/align.py;
+      imposters' per-window argmaxes scatter). Host-side, a few 10 s of
+      microseconds per candidate; needs host print rows (ts.db.prints).
+
     Returns match_batch-shaped results: a list of (ids, scores, offsets).
     If `stats` is given it is filled with {"escalated": [indices],
-    "overridden": [indices]}.
+    "overridden": [indices], "retried": [indices],
+    "structure_kept": [indices]}.
     """
     pcms = np.asarray(pcms, dtype=np.float32)
     if pcms.ndim != 2:
@@ -332,12 +373,44 @@ def match_scan_escalating(
         results.extend(ts.match_batch(prints[i:i + batch], top_k=k_int,
                                       pool=pool, stretch_span=0.0))
 
-    low = [i for i, (ids, sc, _) in enumerate(results)
-           if not rigid_confident(sc, n, threshold=threshold, margin=margin,
-                                  hi_sim=hi_sim)]
+    def unconfident(items):
+        return [i for i in items
+                if not rigid_confident(results[i][1], n, threshold=threshold,
+                                       margin=margin, hi_sim=hi_sim)]
+
+    low = unconfident(range(len(results)))
+    if stats is not None:
+        stats["escalated"] = []
+        stats["overridden"] = []
+        stats["retried"] = list(low) if (retry_pool or retry_fine_window) \
+            else []
+        stats["structure_kept"] = []
+    if low and (retry_pool or retry_fine_window):
+        for i in range(0, len(low), batch):
+            chunk = low[i:i + batch]
+            retried = ts.match_batch(prints[chunk], top_k=k_int,
+                                     pool=retry_pool or pool,
+                                     fine_window=retry_fine_window,
+                                     stretch_span=0.0)
+            for j, r in zip(chunk, retried):
+                results[j] = r
+        low = unconfident(low)
+    if low and structure_gate is not None:
+        kept, still = [], []
+        for i in low:
+            ids, sc, off = results[i]
+            if len(ids) and rigid_structured(
+                    prints[i], ts.db.prints[ts.db.index_of(ids[0])], off[0],
+                    inlier=structure_gate, slope_tol=structure_slope_tol,
+                    length=int(ts.db.lengths[ts.db.index_of(ids[0])])):
+                kept.append(i)
+            else:
+                still.append(i)
+        low = still
+        if stats is not None:
+            stats["structure_kept"] = kept
     if stats is not None:
         stats["escalated"] = list(low)
-        stats["overridden"] = []
     if low:
         stacks = fingerprint_scan_batch(pcms[low], filters, cfg,
                                         span=span, step=step,
@@ -480,6 +553,15 @@ class FingerprintDB:
         self.prints = np.asarray(prints, dtype=np.uint32)    # (T, L, 2) padded
         self.lengths = np.asarray(lengths, dtype=np.int32)   # (T,)
         self._device = None
+        self._id_index = None
+
+    def index_of(self, track_id: str) -> int:
+        """Track-id -> row index (lazy dict; O(1) per lookup after the
+        first call — match results carry ids, structure evidence needs
+        print rows)."""
+        if self._id_index is None:
+            self._id_index = {t: i for i, t in enumerate(self.track_ids)}
+        return self._id_index[track_id]
 
     def device_arrays(self):
         if self._device is None:

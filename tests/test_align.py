@@ -66,6 +66,23 @@ def test_imposter_scatters():
     assert ev["rms"] > 2.0
 
 
+def test_rigid_structured_separates_true_from_imposter():
+    from hpfw_tpu.api import rigid_structured
+
+    track = _prints(11)
+    q = _rendition(track, 60, 320, 1.0, flip_bits=6, seed=12)
+    assert rigid_structured(q, track, 60, inlier=0.75, slope_tol=0.005)
+    # a 3%-stretched rendition is collinear but NOT rigid — slope gate
+    qs = _rendition(track, 60, 320, 1.03, flip_bits=6, seed=13)
+    assert not rigid_structured(qs, track, 60, inlier=0.75,
+                                slope_tol=0.005)
+    # unrelated content scatters — inlier gate
+    other = _prints(14)
+    qo = _rendition(other, 60, 320, 1.0, flip_bits=6, seed=15)
+    assert not rigid_structured(qo, track, 60, inlier=0.75,
+                                slope_tol=0.005)
+
+
 def test_offset_line_fit_robust_to_outlier():
     p = np.arange(8) * 50.0
     d = 0.02 * p + 1.0

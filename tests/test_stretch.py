@@ -295,6 +295,57 @@ def test_match_scan_escalating(cfg):
     assert (var == 0).all()
 
 
+def test_escalation_structure_gate_and_retry(cfg):
+    """The two cheap rungs below the rendition scan: an unconfident
+    in-tempo TRUE answer is kept by the structure gate (collinear,
+    ~zero slope — no scan dispatched), a tempo-distorted query fails the
+    slope gate and still escalates + recovers; the retry rung re-matches
+    unconfident queries with a deeper pool first and records itself."""
+    import dataclasses
+
+    from hpfw_tpu.io import synth_jax
+
+    cfg2 = dataclasses.replace(cfg, stretch_span=0.03)
+    tracks = np.asarray(synth_jax.synth_batch(np.arange(12), 6.0, cfg2))
+    filters = _filters(cfg2)
+    db = api.build_db(list(tracks), filters, cfg2)
+    ts = TwoStageDB(db, stride=4, use_pallas_fine=True, pallas_interpret=True)
+    truths = [3, 9]
+    pcm = np.stack([
+        np.asarray(synth_jax.live_query_batch(
+            [truths[0]], [int(0.5 * cfg2.sample_rate)], 6.0, 4.0, cfg2,
+            stretch=1.0, noise_db=-25.0))[0],
+        np.asarray(synth_jax.live_query_batch(
+            [truths[1]], [int(0.5 * cfg2.sample_rate)], 6.0, 4.0, cfg2,
+            stretch=1.03, noise_db=-25.0))[0]])
+    # threshold=1.01 of perfect: NOTHING is score-confident, so without
+    # the structure gate both queries would escalate.
+    st: dict = {}
+    res = api.match_scan_escalating(
+        pcm, filters, ts, cfg2, top_k=1, pool=16,
+        threshold=1.01, hi_sim=1.01, structure_gate=0.75, stats=st)
+    for (ids, sc, off), t in zip(res, truths):
+        assert ids[0] == str(t)
+    assert st["structure_kept"] == [0]      # in-tempo true answer kept
+    assert st["escalated"] == [1]           # stretched query still scans
+    # retry rung: unconfident queries re-match with a deeper pool once
+    st2: dict = {}
+    res2 = api.match_scan_escalating(
+        pcm, filters, ts, cfg2, top_k=1, pool=8,
+        threshold=1.01, hi_sim=1.01, retry_pool=32,
+        structure_gate=0.75, stats=st2)
+    assert st2["retried"] == [0, 1]
+    for (ids, sc, off), t in zip(res2, truths):
+        assert ids[0] == str(t)
+    # hi_sim<=0 pins rigid-only: no rung runs at all
+    st3: dict = {}
+    api.match_scan_escalating(pcm, filters, ts, cfg2, top_k=1, pool=16,
+                              hi_sim=0.0, retry_pool=32,
+                              structure_gate=0.75, stats=st3)
+    assert st3["retried"] == [] and st3["escalated"] == []
+    assert st3["structure_kept"] == []
+
+
 def test_calibrated_variant_ranking(small_db):
     """calibrate=True ranks hypotheses by excess over each row's candidate
     background; with a single variant it cannot change the winner, and on
