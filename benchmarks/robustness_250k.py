@@ -223,13 +223,16 @@ def run(filter_kind="learned", conditions=None, pool=None):
     return results
 
 
-def escalate(conditions=None, threshold=0.62, pitch=0):
+def escalate(conditions=None, threshold=0.62, pitch=0, retry_pool=None,
+             structure_gate=None):
     """Identity-first + rendition-scan escalation (api.match_scan_
     escalating) at 250k: in-tempo queries must keep the rigid 0.865 (no
     variant-competition cost, no scan latency), distorted queries must
     keep the scan recovery. pitch>0 adds the bin-roll axis to the
-    escalation grid (V = 7 * (2*pitch+1)). Reports the escalation rate
-    per condition."""
+    escalation grid (V = 7 * (2*pitch+1)). retry_pool/structure_gate
+    enable the round-5 cheap rungs below the scan (deep-pool rigid retry,
+    alignment-structure accept). Reports escalation/retry/structure-kept
+    rates per condition."""
     import jax.numpy as jnp
 
     cfg = HpfwConfig.catalog_scale()
@@ -247,8 +250,9 @@ def escalate(conditions=None, threshold=0.62, pitch=0):
     truths_all, starts, nseeds = _query_plan()
     qs_samples = int(QUERY_SECONDS * cfg.sample_rate)
     results, esc_rate, wall_ms = {}, {}, {}
+    retry_rate, kept_rate = {}, {}
     for name, pst, stretch in conds:
-        correct = esc = 0
+        correct = esc = retried = kept = 0
         t0 = time.time()
         for i in range(0, N_Q, BATCH):
             sl = slice(i, min(i + BATCH, N_Q))
@@ -261,21 +265,32 @@ def escalate(conditions=None, threshold=0.62, pitch=0):
                 pcm, filters, ts, cfg, threshold=threshold, span=0.03,
                 pitch_span_bins=pitch,
                 override=float(os.environ.get("HPFW_ESC_OVERRIDE", "0.02")),
-                top_k=1, batch=10, stats=st)
+                top_k=1, batch=10, retry_pool=retry_pool,
+                structure_gate=structure_gate, stats=st)
             esc += len(st["escalated"])
+            retried += len(st.get("retried", []))
+            kept += len(st.get("structure_kept", []))
             for j, (tid, s, o) in enumerate(res):
                 correct += int(tid[0]) == truths_all[sl][j]
         results[name] = correct / N_Q
         esc_rate[name] = esc / N_Q
+        retry_rate[name] = retried / N_Q
+        kept_rate[name] = kept / N_Q
         wall_ms[name] = (time.time() - t0) / N_Q * 1000
         log(f"escalate / {name}: top-1 {results[name]:.3f} "
-            f"(esc {esc_rate[name]:.2f}, {time.time() - t0:.0f}s)")
-    emit("robustness_250k_escalate" + ("_pitch" if pitch else ""),
+            f"(esc {esc_rate[name]:.2f}, retry {retry_rate[name]:.2f}, "
+            f"kept {kept_rate[name]:.2f}, {time.time() - t0:.0f}s)")
+    emit("robustness_250k_escalate"
+         + ("_rung" if (retry_pool or structure_gate) else "")
+         + ("_pitch" if pitch else ""),
          results.get("noise"), "top1_accuracy",
          n_tracks=N_TRACKS, n_queries=N_Q, noise_db=NOISE_DB,
          preset="catalog_scale", threshold=threshold,
-         pitch_span_bins=pitch,
+         pitch_span_bins=pitch, retry_pool=retry_pool,
+         structure_gate=structure_gate,
          esc_rate={k: round(v, 3) for k, v in esc_rate.items()},
+         retry_rate={k: round(v, 3) for k, v in retry_rate.items()},
+         kept_rate={k: round(v, 3) for k, v in kept_rate.items()},
          wall_ms_per_query={k: round(v, 1) for k, v in wall_ms.items()},
          **{k: round(v, 4) for k, v in results.items()})
     return results
@@ -320,5 +335,12 @@ if __name__ == "__main__":
         escalate(conditions=sys.argv[2:] or None)
     elif mode == "pitchesc":
         escalate(conditions=sys.argv[2:] or None, pitch=2)
+    elif mode == "rungesc":
+        # round-5 serving candidate: full pitch x tempo escalation grid
+        # with the cheap rungs (deep-pool retry, structure gate) in front.
+        escalate(conditions=sys.argv[2:] or None, pitch=2,
+                 retry_pool=int(os.environ.get("HPFW_RETRY_POOL", "4096")),
+                 structure_gate=float(
+                     os.environ.get("HPFW_STRUCT_GATE", "0.75")))
     else:
         run(mode, conditions=sys.argv[2:] or None)

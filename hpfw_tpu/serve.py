@@ -257,6 +257,8 @@ class EscalatingMatchServer:
                  hi_sim: float = 0.78, override: float = 0.02,
                  span: float | None = None, step: float | None = None,
                  pitch_span_bins: int | None = None,
+                 structure_gate: float | None = None,
+                 structure_slope_tol: float = 0.005,
                  interp: str = "linear"):
         import jax
         import jax.numpy as jnp
@@ -281,6 +283,15 @@ class EscalatingMatchServer:
         self.pool = pool
         self.gate = dict(threshold=threshold, margin=margin, hi_sim=hi_sim)
         self.override = override
+        # The cheap structural rung between "confident" and the scan
+        # (api.rigid_structured): accept an unconfident rigid answer whose
+        # sub-window offsets are collinear at ~zero slope. Host-side over
+        # the candidate's catalog print row; needs host prints (mmap OK).
+        self.structure_gate = structure_gate
+        self.structure_slope_tol = structure_slope_tol
+        if structure_gate is not None and ts.db.prints is None:
+            raise ValueError("structure_gate needs host print rows on "
+                             "ts.db.prints")
         self.hyps = api.scan_hypotheses(cfg, span, step, pitch_span_bins)
         # B*V*pool rides in the fine kernel's SMEM candidate window
         # (~130k); bound the scan dispatch class accordingly.
@@ -314,7 +325,7 @@ class EscalatingMatchServer:
             max_workers=int(rank_workers), thread_name_prefix="hpfw-esc")
         self._lock = threading.Lock()
         self.stats = {"submitted": 0, "confident": 0, "escalated": 0,
-                      "overridden": 0, "shed": 0}
+                      "overridden": 0, "structure_kept": 0, "shed": 0}
         self._rigid_thread = threading.Thread(target=self._run_rigid,
                                               daemon=True)
         self._scan_thread = threading.Thread(target=self._run_scan,
@@ -454,10 +465,10 @@ class EscalatingMatchServer:
             specs, prints = self._extract(pcms, self._filters)
             out_dev = self.ts.dispatch_batch(prints, pool=self.pool)
             self._rank_pool.submit(self._finish_rigid, out_dev, specs,
-                                   [f for _, f in batch])
+                                   prints, [f for _, f in batch])
         self._drain(self._q)
 
-    def _finish_rigid(self, out_dev, specs, futs):
+    def _finish_rigid(self, out_dev, specs, prints, futs):
         try:
             out = np.asarray(out_dev)
         except Exception as e:
@@ -467,6 +478,10 @@ class EscalatingMatchServer:
                     fut.set_exception(e)
             return
         self._device_slots.release()
+        # Resolve confident answers FIRST: the structural rung's one D2H
+        # (the unconfident rows' query prints) must not sit in front of
+        # clean traffic's futures on this ~32 ms-per-materialize relay.
+        unconfident = []
         for b, fut in enumerate(futs):
             try:
                 ranked = self._rank(out[b], 1)
@@ -476,11 +491,39 @@ class EscalatingMatchServer:
                     if fut.set_running_or_notify_cancel():
                         fut.set_result(self._trim(ranked) + (False,))
                 else:
-                    self._count("escalated")
-                    self._scan_q.put((specs[b], ranked, fut))
+                    unconfident.append((b, ranked, fut))
             except Exception as e:
                 if fut.set_running_or_notify_cancel():
                     fut.set_exception(e)
+        if not unconfident:
+            return
+        qprints = None
+        if self.structure_gate is not None:
+            rows = np.asarray([b for b, _, _ in unconfident])
+            try:
+                qprints = np.asarray(prints[self._jnp.asarray(rows)])
+            except Exception:
+                qprints = None     # fall through: everything escalates
+        for j, (b, ranked, fut) in enumerate(unconfident):
+            kept = False
+            if qprints is not None and len(ranked[0]):
+                try:
+                    db = self.ts.db
+                    row = db.index_of(ranked[0][0])
+                    kept = self._api.rigid_structured(
+                        qprints[j], db.prints[row], int(ranked[2][0]),
+                        inlier=self.structure_gate,
+                        slope_tol=self.structure_slope_tol,
+                        length=int(db.lengths[row]))
+                except Exception:
+                    kept = False
+            if kept:
+                self._count("structure_kept")
+                if fut.set_running_or_notify_cancel():
+                    fut.set_result(self._trim(ranked) + (False,))
+            else:
+                self._count("escalated")
+                self._scan_q.put((specs[b], ranked, fut))
 
     def _run_scan(self):
         while not self._stop.is_set():

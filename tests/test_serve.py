@@ -178,3 +178,45 @@ def test_escalating_server_rejects_and_closes(cfg):
     late = srv.submit(np.zeros(n_samples, np.float32))
     with pytest.raises(RuntimeError):
         late.result(timeout=10)
+
+
+def test_escalating_server_structure_gate(cfg):
+    """The structural rung in serving: with the score gate pinned
+    impossibly high, an in-tempo TRUE answer is kept WITHOUT scanning
+    (collinear sub-window offsets, escalated=False), while a stretched
+    rendition fails the slope gate, escalates, and recovers."""
+    import dataclasses
+
+    from hpfw_tpu.io import synth_jax
+    from hpfw_tpu.serve import EscalatingMatchServer
+
+    cfg2 = dataclasses.replace(cfg, stretch_span=0.03, pitch_span_bins=0)
+    tracks = np.asarray(synth_jax.synth_batch(np.arange(12), 6.0, cfg2))
+    filters = _filters(cfg2)
+    db = api.build_db(list(tracks), filters, cfg2)
+    ts = TwoStageDB(db, stride=4, use_pallas_fine=True, coarse_tile=8,
+                    pallas_interpret=True)
+    n_samples = int(4.0 * cfg2.sample_rate)
+    truths = [3, 9]
+    pcms = [
+        np.asarray(synth_jax.live_query_batch(
+            [truths[0]], [int(0.5 * cfg2.sample_rate)], 6.0, 4.0, cfg2,
+            stretch=1.0, noise_db=-25.0))[0],
+        np.asarray(synth_jax.live_query_batch(
+            [truths[1]], [int(0.5 * cfg2.sample_rate)], 6.0, 4.0, cfg2,
+            stretch=1.03, noise_db=-25.0))[0]]
+    with EscalatingMatchServer(ts, filters, n_samples, max_batch=2,
+                               max_wait_ms=20.0, pool=16, top_k=1,
+                               threshold=1.01, hi_sim=1.01,
+                               structure_gate=0.75) as srv:
+        srv.warmup(pcms[0])
+        futs = [srv.submit(p) for p in pcms]
+        got = [f.result(timeout=600) for f in futs]
+        stats = dict(srv.stats)
+    for (ids, sc, off, esc), t in zip(got, truths):
+        assert ids[0] == str(t)
+    assert got[0][3] is False           # kept by structure, never scanned
+    assert got[1][3] is True            # stretched query escalated
+    assert stats["structure_kept"] == 1
+    assert stats["escalated"] == 1
+    assert stats["confident"] == 0
