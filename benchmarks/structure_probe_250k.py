@@ -115,7 +115,7 @@ def pick(conditions=None, span=0.03, pitch=0, top_c=5):
         v = stacks.shape[1]
         bsz = max(1, min(10, 70 // v))
         t0 = time.time()
-        raw = structp = comb = in_pool = 0
+        raw = structp = comb = lsim = lsim_g = in_pool = 0
         for i in range(0, N_Q, bsz):
             res = ts.match_batch(stacks[i:i + bsz], top_k=top_c)
             for j, (tid, sc, off) in enumerate(res):
@@ -143,8 +143,23 @@ def pick(conditions=None, span=0.03, pitch=0, top_c=5):
                     comb += cands[best] == truth
                 else:
                     comb += cands[0] == truth
+                # local-alignment similarity pick: mean over sub-windows of
+                # each window's BEST local shift — a drift-robust re-score
+                # (the true track recovers almost full similarity inside a
+                # w-print window even at 3% tempo; imposters only get the
+                # max-over-shifts selection bias).
+                ls = max(range(len(cands)),
+                         key=lambda x: evs[x]["mean_sim"])
+                lsim += cands[ls] == truth
+                # same, but only among structurally plausible candidates
+                plaus = [x for x in range(len(cands))
+                         if evs[x]["inlier_frac"] >= 0.5] or [0]
+                lg = max(plaus, key=lambda x: evs[x]["mean_sim"])
+                lsim_g += cands[lg] == truth
         results[name] = dict(raw=raw / N_Q, struct=structp / N_Q,
-                             combined=comb / N_Q, truth_in_pool=in_pool / N_Q,
+                             combined=comb / N_Q, localsim=lsim / N_Q,
+                             localsim_gated=lsim_g / N_Q,
+                             truth_in_pool=in_pool / N_Q,
                              wall_s=round(time.time() - t0, 1))
         log(f"pick / {name}: {results[name]}")
     emit("structure_probe_pick", results[conds[0][0]]["struct"],
