@@ -63,10 +63,11 @@ def run(rates=None):
     ts = _two_stage(cfg, prints, filters)
     qs = _queries(cfg)
     log("queries rendered")
+    sg = os.environ.get("HPFW_SERVE_STRUCT")
     srv = EscalatingMatchServer(
         ts, filters, qs["clean"][0].shape[1], max_batch=16,
         max_wait_ms=5.0, depth=2, top_k=1, max_queue=512,
-        rank_workers=4)
+        rank_workers=4, structure_gate=float(sg) if sg else None)
     t0 = time.time()
     srv.warmup(qs["clean"][0][0])
     log(f"server warm in {time.time() - t0:.0f}s "
@@ -141,7 +142,8 @@ def run(rates=None):
     emit("serve_escalating_250k",
          max(r["achieved_qps"] for r in results.values()), "qps",
          n_tracks=N_TRACKS, mix_stretched=MIX_STRETCHED,
-         duration_s=DURATION_S, stats=st, **results)
+         duration_s=DURATION_S, structure_gate=float(sg) if sg else None,
+         stats=st, **results)
     return results
 
 

@@ -75,7 +75,17 @@ def subwindow_offsets(query: np.ndarray, track: np.ndarray, o_center: int,
     agree = 64 * w - np.bitwise_count(x).astype(np.int64).sum(axis=(2, 3))
     best = np.argmax(agree, axis=1)                           # first on ties
     sims = agree[np.arange(k), best] / (64.0 * w)
-    return positions, ds[best], sims
+    # Peak prominence: best minus the window's MEDIAN over shifts. A
+    # window whose similarity surface is flat (quiet audio, generic
+    # near-match) has prominence ~ the noise extreme (~2.3 sigma ~= 0.02
+    # at w~50); argmax then ties to the same index in every window and
+    # k flat windows masquerade as a perfect zero-slope line — the
+    # measured failure mode that let the structure gate confirm 30% of
+    # wrong rigid answers on stretched queries at 250k (RESULTS r5).
+    # Callers treat low-prominence windows as uninformative.
+    proms = (agree[np.arange(k), best]
+             - np.median(agree, axis=1)) / (64.0 * w)
+    return positions, ds[best], sims, proms
 
 
 def offset_line_fit(positions: np.ndarray, shifts: np.ndarray,
@@ -109,19 +119,35 @@ def offset_line_fit(positions: np.ndarray, shifts: np.ndarray,
 
 def structure_evidence(query: np.ndarray, track: np.ndarray, o_center: int,
                        *, k: int = 8, band: int = 24, tol: float = 2.0,
+                       prom_min: float = 0.05,
                        length: int | None = None) -> dict:
     """Sub-window scan + robust fit, as one evidence record.
 
-    Returns {slope, intercept, inlier_frac, rms, mean_sim, sims, shifts}:
-    `slope` estimates (s_true/s_aligned - 1) — for a rigid candidate that
-    is the tempo error directly; `inlier_frac` is the structural
-    consistency in [0, 1]; `mean_sim` the mean sub-window similarity.
+    Returns {slope, intercept, inlier_frac, rms, mean_sim, sims, shifts,
+    proms, n_informative}: `slope` estimates (s_true/s_aligned - 1) — for
+    a rigid candidate that is the tempo error directly; `inlier_frac` is
+    the structural consistency in [0, 1]; `mean_sim` the mean sub-window
+    similarity.
+
+    Only INFORMATIVE windows (peak prominence >= `prom_min`; a genuine
+    lock peaks ~0.1 above its surroundings, a flat surface's noise
+    extreme is ~0.02 at w~50) participate in the line fit and can count
+    as inliers — uninformative windows count against inlier_frac, so k
+    flat windows score 0.0, not the degenerate 1.0 the tie-broken argmax
+    would otherwise produce. prom_min=0 restores the unmasked behavior.
     """
-    positions, shifts, sims = subwindow_offsets(
+    positions, shifts, sims, proms = subwindow_offsets(
         query, track, o_center, k=k, band=band, length=length)
-    slope, intercept, inlier, rms = offset_line_fit(positions, shifts,
-                                                    tol=tol)
+    info = proms >= prom_min
+    n_info = int(np.count_nonzero(info))
+    if n_info >= 2:
+        slope, intercept, inlier, rms = offset_line_fit(
+            positions[info], shifts[info], tol=tol)
+        inlier *= n_info / float(k)
+    else:
+        slope, intercept, inlier, rms = 0.0, 0.0, 0.0, float("inf")
     return {"slope": slope, "intercept": intercept,
             "inlier_frac": inlier, "rms": rms,
             "mean_sim": float(np.mean(sims)),
-            "positions": positions, "shifts": shifts, "sims": sims}
+            "positions": positions, "shifts": shifts, "sims": sims,
+            "proms": proms, "n_informative": n_info}

@@ -95,10 +95,30 @@ def test_offset_line_fit_robust_to_outlier():
 def test_subwindow_offsets_shapes_and_clamp():
     track = _prints(8, l=100)
     q = _rendition(track, 10, 64, 1.0)
-    pos, shifts, sims = subwindow_offsets(q, track, 10, k=4, band=30)
-    assert pos.shape == shifts.shape == sims.shape == (4,)
+    pos, shifts, sims, proms = subwindow_offsets(q, track, 10, k=4, band=30)
+    assert pos.shape == shifts.shape == sims.shape == proms.shape == (4,)
     assert np.all(np.abs(shifts) <= 30)
     assert np.all(shifts == 0)        # exact excerpt: perfect local locks
     assert np.all(sims == 1.0)
+    assert np.all(proms > 0.3)        # genuine locks are strongly peaked
     with pytest.raises(ValueError):
         subwindow_offsets(q[:3], track, 0, k=8)
+
+
+def test_flat_surface_is_uninformative_not_collinear():
+    """A candidate whose similarity surface is FLAT (constant prints —
+    quiet audio, generic near-match) must score inlier 0.0, not the
+    degenerate 1.0 that tie-broken argmaxes would produce: at 250k the
+    unmasked gate confirmed 30% of wrong rigid answers on stretched
+    queries through exactly this mode (RESULTS r5)."""
+    track = np.tile(np.array([[0xDEADBEEF, 0x12345678]], np.uint32),
+                    (600, 1))
+    q = _prints(21, l=320)
+    pos, shifts, sims, proms = subwindow_offsets(q, track, 50, k=8, band=24)
+    assert np.all(shifts == shifts[0])      # ties -> same index everywhere
+    assert np.all(proms == 0.0)             # ...but zero prominence
+    ev = structure_evidence(q, track, 50, k=8, band=24)
+    assert ev["inlier_frac"] == 0.0
+    assert ev["n_informative"] == 0
+    from hpfw_tpu.api import rigid_structured
+    assert not rigid_structured(q, track, 50, inlier=0.75)
