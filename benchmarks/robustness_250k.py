@@ -224,7 +224,7 @@ def run(filter_kind="learned", conditions=None, pool=None):
 
 
 def escalate(conditions=None, threshold=0.62, pitch=0, retry_pool=None,
-             structure_gate=None):
+             structure_gate=None, override_unstructured=None):
     """Identity-first + rendition-scan escalation (api.match_scan_
     escalating) at 250k: in-tempo queries must keep the rigid 0.865 (no
     variant-competition cost, no scan latency), distorted queries must
@@ -266,7 +266,8 @@ def escalate(conditions=None, threshold=0.62, pitch=0, retry_pool=None,
                 pitch_span_bins=pitch,
                 override=float(os.environ.get("HPFW_ESC_OVERRIDE", "0.02")),
                 top_k=1, batch=10, retry_pool=retry_pool,
-                structure_gate=structure_gate, stats=st)
+                structure_gate=structure_gate,
+                override_unstructured=override_unstructured, stats=st)
             esc += len(st["escalated"])
             retried += len(st.get("retried", []))
             kept += len(st.get("structure_kept", []))
@@ -288,6 +289,7 @@ def escalate(conditions=None, threshold=0.62, pitch=0, retry_pool=None,
          preset="catalog_scale", threshold=threshold,
          pitch_span_bins=pitch, retry_pool=retry_pool,
          structure_gate=structure_gate,
+         override_unstructured=override_unstructured,
          esc_rate={k: round(v, 3) for k, v in esc_rate.items()},
          retry_rate={k: round(v, 3) for k, v in retry_rate.items()},
          kept_rate={k: round(v, 3) for k, v in kept_rate.items()},
@@ -338,9 +340,11 @@ if __name__ == "__main__":
     elif mode == "rungesc":
         # round-5 serving candidate: full pitch x tempo escalation grid
         # with the cheap rungs (deep-pool retry, structure gate) in front.
+        ou = os.environ.get("HPFW_OVERRIDE_UNSTRUCT")
         escalate(conditions=sys.argv[2:] or None, pitch=2,
                  retry_pool=int(os.environ.get("HPFW_RETRY_POOL", "4096")),
                  structure_gate=float(
-                     os.environ.get("HPFW_STRUCT_GATE", "0.75")))
+                     os.environ.get("HPFW_STRUCT_GATE", "0.75")),
+                 override_unstructured=float(ou) if ou is not None else None)
     else:
         run(mode, conditions=sys.argv[2:] or None)

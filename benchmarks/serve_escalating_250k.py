@@ -64,10 +64,12 @@ def run(rates=None):
     qs = _queries(cfg)
     log("queries rendered")
     sg = os.environ.get("HPFW_SERVE_STRUCT")
+    ou = os.environ.get("HPFW_OVERRIDE_UNSTRUCT")
     srv = EscalatingMatchServer(
         ts, filters, qs["clean"][0].shape[1], max_batch=16,
         max_wait_ms=5.0, depth=2, top_k=1, max_queue=512,
-        rank_workers=4, structure_gate=float(sg) if sg else None)
+        rank_workers=4, structure_gate=float(sg) if sg else None,
+        override_unstructured=float(ou) if ou is not None else None)
     t0 = time.time()
     srv.warmup(qs["clean"][0][0])
     log(f"server warm in {time.time() - t0:.0f}s "
@@ -143,6 +145,7 @@ def run(rates=None):
          max(r["achieved_qps"] for r in results.values()), "qps",
          n_tracks=N_TRACKS, mix_stretched=MIX_STRETCHED,
          duration_s=DURATION_S, structure_gate=float(sg) if sg else None,
+         override_unstructured=float(ou) if ou is not None else None,
          stats=st, **results)
     return results
 

@@ -309,6 +309,7 @@ def match_scan_escalating(
     retry_fine_window: int | None = None,
     structure_gate: float | None = None,
     structure_slope_tol: float = 0.005,
+    override_unstructured: float | None = None,
     stats: dict | None = None,
 ) -> list:
     """Identity-first matching with tempo-scan ESCALATION — the production
@@ -356,6 +357,16 @@ def match_scan_escalating(
       the imposter tail", alignment geometry says "real" (match/align.py;
       imposters' per-window argmaxes scatter). Host-side, a few 10 s of
       microseconds per candidate; needs host print rows (ts.db.prints).
+
+    `override_unstructured` (only meaningful with `structure_gate`): the
+    override bar applied to queries whose rigid answer FAILED the
+    structure gate. The +2% default bar exists to protect weak-but-
+    correct rigid answers from tied variant competition — but a rigid
+    answer the gate just measured as geometrically scattered is almost
+    never correct (stretch/F median inlier 0.375 at 250k, RESULTS r5),
+    so for those the bar only blocks genuine rescues. Set it to 0.0 to
+    let the scan win on any score improvement once structure has already
+    voted against the rigid answer.
 
     Returns match_batch-shaped results: a list of (ids, scores, offsets).
     If `stats` is given it is filled with {"escalated": [indices],
@@ -423,8 +434,11 @@ def match_scan_escalating(
         for i in range(0, stacks.shape[0], sbatch):
             rescued.extend(ts.match_batch(stacks[i:i + sbatch], top_k=k_int,
                                           pool=pool))
+        ov = (override_unstructured
+              if (structure_gate is not None
+                  and override_unstructured is not None) else override)
         for i, r in zip(low, rescued):
-            if scan_overrides(r[1], results[i][1], override=override):
+            if scan_overrides(r[1], results[i][1], override=ov):
                 results[i] = r
                 if stats is not None:
                     stats["overridden"].append(i)

@@ -259,6 +259,7 @@ class EscalatingMatchServer:
                  pitch_span_bins: int | None = None,
                  structure_gate: float | None = None,
                  structure_slope_tol: float = 0.005,
+                 override_unstructured: float | None = None,
                  interp: str = "linear"):
         import jax
         import jax.numpy as jnp
@@ -289,6 +290,11 @@ class EscalatingMatchServer:
         # the candidate's catalog print row; needs host prints (mmap OK).
         self.structure_gate = structure_gate
         self.structure_slope_tol = structure_slope_tol
+        # Override bar for scans whose rigid answer FAILED the structure
+        # gate (geometry already voted against it — see
+        # api.match_scan_escalating's override_unstructured).
+        self.override_unstructured = (
+            override_unstructured if structure_gate is not None else None)
         if structure_gate is not None and ts.db.prints is None:
             raise ValueError("structure_gate needs host print rows on "
                              "ts.db.prints")
@@ -562,11 +568,16 @@ class EscalatingMatchServer:
         # together (match_batch's pre-scanned regrouping).
         out = np.moveaxis(out.reshape(-1, v, 3, out.shape[-1]), 1, 2)
         out = out.reshape(out.shape[0], 3, -1)
+        # Everything in the scan queue already failed the structure gate
+        # (gated queries resolve in _finish_rigid), so the unstructured
+        # bar applies to the whole batch when configured.
+        ov = (self.override_unstructured
+              if self.override_unstructured is not None else self.override)
         for b, (rigid, fut) in enumerate(items):
             try:
                 ranked = self._rank(out[b], v)
                 if self._api.scan_overrides(ranked[1], rigid[1],
-                                            override=self.override):
+                                            override=ov):
                     self._count("overridden")
                     result = ranked
                 else:

@@ -205,10 +205,14 @@ def test_escalating_server_structure_gate(cfg):
         np.asarray(synth_jax.live_query_batch(
             [truths[1]], [int(0.5 * cfg2.sample_rate)], 6.0, 4.0, cfg2,
             stretch=1.03, noise_db=-25.0))[0]]
+    # override=10.0 would block every rescue; override_unstructured=0.0
+    # restores it for gate-failed rigid answers (the only kind that
+    # reaches the scan queue) — same semantics as the api-level knob.
     with EscalatingMatchServer(ts, filters, n_samples, max_batch=2,
                                max_wait_ms=20.0, pool=16, top_k=1,
                                threshold=1.01, hi_sim=1.01,
-                               structure_gate=0.75) as srv:
+                               structure_gate=0.75, override=10.0,
+                               override_unstructured=0.0) as srv:
         srv.warmup(pcms[0])
         futs = [srv.submit(p) for p in pcms]
         got = [f.result(timeout=600) for f in futs]

@@ -343,6 +343,24 @@ def test_escalation_structure_gate_and_retry(cfg):
                               hi_sim=0.0, retry_pool=32,
                               structure_gate=0.75, stats=st3)
     assert st3["retried"] == [] and st3["escalated"] == []
+    # override_unstructured: once the gate has voted the rigid answer
+    # scattered, the scan wins on ANY score improvement — even under an
+    # absurd normal override bar that would block the rescue.
+    st4: dict = {}
+    res4 = api.match_scan_escalating(
+        pcm, filters, ts, cfg2, top_k=1, pool=16,
+        threshold=1.01, hi_sim=1.01, structure_gate=0.75,
+        override=10.0, override_unstructured=0.0, stats=st4)
+    assert st4["escalated"] == [1] and st4["overridden"] == [1]
+    assert res4[1][0][0] == str(truths[1])
+    # ...and without it the same bar blocks the override (the stretched
+    # query keeps its wrong rigid answer).
+    st5: dict = {}
+    api.match_scan_escalating(
+        pcm, filters, ts, cfg2, top_k=1, pool=16,
+        threshold=1.01, hi_sim=1.01, structure_gate=0.75,
+        override=10.0, stats=st5)
+    assert st5["escalated"] == [1] and st5["overridden"] == []
     assert st3["structure_kept"] == []
 
 
