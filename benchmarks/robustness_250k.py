@@ -198,9 +198,11 @@ def run(filter_kind="learned", conditions=None, pool=None):
         t0 = time.time()
         correct = 0
         # Keep B*V*pool under the fine kernel's SMEM candidate bound
-        # (~130k): 10 queries/dispatch at V<=7, fewer on bigger grids.
+        # (~130k): 10 queries/dispatch at V<=7/pool 1024, fewer on bigger
+        # grids or deeper pools (HPFW_SCAN_POOL recall probes).
         v = qprints.shape[1] if qprints.ndim == 4 else 7
-        bsz = max(1, min(10, 70 // v))
+        pool_eff = pool or cfg.fine_candidates
+        bsz = max(1, min(10, 70 // v, 130_000 // (v * pool_eff)))
         for i in range(0, N_Q, bsz):
             # specscan: qprints is 4-D — match_batch's pre-scanned path
             # supersedes the print-level scan (stretch_span ignored there).
@@ -218,6 +220,7 @@ def run(filter_kind="learned", conditions=None, pool=None):
          results.get("pitch+1", results.get("noise")), "top1_accuracy",
          n_tracks=N_TRACKS, n_queries=N_Q, noise_db=NOISE_DB,
          preset="catalog_scale", stretch_span=span, pitch_span_bins=pitch,
+         pool=pool,
          wall_ms_per_query={k: round(v, 1) for k, v in wall_ms.items()},
          **{k: round(v, 4) for k, v in results.items()})
     return results
@@ -347,4 +350,6 @@ if __name__ == "__main__":
                      os.environ.get("HPFW_STRUCT_GATE", "0.75")),
                  override_unstructured=float(ou) if ou is not None else None)
     else:
-        run(mode, conditions=sys.argv[2:] or None)
+        sp = os.environ.get("HPFW_SCAN_POOL")
+        run(mode, conditions=sys.argv[2:] or None,
+            pool=int(sp) if sp else None)
