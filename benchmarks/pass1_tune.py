@@ -57,11 +57,16 @@ def _time_scan(q, db, lc_true, iters=30, **kw):
     # variant lanes (2 groups x 64 = 128 lanes, no duplicate padding).
     kw.setdefault("s", 64)
     best, idx = pallas_coarse_scan_batch_stacked(q, db, lc_true=lc_true, **kw)
-    best.block_until_ready()
+    np.asarray(best)
+    # Force with a host materialization of the LAST output: on this relay
+    # block_until_ready on a jit output can return before queued programs
+    # execute (measured: a 537 MB sweep "finished" in 18 us), so the house
+    # protocol (CLAUDE.md / bench.py) is queue-then-materialize-once. The
+    # ~32 ms relay materialization cost is amortized over iters.
     t0 = time.perf_counter()
     outs = [pallas_coarse_scan_batch_stacked(q, db, lc_true=lc_true, **kw)
             for _ in range(iters)]
-    outs[-1][0].block_until_ready()
+    np.asarray(outs[-1][0])
     dt = (time.perf_counter() - t0) / iters
     return dt, (np.asarray(best), np.asarray(idx))
 
@@ -101,10 +106,10 @@ def main(n_tracks=N_DEFAULT, probes=("baseline", "dma", "convert1", "int4")):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((tpad, 1), jnp.int32))
         dbp = jnp.pad(db, ((0, tpad - n_tracks), (0, 0)))
-        f(dbp).block_until_ready()
+        np.asarray(f(dbp))
         t0 = time.perf_counter()
         outs = [f(dbp) for _ in range(30)]
-        outs[-1].block_until_ready()
+        np.asarray(outs[-1])        # materialize-once forcing (see above)
         dt = (time.perf_counter() - t0) / 30
         results["dma_ms"] = dt * 1e3
         results["dma_gbs"] = nbytes / dt / 1e9
