@@ -151,9 +151,12 @@ class StreamingSession:
         # caps at 0.51 top-1 at 250k tracks from within-context distortion
         # (RESULTS round 4, stretch diag), so spec is the default.
         if spec_scan is None:
-            spec_scan = self.cfg.stretch_span > 0.0
-        if spec_scan and self.cfg.stretch_span <= 0.0:
-            raise ValueError("spec_scan=True needs cfg.stretch_span > 0")
+            spec_scan = (self.cfg.stretch_span > 0.0
+                         or self.cfg.pitch_span_bins > 0)
+        if spec_scan and self.cfg.stretch_span <= 0.0 \
+                and self.cfg.pitch_span_bins <= 0:
+            raise ValueError("spec_scan=True needs cfg.stretch_span > 0 "
+                             "and/or cfg.pitch_span_bins > 0")
         self._spec_scan = bool(spec_scan)
         halo = self.cfg.context_w + self.cfg.delta_lag - 1
         self.extractor = ChunkedExtractor(
@@ -162,6 +165,7 @@ class StreamingSession:
         self._scan_progs: dict[tuple, object] = {}
         self._scan_state = "acquire"   # full grid until a lock, then track
         self.tempo = 1.0               # locked tempo-hypothesis factor
+        self.pitch = 0                 # locked pitch roll (CQT bins; round 5)
         self._subfloor = 0             # consecutive unconfident windows
         self.lock_margin = lock_margin  # top1->top2 gap to lock tempo
         self.query_prints = query_prints
@@ -198,22 +202,25 @@ class StreamingSession:
         self.current_best: StreamHypothesis | None = None   # integrated
 
     def _scan_factors(self) -> tuple:
-        """Current tempo hypotheses: the full grid while ACQUIRING; once a
-        hypothesis has cleared the vote floor (TRACK state) just a 3-point
-        neighborhood of the locked tempo — live tempo drifts slowly, so
-        tracking costs 3 dispatches instead of V, and a lock at 1.0 tempo
-        needs only the rigid dispatch (full-scan cost on in-tempo streams:
-        zero after acquisition)."""
-        from ..match.stretch import stretch_grid
-
+        """Current (tempo, pitch-roll) hypotheses: the full grid while
+        ACQUIRING; once a hypothesis has cleared the vote floor (TRACK
+        state) just a 3-point tempo neighborhood at the locked pitch —
+        live tempo drifts slowly and a performed KEY holds (re-acquisition
+        handles key changes), so tracking costs <=3 dispatches instead of
+        V, and a lock at (1.0, 0) needs only the rigid dispatch (full-scan
+        cost on in-key in-tempo streams: zero after acquisition)."""
         if self._scan_state == "acquire":
-            return tuple(stretch_grid(self.cfg.stretch_span,
-                                      self.cfg.stretch_step))
-        if self.tempo == 1.0:
+            from .. import api
+
+            return api.scan_hypotheses(self.cfg)
+        if self.tempo == 1.0 and self.pitch == 0:
             return ()                      # rigid only
+        if self.cfg.stretch_span <= 0.0:
+            return ((1.0, self.pitch),)    # pitch-only lock
         step = self.cfg.stretch_step
         lo, hi = 1.0 - self.cfg.stretch_span, 1.0 + self.cfg.stretch_span
-        return tuple(sorted({max(lo, round(self.tempo - step, 6)),
+        return tuple((s, self.pitch) for s in
+                     sorted({max(lo, round(self.tempo - step, 6)),
                              round(self.tempo, 6),
                              min(hi, round(self.tempo + step, 6))}))
 
@@ -248,7 +255,7 @@ class StreamingSession:
                    and len(self.extractor.frame_ring)
                    >= n + self.extractor.halo_frames else ())
         t0 = time.perf_counter()
-        win_factor = 1.0
+        win_factor = (1.0, 0)
         k = 2 if self._spec_scan else 1   # runner-up feeds the lock margin
         if factors:
             stack = self._scan_stack(n, factors)
@@ -297,7 +304,8 @@ class StreamingSession:
                      and (s1 - s2) / max(s1, 1e-9) >= self.lock_margin)
             if clear:
                 self._scan_state = "track"
-                self.tempo = float(win_factor) if factors else 1.0
+                s, r = (win_factor if factors else (1.0, 0))
+                self.tempo, self.pitch = float(s), int(r)
                 self._subfloor = 0
             else:
                 self._subfloor += 1

@@ -211,6 +211,50 @@ def test_streaming_tempo_acquire_track(cfg):
     assert sess2._scan_factors() == ()      # rigid-only while locked
 
 
+def test_streaming_pitch_acquire_track(cfg):
+    """Round-5 pitch axis in sessions: a +0.5 st (= +1 CQT bin at 24
+    bins/octave) live rendition ACQUIRES over the pitch x tempo grid,
+    locks the right pitch roll, and TRACKS with the tempo mini-grid
+    pinned at that roll (a performed key holds; re-acquisition handles
+    key changes)."""
+    import dataclasses
+
+    from hpfw_tpu.io import synth_jax
+    from hpfw_tpu.match.scaled import TwoStageDB
+
+    cfg2 = dataclasses.replace(cfg, stretch_span=0.03, pitch_span_bins=1)
+    tracks = [np.asarray(t) for t in synth_jax.synth_batch(
+        np.arange(10), 6.0, cfg2)]
+    filters = _filters(cfg2)
+    db = api.build_db(tracks, filters, cfg2)
+    ts = TwoStageDB(db, stride=4)
+    live = np.asarray(synth_jax.live_query_batch(
+        [4], [int(0.3 * cfg2.sample_rate)], 6.0, 5.0, cfg2,
+        pitch_st=0.5, noise_db=-20.0))[0]
+    sess = StreamingSession(ts, filters, cfg2, query_prints=128,
+                            chunk_prints=16)
+    # Acquisition grid is the full pitch x tempo product.
+    assert len(sess._scan_factors()) == 7 * 3
+    step = cfg2.sample_rate // 4
+    best = None
+    for pos in range(0, len(live), step):
+        best = sess.feed(live[pos:pos + step])
+    assert best is not None and best.track_id == "4"
+    assert sess._scan_state == "track"
+    assert sess.pitch == 1
+    # Tracking: 3-point tempo neighborhood, every hypothesis at roll 1.
+    fs = sess._scan_factors()
+    assert fs and all(r == 1 for _, r in fs) and len(fs) <= 3
+    # Pitch-only config (no tempo axis): spec scan still enabled, and a
+    # non-zero pitch lock keeps exactly one scan hypothesis.
+    cfg3 = dataclasses.replace(cfg, stretch_span=0.0, pitch_span_bins=1)
+    sess3 = StreamingSession(ts, filters, cfg3, query_prints=128,
+                             chunk_prints=16)
+    assert sess3._spec_scan and len(sess3._scan_factors()) == 3
+    sess3._scan_state, sess3.pitch = "track", 1
+    assert sess3._scan_factors() == ((1.0, 1),)
+
+
 def test_streaming_spec_scan_sharded_db(cfg):
     """The spec-scan session also works against a mesh-sharded dense DB
     (per-variant fallback path): a 3%-fast stream locks the right track."""
