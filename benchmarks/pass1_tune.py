@@ -127,6 +127,26 @@ def main(n_tracks=N_DEFAULT, probes=("baseline", "dma", "convert1", "int4")):
         log(f"convert_once: {dtc * 1e3:.3f} ms, "
             f"{nbytes / dtc / 1e9:.0f} GB/s")
 
+    if "pack4" in probes:
+        # Nibble packing (two values/byte, in-register unpack + even/odd W
+        # split — ops/pallas_coarse.pack_coarse_nibbles): the int4 HBM
+        # saving without the jnp.int4 dtype the dispatcher chokes on.
+        from hpfw_tpu.ops.pallas_coarse import pack_coarse_nibbles
+
+        dbp = pack_coarse_nibbles(db)
+        np.asarray(dbp)
+        dtp, outp = _time_scan(q, dbp, lc_true, packed4=True)
+        results["pack4_ms"] = dtp * 1e3
+        results["pack4_gbs_effective"] = nbytes / dtp / 1e9
+        if "baseline" in probes:
+            same = (np.array_equal(outp[0], ref[0])
+                    and np.array_equal(outp[1], ref[1]))
+            results["pack4_exact"] = bool(same)
+        log(f"pack4: {dtp * 1e3:.3f} ms (vs baseline "
+            f"{results.get('baseline_ms', 0):.3f}), "
+            f"{nbytes / dtp / 1e9:.0f} GB/s effective, "
+            f"exact={results.get('pack4_exact')}")
+
     if "int4" in probes:
         try:
             q4, db4, _ = _setup(n_tracks, dtype="int4")
@@ -152,5 +172,5 @@ def main(n_tracks=N_DEFAULT, probes=("baseline", "dma", "convert1", "int4")):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DEFAULT
-    probes = tuple(sys.argv[2:]) or ("baseline", "dma", "convert1", "int4")
+    probes = tuple(sys.argv[2:]) or ("baseline", "dma", "convert1", "pack4", "int4")
     main(n, probes)

@@ -93,6 +93,12 @@ class HpfwConfig:
                                         # pass-1 bytes (extra HBM: C1/64 of
                                         # the coarse DB) while pass 2 still
                                         # rescans its pooled rows at full C
+    coarse_prefilter_pack4: bool = False  # nibble-pack the pass-1 rows (two
+                                          # ±1 values per byte, unpacked in
+                                          # registers): halves pass-1 HBM
+                                          # bytes again, bit-identical
+                                          # ranking; Pallas path only
+                                          # (ops/pallas_coarse, round 5)
     coarse_channels: int = 64     # coarse-print channels per window (<=64):
                                   # hashprint channels are PCA-ordered, so
                                   # the first C are the most informative —

@@ -172,7 +172,8 @@ class TwoStageDB:
                  query_phases: int | None = None,
                  prefilter: int | None = None,
                  prefilter_phases: int | None = None,
-                 prefilter_channels: int | None = None):
+                 prefilter_channels: int | None = None,
+                 prefilter_pack4: bool | None = None):
         self.db = db
         self._host_state = None
         cfg = db.cfg
@@ -193,6 +194,9 @@ class TwoStageDB:
         self.prefilter_channels = pc if pc else self.coarse_channels
         if self.prefilter_channels > self.coarse_channels:
             raise ValueError("prefilter_channels must be <= coarse_channels")
+        self.prefilter_pack4 = bool(
+            prefilter_pack4 if prefilter_pack4 is not None
+            else getattr(cfg, "coarse_prefilter_pack4", False))
         if self.stride % self.query_phases:
             raise ValueError("query_phases must divide the coarse stride")
         if self.prefilter_phases > 1 and self.stride % self.prefilter_phases:
@@ -263,10 +267,11 @@ class TwoStageDB:
         if not use_pallas_coarse:
             # The channel-subset pass-1 DB only exists on the flat-layout
             # Pallas path (prefilter itself raises elsewhere); collapse the
-            # knob so save()/load() and jit cache keys stay consistent.
+            # knobs so save()/load() and jit cache keys stay consistent.
             self.prefilter_channels = self.coarse_channels
+            self.prefilter_pack4 = False
         if use_pallas_coarse:
-            from ..ops.pallas_coarse import flatten_coarse
+            from ..ops.pallas_coarse import flatten_coarse, pack_coarse_nibbles
 
             if self.prefilter_channels < self.coarse_channels:
                 # Channel-subset pass-1 DB: channels are PCA-ordered, so the
@@ -274,6 +279,12 @@ class TwoStageDB:
                 # HBM-bound pass-1 sweep reads C1/C of the bytes.
                 coarse1 = flatten_coarse(coarse[..., : self.prefilter_channels])
             coarse = flatten_coarse(coarse)
+            if self.prefilter_pack4:
+                # Nibble-pack the pass-1 sweep's rows: HALF the HBM bytes
+                # again (the sweep is bandwidth-bound), bit-identical
+                # ranking (ops/pallas_coarse.pack_coarse_nibbles).
+                coarse1 = pack_coarse_nibbles(
+                    coarse1 if coarse1 is not None else coarse)
         if mesh is not None:
             shard = NamedSharding(mesh, P(DB_AXIS))
             self.lengths = jax.device_put(jnp.asarray(lengths), shard)
@@ -360,6 +371,7 @@ class TwoStageDB:
             "coarse_kind": self.coarse_kind,
             "coarse_channels": int(self.coarse_channels),
             "prefilter_channels": int(self.prefilter_channels),
+            "prefilter_pack4": bool(self.prefilter_pack4),
             "coarse_tile": int(self.coarse_tile),
             "lc_true": int(self.lc_true),
             "n_real": int(self.n_real),
@@ -455,6 +467,7 @@ class TwoStageDB:
         self.coarse_channels = m["coarse_channels"]
         self.prefilter_channels = m.get("prefilter_channels",
                                         m["coarse_channels"])
+        self.prefilter_pack4 = bool(m.get("prefilter_pack4", False))
         self.coarse_tile = m["coarse_tile"]
         self.lc_true = m["lc_true"]
         self.n_real = n_real
@@ -470,7 +483,8 @@ class TwoStageDB:
         self.lengths = put(np.asarray(lengths))
         self.db_c = put(grab("coarse"))
         self.db_c1 = (put(grab("coarse1"))
-                      if self.prefilter_channels < self.coarse_channels
+                      if (self.prefilter_channels < self.coarse_channels
+                          or self.prefilter_pack4)
                       else self.db_c)
         if self.use_pallas_fine:
             self.lpad = m["lpad"]
@@ -591,7 +605,8 @@ class TwoStageDB:
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 coarse_channels=self.coarse_channels,
                 interpret=self.pallas_interpret, phases=ph, phases1=p1,
-                prefilter=pf, channels1=c1)
+                prefilter=pf, channels1=c1,
+                packed1=bool(pf) and self.prefilter_pack4)
         if self.mesh is None:
             if pf:
                 raise NotImplementedError(
@@ -614,7 +629,8 @@ class TwoStageDB:
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 coarse_channels=self.coarse_channels,
                 interpret=self.pallas_interpret, phases=ph, phases1=p1,
-                prefilter=pf, channels1=c1)
+                prefilter=pf, channels1=c1,
+                packed1=bool(pf) and self.prefilter_pack4)
         if ph > 1:
             raise NotImplementedError(
                 "query_phases on the sharded XLA path: use the Pallas path")
@@ -723,7 +739,8 @@ class TwoStageDB:
                 coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
                 coarse_channels=self.coarse_channels,
                 interpret=self.pallas_interpret, phases=ph, phases1=p1,
-                prefilter=pf, channels1=c1)
+                prefilter=pf, channels1=c1,
+                packed1=bool(pf) and self.prefilter_pack4)
         return _two_stage_pallas_batch_jit(
             queries_dev, self.d0, self.d1, self.lengths, self.db_c,
             self.db_c1,
@@ -732,7 +749,8 @@ class TwoStageDB:
             coarse_tile=self.coarse_tile, coarse_kind=self.coarse_kind,
             coarse_channels=self.coarse_channels,
             interpret=self.pallas_interpret, phases=ph, phases1=p1,
-            prefilter=pf, channels1=c1)
+            prefilter=pf, channels1=c1,
+            packed1=bool(pf) and self.prefilter_pack4)
 
     def match_batch(self, query_batch: np.ndarray, *, top_k: int | None = None,
                     pool: int | None = None, fine_window: int | None = None,
@@ -846,7 +864,8 @@ def _coarse_best_phased(query, db_c, *, stride, phases, coarse_kind,
     return best_corr, centers
 
 
-def _coarse_best_batch(qc, db_c, *, lc_true, coarse_tile, interpret):
+def _coarse_best_batch(qc, db_c, *, lc_true, coarse_tile, interpret,
+                       packed4=False):
     """Batched per-track (best corr, best offset): fused Pallas batch kernel
     on the flat layout (one DB sweep for all B queries), XLA conv when 3-D."""
     if db_c.ndim == 2:
@@ -867,7 +886,9 @@ def _coarse_best_batch(qc, db_c, *, lc_true, coarse_tile, interpret):
         # scan's coarse_tile).
         return pallas_coarse_scan_batch_stacked(qc, db_c, s=s, tt=None,
                                                 lc_true=lc_true,
-                                                interpret=interpret)
+                                                interpret=interpret,
+                                                packed4=packed4)
+    assert not packed4, "nibble-packed DBs exist only on the flat layout"
     corr = coarse_ops.coarse_correlation_batch(qc, db_c)     # (B, T, Ac)
     if lc_true is not None:
         corr = corr[:, :, : lc_true - qc.shape[1] + 1]
@@ -876,7 +897,7 @@ def _coarse_best_batch(qc, db_c, *, lc_true, coarse_tile, interpret):
 
 def _coarse_best_batch_phased(queries, db_c, *, stride, phases, coarse_kind,
                               coarse_channels, lc_true, coarse_tile,
-                              interpret):
+                              interpret, packed4=False):
     """Phase-max coarse for B queries in ONE stacked sweep: the B*P variant
     lanes ride the same DB pass. Returns ((B, T) best, (B, T) centers of
     query print 0)."""
@@ -900,11 +921,12 @@ def _coarse_best_batch_phased(queries, db_c, *, stride, phases, coarse_kind,
     if g <= g_max:
         best_l, idx_l = _coarse_best_batch(qcs, db_c, lc_true=lc_true,
                                            coarse_tile=coarse_tile,
-                                           interpret=interpret)  # (B*P, T)
+                                           interpret=interpret,
+                                           packed4=packed4)  # (B*P, T)
     else:
         parts = [_coarse_best_batch(qcs[i:i + g_max], db_c, lc_true=lc_true,
                                     coarse_tile=coarse_tile,
-                                    interpret=interpret)
+                                    interpret=interpret, packed4=packed4)
                  for i in range(0, g, g_max)]
         best_l = jnp.concatenate([p[0] for p in parts], axis=0)
         idx_l = jnp.concatenate([p[1] for p in parts], axis=0)
@@ -920,7 +942,8 @@ def _coarse_best_batch_phased(queries, db_c, *, stride, phases, coarse_kind,
 
 def _coarse_pool_twopass(queries, db_c, db_c1, *, stride, phases, phases1,
                          prefilter, pool, coarse_kind, coarse_channels,
-                         channels1, lc_true, coarse_tile, interpret):
+                         channels1, lc_true, coarse_tile, interpret,
+                         packed1=False):
     """Two-pass phased coarse stage: a cheap pass-1 sweep of the WHOLE
     catalog (phases1 variant lanes) pools the top `prefilter` tracks per
     query; pass 2 rescans only those gathered rows with the full `phases`
@@ -943,13 +966,14 @@ def _coarse_pool_twopass(queries, db_c, db_c1, *, stride, phases, phases1,
         best1, _ = _coarse_best_batch_phased(
             queries, db_c1, stride=stride, phases=phases1,
             coarse_kind=coarse_kind, coarse_channels=channels1,
-            lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret)
+            lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret,
+            packed4=packed1)
     else:
         qc = jax.vmap(lambda q: coarse_ops.coarse_pm1(
             q, stride, kind=coarse_kind, channels=channels1))(queries)
         best1, _ = _coarse_best_batch(qc, db_c1, lc_true=lc_true,
                                       coarse_tile=coarse_tile,
-                                      interpret=interpret)
+                                      interpret=interpret, packed4=packed1)
     t = db_c.shape[0]
     m = min(prefilter, t)
     # Sorted subset: within-subset index order == global order, so pass-2
@@ -978,14 +1002,14 @@ def _coarse_pool_twopass(queries, db_c, db_c1, *, stride, phases, phases1,
     jax.jit, static_argnames=("stride", "pool", "fine_window", "l_true",
                               "lpad", "lc_true", "coarse_tile", "coarse_kind",
                               "coarse_channels", "interpret", "phases",
-                              "phases1", "prefilter", "channels1")
+                              "phases1", "prefilter", "channels1", "packed1")
 )
 def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c, db_c1,
                                 *, stride, pool, fine_window, l_true, lpad,
                                 lc_true=None, coarse_tile=128,
                                 coarse_kind="sign", coarse_channels=64,
                                 interpret=False, phases=1, phases1=1,
-                                prefilter=0, channels1=64):
+                                prefilter=0, channels1=64, packed1=False):
     """Batched two-stage match: one coarse DB sweep serves all B queries."""
     from ..ops.pallas_fine import pallas_fine_rescan_batch
 
@@ -997,7 +1021,7 @@ def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c, db_c1,
             prefilter=prefilter, pool=pool, coarse_kind=coarse_kind,
             coarse_channels=coarse_channels, channels1=channels1,
             lc_true=lc_true,
-            coarse_tile=coarse_tile, interpret=interpret)
+            coarse_tile=coarse_tile, interpret=interpret, packed1=packed1)
     else:
         if phases > 1:
             best_corr, centers_all = _coarse_best_batch_phased(
@@ -1028,14 +1052,14 @@ def _two_stage_pallas_batch_jit(queries, d0, d1, lengths, db_c, db_c1,
     static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
                      "lpad", "lc_true", "coarse_tile", "coarse_kind",
                      "coarse_channels", "interpret", "phases", "phases1",
-                     "prefilter", "channels1"),
+                     "prefilter", "channels1", "packed1"),
 )
 def _two_stage_sharded_batch(queries, d0, d1, lengths, db_c, db_c1,
                              *, mesh, stride, pool, fine_window, l_true,
                              lpad, lc_true=None, coarse_tile=128,
                              coarse_kind="sign", coarse_channels=64,
                              interpret=False, phases=1, phases1=1,
-                             prefilter=0, channels1=64):
+                             prefilter=0, channels1=64, packed1=False):
     """Sharded batched serving: per shard, one coarse sweep serves all B
     queries and the per-shard batched fine rescan runs on local DMAs; the
     fixed-size (B, 3, K) candidate blocks merge with one all-gather along K.
@@ -1060,7 +1084,8 @@ def _two_stage_sharded_batch(queries, d0, d1, lengths, db_c, db_c1,
                 prefilter=prefilter, pool=pool, coarse_kind=coarse_kind,
                 coarse_channels=coarse_channels, channels1=channels1,
                 lc_true=lc_true,
-                coarse_tile=coarse_tile, interpret=interpret)
+                coarse_tile=coarse_tile, interpret=interpret,
+                packed1=packed1)
         else:
             if phases > 1:
                 best_corr, centers_all = _coarse_best_batch_phased(
@@ -1112,13 +1137,14 @@ def _coarse_best(query_c, db_c, *, lc_true, coarse_tile, interpret):
     static_argnames=("stride", "pool", "fine_window", "l_true", "lpad",
                      "lc_true", "coarse_tile", "coarse_kind",
                      "coarse_channels", "interpret", "phases", "phases1",
-                     "prefilter", "channels1"),
+                     "prefilter", "channels1", "packed1"),
 )
 def _two_stage_pallas_jit(query, d0, d1, lengths, db_c, db_c1,
                           *, stride, pool, fine_window, l_true, lpad,
                           lc_true=None, coarse_tile=128, coarse_kind="sign",
                           coarse_channels=64, interpret=False, phases=1,
-                          phases1=1, prefilter=0, channels1=64):
+                          phases1=1, prefilter=0, channels1=64,
+                          packed1=False):
     """Two-stage match with the Pallas kernels (TPU path)."""
     from ..ops.pallas_fine import pallas_fine_rescan
 
@@ -1128,7 +1154,8 @@ def _two_stage_pallas_jit(query, d0, d1, lengths, db_c, db_c1,
             phases1=phases1, prefilter=prefilter, pool=pool,
             coarse_kind=coarse_kind, coarse_channels=coarse_channels,
             channels1=channels1,
-            lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret)
+            lc_true=lc_true, coarse_tile=coarse_tile, interpret=interpret,
+            packed1=packed1)
         cand, centers_k = cand_b[0], centers_b[0]
     else:
         if phases > 1:
@@ -1183,14 +1210,14 @@ def _two_stage_jit(query, prints, lengths, db_c, *, stride, pool, fine_window,
     static_argnames=("mesh", "stride", "pool", "fine_window", "l_true",
                      "lpad", "lc_true", "coarse_tile", "coarse_kind",
                      "coarse_channels", "interpret", "phases", "phases1",
-                     "prefilter", "channels1"),
+                     "prefilter", "channels1", "packed1"),
 )
 def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c, db_c1,
                               *, mesh, stride, pool, fine_window,
                               l_true, lpad, lc_true=None, coarse_tile=128,
                               coarse_kind="sign", coarse_channels=64,
                               interpret=False, phases=1, phases1=1,
-                              prefilter=0, channels1=64):
+                              prefilter=0, channels1=64, packed1=False):
     """Sharded two-stage with the Pallas kernels per shard.
 
     Each chip scans its coarse shard on the MXU, rescans its own candidate
@@ -1215,7 +1242,7 @@ def _two_stage_sharded_pallas(query, d0, d1, lengths, db_c, db_c1,
                 coarse_kind=coarse_kind, coarse_channels=coarse_channels,
                 channels1=channels1,
                 lc_true=lc_true, coarse_tile=coarse_tile,
-                interpret=interpret)
+                interpret=interpret, packed1=packed1)
             cand, centers_k = cand_b[0], centers_b[0]
         else:
             if phases > 1:

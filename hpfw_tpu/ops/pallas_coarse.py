@@ -198,9 +198,10 @@ def auto_stacked_tile(lcw: int, k_pad: int, bs: int, cap: int = 1024) -> int:
     return tt
 
 
-def _stacked_kernel(w_ref, db_ref, best_ref, idx_ref, *, b: int, s: int,
+def _stacked_kernel(*refs, b: int, s: int,
                     lcw: int, k_pad: int, m_blocks: int, n_off: int,
-                    c: int = 64, convert_once: bool = False):
+                    c: int = 64, convert_once: bool = False,
+                    packed4: bool = False):
     """Query-stacked batched coarse scan: all B queries' s-phase kernels sit
     side by side on the GEMM's N axis, so a SINGLE program per track tile
     serves the whole batch at full MXU width with s = 32 instead of 128 —
@@ -211,7 +212,18 @@ def _stacked_kernel(w_ref, db_ref, best_ref, idx_ref, *, b: int, s: int,
     running elementwise (max, first-offset) merges blocks, an in-group
     shift-reduce tree collapses each query's s lanes (first-offset ties kept
     by min-index-on-equal), and one-hot f32 selection GEMMs emit the (tt, B)
-    scalars — f32 is exact for these int32 magnitudes (< 2^24)."""
+    scalars — f32 is exact for these int32 magnitudes (< 2^24).
+
+    packed4: the DB rows are nibble-packed (pack_coarse_nibbles, two int4
+    features per byte — halves the HBM bytes of the pass-1 sweep). The
+    kernel unpacks in registers and runs TWO half-K GEMMs against the
+    even/odd row split of W (feature 2j pairs with W row 2j), so no column
+    interleave is ever materialized; results are bit-identical to the int8
+    path (values are the same ±1/0)."""
+    if packed4:
+        wlo_ref, whi_ref, db_ref, best_ref, idx_ref = refs
+    else:
+        w_ref, db_ref, best_ref, idx_ref = refs
     tt = db_ref.shape[0]
     bs = b * s
     neg = jnp.int32(-(2 ** 31) + 1)
@@ -225,14 +237,30 @@ def _stacked_kernel(w_ref, db_ref, best_ref, idx_ref, *, b: int, s: int,
     # duplicated convert work. Results are identical either way (same
     # values); which is faster is a hardware question (pass1_tune.py).
     xb = db_ref[:].astype(jnp.bfloat16) if convert_once else None
+    dn = (((1,), (0,)), ((), ()))
     for m in range(m_blocks):
         col0 = m * s * c
         k_m = min(k_pad, lcw - col0)
-        x = (xb[:, col0:col0 + k_m] if convert_once
-             else db_ref[:, col0:col0 + k_m].astype(jnp.bfloat16))
-        corr = jax.lax.dot_general(
-            x, w_ref[:k_m, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
+        if packed4:
+            # Unpack the nibble pair in registers: ulo = low nibble
+            # (unsigned), sign-extend via the 8s bit; hi = arithmetic >>4
+            # (exact for v = 16*hi + ulo). All ops fully defined on int32.
+            xi = db_ref[:, col0 // 2:(col0 + k_m) // 2].astype(jnp.int32)
+            xlo = ((xi & 15) - ((xi & 8) << 1)).astype(jnp.bfloat16)
+            xhi = (xi >> 4).astype(jnp.bfloat16)
+            corr = (jax.lax.dot_general(
+                        xlo, wlo_ref[:k_m // 2, :], dn,
+                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        xhi, whi_ref[:k_m // 2, :], dn,
+                        preferred_element_type=jnp.float32)
+                    ).astype(jnp.int32)
+        else:
+            x = (xb[:, col0:col0 + k_m] if convert_once
+                 else db_ref[:, col0:col0 + k_m].astype(jnp.bfloat16))
+            corr = jax.lax.dot_general(
+                x, w_ref[:k_m, :], dn,
+                preferred_element_type=jnp.float32).astype(jnp.int32)
         off = m * s + r_lane
         corr = jnp.where(off < n_off, corr, neg)
         # Strict > keeps the earlier (smaller-offset) block on ties.
@@ -266,16 +294,18 @@ def _stacked_kernel(w_ref, db_ref, best_ref, idx_ref, *, b: int, s: int,
 
 
 @functools.partial(jax.jit, static_argnames=("s", "tt", "lc_true",
-                                             "interpret", "convert_once"))
+                                             "interpret", "convert_once",
+                                             "packed4"))
 def pallas_coarse_scan_batch_stacked(
     query_cs: jnp.ndarray,   # (B, Nc, 64) int8 +/-1 equal-length queries
-    db_c_flat: jnp.ndarray,  # (T, Lc*64) int8
+    db_c_flat: jnp.ndarray,  # (T, Lc*64) int8; packed4: (T, Lc*64/2)
     *,
     s: int = BATCH_PHASES,
     tt: int | None = None,
     lc_true: int | None = None,
     interpret: bool = False,
     convert_once: bool = False,
+    packed4: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched fused coarse scan, one program per track tile.
 
@@ -283,7 +313,13 @@ def pallas_coarse_scan_batch_stacked(
     results to pallas_coarse_scan per query (tests/test_pallas_coarse.py).
     B is padded internally so B*s lanes are 128-aligned; callers see only
     their B rows.
+
+    packed4=True: db_c_flat is nibble-packed (pack_coarse_nibbles) — the
+    sweep reads HALF the HBM bytes and unpacks in registers, bit-identical
+    results (the two-pass matcher's pass-1 sweep is HBM-bound; VERDICT r4
+    item 8).
     """
+    assert not (packed4 and convert_once), "packed4 has no whole-tile cast"
     b0, nc, _ = query_cs.shape
     # B*s lanes must be 128-aligned: pad the batch so b*s % 128 == 0.
     # The unit below only achieves that when s divides 128.
@@ -295,6 +331,9 @@ def pallas_coarse_scan_batch_stacked(
             [query_cs, jnp.broadcast_to(query_cs[:1], (b - b0,) + query_cs.shape[1:])])
     c = query_cs.shape[2]
     t, lcw = db_c_flat.shape
+    if packed4:
+        lcw *= 2   # feature-coordinate width; the packed rows hold lcw/2
+                   # bytes and all column arithmetic stays in feature space
     assert lcw % 128 == 0
     lc = lcw // c
     n_off = (lc_true if lc_true is not None else lc) - nc + 1
@@ -315,14 +354,25 @@ def pallas_coarse_scan_batch_stacked(
         query_cs).transpose(1, 0, 2).reshape(k_pad, b * s)
     kernel = functools.partial(_stacked_kernel, b=b, s=s, lcw=lcw,
                                k_pad=k_pad, m_blocks=m_blocks, n_off=n_off,
-                               c=c, convert_once=convert_once)
+                               c=c, convert_once=convert_once,
+                               packed4=packed4)
+    if packed4:
+        # Even/odd row split of W: packed byte j's low nibble is feature
+        # 2j (W rows 0,2,...), high nibble feature 2j+1 (rows 1,3,...).
+        w_ops = [w[0::2], w[1::2]]
+        w_specs = [pl.BlockSpec((k_pad // 2, b * s), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)] * 2
+        db_block = lcw // 2
+    else:
+        w_ops = [w]
+        w_specs = [pl.BlockSpec((k_pad, b * s), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)]
+        db_block = lcw
     best, idx = pl.pallas_call(
         kernel,
         grid=(t // tt,),
-        in_specs=[
-            pl.BlockSpec((k_pad, b * s), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tt, lcw), lambda i: (i, 0),
+        in_specs=w_specs + [
+            pl.BlockSpec((tt, db_block), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -334,7 +384,7 @@ def pallas_coarse_scan_batch_stacked(
             jax.ShapeDtypeStruct((t, b), jnp.int32),
         ],
         interpret=interpret,
-    )(w, db_c_flat)
+    )(*w_ops, db_c_flat)
     return best.T[:b0], idx.T[:b0]
 
 
@@ -427,3 +477,23 @@ def flatten_coarse(db_c: jnp.ndarray) -> jnp.ndarray:
         db_c = jnp.pad(db_c, ((0, 0), (0, unit - lc % unit), (0, 0)))
         lc += unit - lc % unit
     return db_c.reshape(t, lc * c)
+
+
+def pack_coarse_nibbles(db_flat: jnp.ndarray) -> jnp.ndarray:
+    """(T, lcw) int8 flat coarse rows (values in {-1, 0, 1}) -> (T, lcw/2)
+    int8 with feature 2j in the low nibble of byte j and feature 2j+1 in
+    the high nibble; columns zero-padded to keep the packed row 128-lane
+    aligned (the pad is whole zero coarse windows — they score 0 and the
+    scan's lc_true mask already excludes their offsets).
+
+    Halves the HBM bytes of the pass-1 prefilter sweep; consumed by
+    pallas_coarse_scan_batch_stacked(packed4=True), which unpacks in
+    registers — results bit-identical to the int8 layout. (A native jnp
+    int4 array hits a jit-dispatch RecursionError on this stack — measured,
+    benchmarks/pass1_tune.py — so the packing is explicit int8.)"""
+    t, lcw = db_flat.shape
+    if lcw % 256:
+        db_flat = jnp.pad(db_flat, ((0, 0), (0, 256 - lcw % 256)))
+    lo = db_flat[:, 0::2].astype(jnp.int32)
+    hi = db_flat[:, 1::2].astype(jnp.int32)
+    return ((lo & 15) | (hi << 4)).astype(jnp.int8)

@@ -206,3 +206,47 @@ def test_pallas_coarse_stacked_convert_once_identical():
                                           convert_once=True)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(bo[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(bo[1]))
+
+
+def test_pallas_coarse_stacked_packed4_identical():
+    """Nibble-packed pass-1 rows (pack_coarse_nibbles + packed4=True) are a
+    pure storage change: half the HBM bytes, in-register unpack, TWO
+    half-K GEMMs against the even/odd W row split — output must be
+    bit-identical to the int8 layout, including zero pad windows and the
+    lane-alignment column pad the pack adds."""
+    from hpfw_tpu.ops.pallas_coarse import (pack_coarse_nibbles,
+                                            pallas_coarse_scan_batch_stacked)
+
+    rng = np.random.default_rng(11)
+    for t, tt, lc, nc, b, s, c in [(32, 8, 37, 5, 3, 8, 64),
+                                   (16, 8, 21, 4, 2, 16, 32)]:
+        d = rng.choice([-1, 1], (t, lc, c)).astype(np.int8)
+        d[-1, lc // 2:] = 0                      # a short (zero-padded) track
+        qs = rng.choice([-1, 1], (b, nc, c)).astype(np.int8)
+        flat = flatten_coarse(jnp.asarray(d))
+        ref = pallas_coarse_scan_batch_stacked(jnp.asarray(qs), flat, s=s,
+                                               tt=tt, lc_true=lc,
+                                               interpret=True)
+        packed = pack_coarse_nibbles(flat)
+        assert packed.shape[1] * 2 >= flat.shape[1]
+        assert packed.shape[1] % 128 == 0
+        out = pallas_coarse_scan_batch_stacked(jnp.asarray(qs), packed, s=s,
+                                               tt=tt, lc_true=lc,
+                                               interpret=True, packed4=True)
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+
+
+def test_pack_coarse_nibbles_roundtrip():
+    """Packed bytes decode back to the exact flat rows (sign-extended low
+    nibble + arithmetic-shift high nibble — the kernel's unpack)."""
+    from hpfw_tpu.ops.pallas_coarse import pack_coarse_nibbles
+
+    rng = np.random.default_rng(3)
+    flat = rng.choice([-1, 0, 1], (4, 256)).astype(np.int8)
+    p = np.asarray(pack_coarse_nibbles(jnp.asarray(flat))).astype(np.int32)
+    lo = (p & 15) - ((p & 8) << 1)
+    hi = p >> 4
+    rec = np.empty((4, 2 * p.shape[1]), np.int8)
+    rec[:, 0::2], rec[:, 1::2] = lo, hi
+    np.testing.assert_array_equal(rec[:, :256], flat)

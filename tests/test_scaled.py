@@ -469,3 +469,69 @@ def test_phased_lane_chunking_equals_unchunked(cfg, monkeypatch):
     got_b, got_c = _coarse_best_batch_phased(queries, flat, **kw)
     np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))
     np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+
+
+def test_prefilter_pack4_identical(cfg, tmp_path):
+    """prefilter_pack4 (nibble-packed pass-1 rows, round 5): a pure storage
+    change to the pass-1 sweep — results must be IDENTICAL to the unpacked
+    two-pass matcher at every knob setting, the packed DB must be half the
+    bytes, save/load must keep it, and the sharded path must agree."""
+    rng = np.random.default_rng(27)
+    T, L, NQ, stride = 48, 200, 64, 8
+    prints = rng.integers(0, 2 ** 32, (T, L, 2), dtype=np.uint32)
+    db = api.FingerprintDB(cfg, _filters(cfg), [str(i) for i in range(T)],
+                           prints, np.full(T, L, np.int32))
+    kw = dict(stride=stride, use_pallas_fine=True, coarse_tile=8,
+              pallas_interpret=True, query_phases=4,
+              prefilter=16, prefilter_phases=2, prefilter_channels=32)
+    ref = TwoStageDB(db, **kw)
+    packed = TwoStageDB(db, prefilter_pack4=True, keep_host=True, **kw)
+    assert packed.prefilter_pack4
+    assert packed.db_c1.shape[1] * 2 >= ref.db_c1.shape[1]
+    assert packed.db_c1.shape[1] <= -(-ref.db_c1.shape[1] // 256) * 128
+    qs = []
+    for k, r in enumerate((1, 3, 4, 7)):
+        off = (4 + k) * stride + r
+        q = prints[7 + k, off:off + NQ].copy()
+        flip = (rng.integers(0, 1 << 32, (NQ, 2), dtype=np.uint32)
+                & rng.integers(0, 1 << 32, (NQ, 2), dtype=np.uint32)
+                & rng.integers(0, 1 << 32, (NQ, 2), dtype=np.uint32))
+        qs.append(np.bitwise_xor(q, flip))
+    for q in qs:
+        i1, s1, o1 = ref.match(q, top_k=5, pool=8)
+        i2, s2, o2 = packed.match(q, top_k=5, pool=8)
+        assert i1 == i2
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(o1, o2)
+    r1 = ref.match_batch(np.stack(qs), top_k=3, pool=8)
+    r2 = packed.match_batch(np.stack(qs), top_k=3, pool=8)
+    for (ia, sa, oa), (ib, sb, ob) in zip(r1, r2):
+        assert ia == ib
+        np.testing.assert_array_equal(sa, sb)
+        np.testing.assert_array_equal(oa, ob)
+    # save/load keeps the packed pass-1 DB and the flag
+    p = str(tmp_path / "ts_pack4")
+    packed.save(p)
+    loaded = TwoStageDB.load(p)
+    loaded.pallas_interpret = True
+    assert loaded.prefilter_pack4
+    assert loaded.db_c1.shape == packed.db_c1.shape
+    for k, q in enumerate(qs):
+        ids, s, o = loaded.match(q, top_k=1, pool=8,
+                                 phases=4, phases1=2, prefilter=16)
+        assert ids[0] == str(7 + k)
+    # sharded path with the packed pass-1
+    mesh = meshlib.db_mesh(8)
+    sharded = TwoStageDB(db, mesh=mesh, prefilter_pack4=True,
+                         **{k: v for k, v in kw.items()
+                            if k not in ("coarse_tile",)},
+                         coarse_tile=8)
+    shref = TwoStageDB(db, mesh=mesh,
+                       **{k: v for k, v in kw.items()
+                          if k not in ("coarse_tile",)},
+                       coarse_tile=8)
+    for q in qs:
+        i1, s1, o1 = shref.match(q, top_k=3, pool=4)
+        i2, s2, o2 = sharded.match(q, top_k=3, pool=4)
+        assert i1 == i2
+        np.testing.assert_array_equal(s1, s2)
